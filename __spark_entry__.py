@@ -1,38 +1,483 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full HtmlCleanup-semantics extraction
+cascade (tokenize -> DOM -> 22 ordered rules -> serialize) as an
+Arrow-batched map over a pages table derived from sf0.001 documents.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2 + the training-data layer); oracles are DuckDB SQL over the
+same parquet views.  Non-SQL-expressible ops (simhash conv(16), LSH
+hyperplanes, the synthetic-pages pipeline) omit the oracle -> rows-only.
 """
 
 from __future__ import annotations
 
+import glob
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from htmlcleanup_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from htmlcleanup_spark.functions.udf import RESULT_DDL, make_cascade_fn
+from htmlcleanup_spark.operators import ann, dedup, multimodal
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_FIXDIR = os.path.join(_REPO, "tests", "fixtures")
+
+# --------------------------------------------------------------------------
+# pages wrap: documents.text -> a full page whose cascade output is exactly
+# reconstructable in SQL (the wrap is a fixed point of the cascade — the
+# text is ASCII, single-spaced, entity-free).
+# --------------------------------------------------------------------------
+_WRAP_PRE = "<html>\n<head><title>d</title></head>\n<body>\n<p>"
+_WRAP_POST = "</p>\n<p>.</p>\n</body>\n</html>\n"
+
+
+def _sql_concat_literal(s: str) -> str:
+    """A DuckDB expression reproducing literal ``s`` (newlines via chr(10))."""
+    parts = []
+    for piece in s.split("\n"):
+        parts.append("'%s'" % piece.replace("'", "''"))
+        parts.append("chr(10)")
+    return "concat(%s)" % ", ".join(parts[:-1])
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, "%s.parquet" % name)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, "documents"))
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit(_WRAP_PRE), F.col("text"), F.lit(_WRAP_POST)),
+            "utf-8",
+        ).alias("html"),
+        F.col("lang"),
+    )
+
+
+def _run_cascade(df: DataFrame) -> DataFrame:
+    return df.mapInArrow(make_cascade_fn(), RESULT_DDL)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship at sf0.001: full extraction cascade over wrapped documents."""
+    return q_clean_documents(spark, "/root/testdata/sf0.001")
+
+
+def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _run_cascade(_docs_as_pages(spark, sf_dir))
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("text").alias("clean_text"),
+        F.col("bytes_in"),
+        F.col("bytes_out"),
+    )
+
+
+def q_clean_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = []
+    for in_path in sorted(glob.glob(os.path.join(_FIXDIR, "*", "*.in.html"))):
+        rule_dir = os.path.basename(os.path.dirname(in_path))
+        if rule_dir == "w6-split-enabled":  # non-default config
+            continue
+        nn = os.path.basename(in_path).split(".")[0]
+        with open(in_path, "rb") as f:
+            rows.append(("fixture://%s/%s" % (rule_dir, nn), f.read()))
+    df = spark.createDataFrame(rows, "url string, html binary").select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("en").alias("lang"),
+    )
+    return _run_cascade(df).select("url", F.col("text").alias("clean_text"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(_docs(spark, sf_dir))
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash64(_docs(spark, sf_dir))
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_events_latest_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann.cosine_topk(emb, queries, k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann.lsh_cosine_topk(emb, queries, k=10)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return ann.embedding_near_dup_pairs(emb, threshold=0.35)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count().alias("n_tokens"),
+        F.length("text").alias("n_char"),
+        quality_score().alias("quality_e6"),
+        fingerprint().alias("fp"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id().alias("pred_lang"), F.col("lang").alias("tagged_lang")
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour_s"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (synth pages -> dedup -> skew repartition -> cascade);
+    rows-only check (the pathological corpus has no SQL twin)."""
+    from htmlcleanup_spark.plans.extract import dedup_latest_by_url, size_bucket_salt
+    from htmlcleanup_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 200, num_partitions=4)
+    df = size_bucket_salt(dedup_latest_by_url(pages)).repartition(
+        8, "size_bucket", "salt"
+    ).drop("size_bucket", "salt")
+    out = _run_cascade(df)
+    return out.select("url", "text", "error", "bytes_in", "bytes_out")
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    feats = multimodal.extract_features(d)
+    return feats.select("doc_id", "n_bytes", "digest")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "clean_documents": q_clean_documents,
+        "clean_fixtures": q_clean_fixtures,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash64": q_simhash64,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "events_latest_by_user": q_events_latest_by_user,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_nation": q_revenue_by_nation,
+        "events_hourly": q_events_hourly,
+        "extract_synth": q_extract_synth,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles (DuckDB SQL on pre-registered views)
+# --------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM w),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM idx)
+"""
+
+_MINHASH_CTE = _SHINGLE_CTE + """,
+hx AS (SELECT doc_id, j.hash_id, md5(CAST(j.hash_id AS VARCHAR) || ':' || shingle) AS h
+       FROM sh, (SELECT unnest(generate_series(0, 7)) AS hash_id) j),
+sig AS (SELECT doc_id, hash_id, min(h) AS minhash FROM hx GROUP BY doc_id, hash_id)
+"""
+
+_QUALITY_SQL = (
+    "CAST(floor((least(n_tokens / 100.0, 1.0) * 0.5 "
+    "+ (alpha_chars / greatest(n_char * 1.0, 1.0)) * 0.3 "
+    "+ least((n_char * 1.0 / greatest(n_tokens * 1.0, 1.0)) / 8.0, 1.0) * 0.2) "
+    "* 1000000.0) AS BIGINT)"
+)
+
+
+def _clean_fixtures_oracle() -> str:
+    rows = []
+    for out_path in sorted(glob.glob(os.path.join(_FIXDIR, "*", "*.out.html"))):
+        rule_dir = os.path.basename(os.path.dirname(out_path))
+        if rule_dir == "w6-split-enabled":
+            continue
+        nn = os.path.basename(out_path).split(".")[0]
+        with open(out_path) as f:
+            expected = f.read()
+        rows.append(
+            "('fixture://%s/%s', %s)"
+            % (rule_dir, nn, _sql_concat_literal(expected))
+        )
+    return (
+        "SELECT * FROM (VALUES %s) AS t(url, clean_text)" % ", ".join(rows)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    wrap_pre = _sql_concat_literal(_WRAP_PRE)
+    wrap_post = _sql_concat_literal(_WRAP_POST)
+    return {
+        "clean_documents": f"""
+            SELECT doc_id,
+                   concat({wrap_pre}, text, {wrap_post}) AS clean_text,
+                   length(concat({wrap_pre}, text, {wrap_post})) AS bytes_in,
+                   length(concat({wrap_pre}, text, {wrap_post})) AS bytes_out
+            FROM documents
+        """,
+        "clean_fixtures": _clean_fixtures_oracle(),
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "minhash_signatures": _MINHASH_CTE + "SELECT doc_id, hash_id, minhash FROM sig",
+        "lsh_candidate_pairs": _MINHASH_CTE + """,
+            banded AS (
+              SELECT doc_id, hash_id // 2 AS band,
+                     md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+              FROM sig GROUP BY doc_id, hash_id // 2
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b USING (band, band_key)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard_pairs": _SHINGLE_CTE + """,
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.2
+        """,
+        "events_latest_by_user": """
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   event_type, value
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id % 50 = 0),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(qv, cv) /
+                           (sqrt(list_dot_product(qv, qv)) *
+                            sqrt(list_dot_product(cv, cv))), 4) AS cosine
+              FROM q, c WHERE neighbor_id != query_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked
+            WHERE rank <= 10
+        """,
+        "token_stats": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     length(text) AS n_char,
+                     length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                       AS alpha_chars,
+                     md5(text) AS fp
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, n_char, {_QUALITY_SQL} AS quality_e6, fp
+            FROM base
+        """,
+        "lang_id": """
+            WITH s AS (
+              SELECT doc_id, lang AS tagged_lang,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN ('the','and','of','to','a'))) AS s_en,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN ('der','die','und','das','ist'))) AS s_de,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN ('le','la','et','les','des'))) AS s_fr,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN ('de','het','een','en','van'))) AS s_nl
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE
+                WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_nl THEN 'en'
+                WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_nl THEN 'de'
+                WHEN s_fr > 0 AND s_fr >= s_nl THEN 'fr'
+                WHEN s_nl > 0 THEN 'nl'
+                ELSE 'und'
+              END AS pred_lang,
+              tagged_lang
+            FROM s
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS hour_s,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, length(text) AS n_bytes, md5(text) AS digest
+            FROM documents
+        """,
+        # rows-only (no portable SQL twin):
+        #   simhash64, simhash_near_pairs (conv base-16), ann_lsh_topk,
+        #   embedding_near_dups (hyperplane closure), extract_synth
+    }

@@ -1,0 +1,93 @@
+"""Text-analysis column functions (training-data pipeline layer).
+
+Everything here is built-in column expressions — JVM-side, codegen-friendly,
+no Python in the hot path — and chosen so a DuckDB oracle can reproduce the
+values exactly (simple splits and arithmetic, no engine-specific regex
+dialects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "nl": ("de", "het", "een", "en", "van"),
+}
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(text_col: str = "text") -> Column:
+    return F.size(tokens(text_col))
+
+
+def stopword_hits(text_col: str, words) -> Column:
+    """Number of tokens that are one of ``words``."""
+    return F.size(
+        F.filter(tokens(text_col), lambda w: w.isin(*list(words)))
+    )
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Stopword-count heuristic language ID; 'und' when nothing matches.
+
+    Deterministic tie-break: language order en, de, fr, nl (strictly greater
+    wins).
+    """
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in ("en", "de", "fr", "nl"):
+        score = stopword_hits(text_col, LANG_MARKERS[lang])
+        best_lang = F.when(score > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(score > best_score, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Cheap quality heuristic, scaled to an integer in [0, 1e6]:
+
+    1e6 * (0.5 * clamp(tokens/100) + 0.3 * alpha_ratio + 0.2 *
+    mean-token-length factor).  floor-quantized to a BIGINT because decimal
+    round() at exact half-boundaries differs between engines (Spark rounds
+    the shortest decimal repr HALF_UP, DuckDB multiplies and rints) while
+    floor on bit-identical IEEE doubles is portable.
+    """
+    n_tok = token_count(text_col).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    alpha_chars = F.length(
+        F.regexp_replace(F.col(text_col), "[^a-zA-Z ]", "")
+    ).cast("double")
+    mean_tok_len = n_chars / F.greatest(n_tok, F.lit(1.0))
+    q = (
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.5
+        + (alpha_chars / F.greatest(n_chars, F.lit(1.0))) * 0.3
+        + F.least(mean_tok_len / 8.0, F.lit(1.0)) * 0.2
+    )
+    return F.floor(q * 1000000.0).cast("long")
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Full-content fingerprint (md5 hex)."""
+    return F.md5(F.col(text_col))
+
+
+def rolling_fingerprints(text_col: str = "text", window: int = 5) -> Column:
+    """Winnowing-style fingerprints: md5 of each ``window``-token span.
+
+    Returns array<string>; pair with explode + min-per-band for plagiarism /
+    containment detection at corpus scale.
+    """
+    w = tokens(text_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - window, F.lit(0))),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(w, i + 1, window))
+        ),
+    )

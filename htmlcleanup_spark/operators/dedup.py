@@ -1,0 +1,227 @@
+"""Corpus deduplication operators (training-data pipeline layer).
+
+All built from relational Spark primitives so Catalyst keeps them JVM-side
+and whole-stage-codegen'd; the only shuffles are the groupBys/joins that the
+semantics require.  Hashes use md5 (hex string) so a SQL oracle (DuckDB) can
+reproduce every value bit-for-bit.
+
+Scale notes (10^12-doc design):
+- exact dedup: one hash-shuffle on the digest; map-side partial aggregation
+  makes the shuffle carry one row per distinct digest per partition.
+- minhash: explode(shingles) is the big intermediate; it stays pipelined
+  (no shuffle) until the per-(doc, hash) min aggregation.  num_hashes and
+  band layout are the usual LSH accuracy/cost dials.
+- LSH pairs: the band-bucket self-join only materializes candidate pairs,
+  never the O(n^2) cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest.
+
+    Returns (text_hash, canonical_doc_id = min id, n_copies).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc: (id, shingle)."""
+    words = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(words) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)]),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_hashes: int = 8) -> DataFrame:
+    """MinHash signature rows: (id, hash_id, minhash).
+
+    hash family j: md5(j || ':' || shingle); the per-doc minimum of a hex
+    digest is a uniform random-permutation proxy, reproducible in any SQL
+    engine.
+    """
+    sh = shingles(df, text_col, id_col, k)
+    hashed = sh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("hash_id"),
+                    F.md5(F.concat_ws(":", F.lit(str(j)), F.col("shingle"))).alias("h"),
+                )
+                for j in range(num_hashes)
+            ])
+        ).alias("jh"),
+    ).select(id_col, "jh.hash_id", "jh.h")
+    return (
+        hashed.groupBy(id_col, "hash_id")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Band-bucket join: docs agreeing on all rows of any band.
+
+    signatures: output of minhash_signatures with num_hashes =
+    bands * rows_per_band.  Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    banded = (
+        signatures.withColumn(
+            "band", (F.col("hash_id") / rows_per_band).cast("int")
+        )
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.5,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for doc pairs.
+
+    With ``candidates`` (e.g. LSH output) only those pairs are scored; without
+    it, pairs sharing >= 1 shingle are scored via a shingle self-join (never
+    the full cross product).  Returns (id_a, id_b, jaccard rounded to 6).
+    """
+    sh = shingles(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"])
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document from word-level md5s.
+
+    Bit b of the signature is the sign of sum over words of
+    (+1 if bit b of the word digest else -1).  Pure column expressions
+    (xxhash64 + bit ops), JVM-side; no SQL oracle (xxhash64 has no portable
+    DuckDB twin) — the driver records a rows-only check for this one.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    wh = words.withColumn("h", F.xxhash64("w"))
+    bit_sums = wh.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1))
+            ).alias("b%d" % b)
+            for b in range(64)
+        ]
+    )
+    sig = None
+    for b in range(64):
+        # shiftleft instead of a 1<<63 literal (which overflows a JVM long)
+        term = F.shiftleft(
+            F.when(F.col("b%d" % b) > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+            b,
+        )
+        sig = term if sig is None else (sig.bitwiseOR(term))
+    return bit_sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks.
+
+    Two signatures within Hamming distance 3 of each other agree exactly on
+    at least one of 4 16-bit chunks (pigeonhole) — the join key.
+    """
+    sig = simhash64(df, text_col, id_col)
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.shiftright(F.col("simhash"), c * 16)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                )
+                for c in range(4)
+            ])
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk_id", "cc.chunk")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        "chunk_id", "chunk",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        "chunk_id", "chunk",
+    )
+    pairs = (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,207 @@
+"""The extract job: the reference's whole CLI, re-expressed as one Spark plan.
+
+Reference lifecycle (one doc: cleanup_msfp.py:35-302) becomes, per the north
+rule: Iceberg/parquet scan -> resume anti-join -> per-url dedup window ->
+salted size-bucket repartition -> Arrow-batched cascade -> observe counters
+-> MERGE/append + per-partition lineage manifest.
+
+Scale notes (designed for 10^12 docs / 1000 executors, tested on local[32]):
+
+- column pruning: only (url, warc_ts, html, lang) are selected before the
+  UDF stage; Catalyst pushes the projection into the scan.
+- resume: completed urls live in the output's `_done` manifest; a broadcast
+  LEFT ANTI join skips them.  At cluster scale the same plan works with the
+  Iceberg snapshot of the output table; AQE picks broadcast vs SMJ by size.
+- dedup: keep the newest warc_ts per url.  This shuffles by url once; the
+  subsequent repartition reuses the rows already clustered by url-hash.
+- skew: `size_bucket = floor(log2(octet_length(html)))` + a url-hash salt
+  spread giant pages across partitions; AQE skew-join handling stays on as a
+  backstop.  Without this, one partition holding several 0.5 MB docs becomes
+  the straggler that caps scaling efficiency.
+- the cascade is stateless per document: no shuffle after repartition, the
+  map and the write pipeline fuse into one stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..engine.rules import DEFAULT_RULES, RuleConfig
+from ..functions.udf import RESULT_DDL, make_cascade_fn
+from ..sources.pages import read_pages
+
+OUTPUT_DDL = RESULT_DDL
+
+
+def dedup_latest_by_url(pages: DataFrame) -> DataFrame:
+    """Keep the newest crawl per url (Common-Crawl recrawls).
+
+    Window + row_number over (url, warc_ts desc); ties broken by warc_ts only
+    — deterministic because (url, warc_ts) is unique in WARC data.
+    """
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def size_bucket_salt(pages: DataFrame, salts: int = 64) -> DataFrame:
+    """Add skew-defeating partition keys: log2 size bucket + url-hash salt."""
+    return pages.withColumn(
+        "size_bucket",
+        F.floor(F.log2(F.greatest(F.octet_length("html"), F.lit(1)))),
+    ).withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(salts)))
+
+
+def run_extract(
+    spark: SparkSession,
+    source: str | DataFrame,
+    output_path: str | None = None,
+    output_table: str | None = None,
+    rules: RuleConfig = DEFAULT_RULES,
+    num_partitions: int | None = None,
+    salts: int = 64,
+    resume: bool = True,
+    lang_filter: str | None = None,
+) -> dict:
+    """Run the extraction pipeline; returns the run's counter dict.
+
+    Writes results to ``output_table`` via Iceberg MERGE when a catalog table
+    is given, else parquet-append under ``output_path`` with a ``_done`` url
+    manifest for resume.  With neither, the counters are still computed (dry
+    run over the full plan).
+    """
+    pages = source if isinstance(source, DataFrame) else read_pages(spark, source)
+
+    df = pages.select("url", "warc_ts", "html", "lang")
+    if lang_filter:
+        # Plain column predicate: pushes down to the scan.
+        df = df.filter(F.col("lang") == lang_filter)
+
+    if resume and output_path:
+        done = _read_done(spark, output_path)
+        if done is not None:
+            df = df.join(F.broadcast(done), "url", "left_anti")
+
+    df = dedup_latest_by_url(df)
+    df = size_bucket_salt(df, salts)
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 4
+    df = df.repartition(num_partitions, "size_bucket", "salt").drop(
+        "size_bucket", "salt"
+    )
+
+    rules_bc = spark.sparkContext.broadcast(rules)
+    result = df.mapInArrow(make_cascade_fn(rules_bc), RESULT_DDL)
+
+    obs = Observation("extract_metrics")
+    result = result.observe(
+        obs,
+        F.count("*").alias("docs_out"),
+        F.count("error").alias("docs_error"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("bytes_out").alias("bytes_out"),
+    )
+
+    t0 = time.time()
+    if output_table:
+        _merge_into_iceberg(spark, result, output_table)
+    elif output_path:
+        _write_parquet_with_lineage(spark, result, output_path)
+    else:
+        result.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+
+    metrics = dict(obs.get)
+    metrics["wall_sec"] = wall
+    metrics["docs_ok"] = metrics["docs_out"] - metrics["docs_error"]
+    return metrics
+
+
+def _read_done(spark: SparkSession, output_path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(output_path + "/_done").select("url")
+    except Exception:
+        return None
+
+
+def _write_parquet_with_lineage(spark: SparkSession, result: DataFrame,
+                                output_path: str) -> None:
+    """Dev/sandbox sink: parquet append + per-partition lineage manifest +
+    done-url manifest (the resume checkpoint).
+
+    At cluster scale the equivalent is a single Iceberg MERGE commit whose
+    snapshot IS the checkpoint; this fallback makes resume testable here.
+    """
+    out = result.withColumn("part_id", F.spark_partition_id())
+    out.persist()
+    try:
+        out.drop("part_id").write.mode("append").parquet(output_path + "/data")
+        lineage = out.groupBy("part_id").agg(
+            F.count("*").alias("docs_in"),
+            F.count("text").alias("docs_out"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+            (F.sum("bytes_in") - F.sum("bytes_out")).alias("bytes_stripped"),
+        )
+        lineage.write.mode("append").parquet(output_path + "/_lineage")
+        out.select("url").write.mode("append").parquet(output_path + "/_done")
+    finally:
+        out.unpersist()
+
+
+def _merge_into_iceberg(spark: SparkSession, result: DataFrame,
+                        table: str) -> None:
+    """Iceberg MERGE sink (requires an Iceberg catalog on the cluster)."""
+    result.createOrReplaceTempView("_extract_src")
+    spark.sql(
+        f"""
+        MERGE INTO {table} t
+        USING _extract_src s
+        ON t.url = s.url
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="HtmlCleanup-semantics extraction over a pages table "
+        "(spark-submit --py-files engine.zip jobs/extract.py ...)"
+    )
+    p.add_argument("--source", required=True,
+                   help="pages parquet path or catalog table")
+    p.add_argument("--output-path", default=None)
+    p.add_argument("--output-table", default=None)
+    p.add_argument("--lang", default=None)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args(argv)
+
+    spark = (
+        SparkSession.builder.appName("htmlcleanup-extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    metrics = run_extract(
+        spark,
+        args.source,
+        output_path=args.output_path,
+        output_table=args.output_table,
+        num_partitions=args.partitions,
+        resume=not args.no_resume,
+        lang_filter=args.lang,
+    )
+    print(metrics)
+
+
+if __name__ == "__main__":
+    main()

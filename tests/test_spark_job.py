@@ -1,0 +1,140 @@
+"""Spark integration: the extraction pipeline end-to-end on local[4].
+
+Marked ``spark``; run with ``pytest -m spark`` or as part of the full suite.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from htmlcleanup_spark.engine import clean_html
+from htmlcleanup_spark.plans.extract import (
+    dedup_latest_by_url,
+    run_extract,
+    size_bucket_salt,
+)
+from htmlcleanup_spark.sources.pages import make_html, synth_pages
+
+pytestmark = pytest.mark.spark
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_fixture_pages_byte_identical_via_spark(spark, tmp_path):
+    """The full Spark job reproduces the audited fixture outputs per url."""
+    rows = []
+    expected = {}
+    for in_path in sorted(glob.glob(os.path.join(FIXTURE_DIR, "*", "*.in.html"))):
+        rule_dir = os.path.basename(os.path.dirname(in_path))
+        if rule_dir == "w6-split-enabled":
+            continue
+        url = "fixture://%s/%s" % (
+            rule_dir, os.path.basename(in_path).split(".")[0],
+        )
+        with open(in_path, "rb") as f:
+            rows.append((url, f.read()))
+        with open(in_path.replace(".in.html", ".out.html")) as f:
+            expected[url] = f.read()
+
+    import datetime
+
+    pages = spark.createDataFrame(
+        [(u, datetime.datetime(2024, 1, 1), h, None, "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = str(tmp_path / "out")
+    metrics = run_extract(spark, pages, output_path=out, num_partitions=4)
+    assert metrics["docs_error"] == 0
+    got = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(out + "/data").select("url", "text").collect()
+    }
+    assert got == expected
+
+
+def test_extract_matches_local_engine_on_synth(spark, tmp_path):
+    """Spark pipeline output == pure-Python clean_html on the same bytes."""
+    out = str(tmp_path / "out")
+    pages = synth_pages(spark, 60, num_partitions=3, dup_every=0)
+    run_extract(spark, pages, output_path=out, num_partitions=4)
+    res = spark.read.parquet(out + "/data").select("url", "text").collect()
+    # recompute locally for a sample
+    for row in res[:10]:
+        i = int(row["url"].rsplit("/", 1)[1])
+        local = clean_html(make_html(i, 42))
+        assert row["text"] == local.text, row["url"]
+
+
+def test_dedup_keeps_latest(spark):
+    pages = synth_pages(spark, 50, dup_every=10, num_partitions=2)
+    deduped = dedup_latest_by_url(pages)
+    assert pages.count() == 50
+    assert deduped.count() == 46  # 4 recrawled urls collapse
+    from pyspark.sql import functions as F
+
+    assert deduped.groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_resume_skips_done(spark, tmp_path):
+    out = str(tmp_path / "out")
+    pages = synth_pages(spark, 40, num_partitions=2).cache()
+    m1 = run_extract(spark, pages, output_path=out, num_partitions=4)
+    m2 = run_extract(spark, pages, output_path=out, num_partitions=4)
+    assert m1["docs_out"] > 0
+    assert m2["docs_out"] == 0  # everything already committed
+    data = spark.read.parquet(out + "/data")
+    assert data.groupBy("url").count().filter("count > 1").count() == 0
+    pages.unpersist()
+
+
+def test_size_bucket_salt_spreads_giants(spark):
+    pages = synth_pages(spark, 100, num_partitions=2)
+    withk = size_bucket_salt(pages)
+    buckets = withk.select("size_bucket").distinct().count()
+    assert buckets >= 2  # log-spread sizes produce multiple buckets
+    salts = withk.select("salt").distinct().count()
+    assert salts > 10
+
+
+def test_error_column_routes_bad_docs(spark, tmp_path):
+    import datetime
+
+    pages = spark.createDataFrame(
+        [
+            ("ok", datetime.datetime(2024, 1, 1),
+             b"<html><head><title>t</title></head><body><p>x</p></body></html>",
+             None, "en"),
+            ("bad", datetime.datetime(2024, 1, 1),
+             b"<body></font><p>x</p></body>", None, "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = str(tmp_path / "out")
+    metrics = run_extract(spark, pages, output_path=out, num_partitions=2)
+    assert metrics["docs_out"] == 2 and metrics["docs_error"] == 1
+    rows = {r["url"]: r for r in spark.read.parquet(out + "/data").collect()}
+    assert rows["ok"]["error"] is None and rows["ok"]["text"] is not None
+    assert rows["bad"]["text"] is None and "UnparseableHtml" in rows["bad"]["error"]
+    assert rows["ok"]["rules_fired"] is not None
+
+
+def test_multimodal_stub_plumbing(spark):
+    from pyspark.sql import functions as F
+
+    from htmlcleanup_spark.operators.multimodal import extract_features
+
+    df = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.concat(F.lit("payload"), F.col("id")), "utf-8").alias("payload"),
+    )
+    feats = extract_features(df).collect()
+    assert len(feats) == 5
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id[0]["n_bytes"] == len(b"payload0")
+    assert all(r["width"] % 16 == 0 and r["height"] % 16 == 0 for r in feats)
+    # decode_stub=False must surface NotImplementedError (real codec absent)
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        extract_features(df, decode_stub=False).collect()
