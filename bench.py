@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + N-vs-4N scaling evidence.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., plus throughput/scaling extras}
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     full parallelism (default 32)
+
+The north rule's two-cluster-size criterion (N vs 4N executors,
+efficiency >= 0.8) cannot use a real cluster here; per BASELINE.md the
+sandbox proxy is the identical extract job on the identical on-disk input at
+local[N] and local[4N].  Results also land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/spark_graft_bench")
+
+# pages-corpus size scales with sf: sf0.1 -> 11k docs (~200 MB html)
+DOCS_PER_SF = 110_000
+
+HEADLINE = [
+    "clean_documents",
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "ann_cosine_topk",
+    "token_stats",
+    "tpch_q1",
+    "revenue_by_nation",
+    "events_hourly",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def make_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[%d]" % cores)
+        .appName("htmlcleanup-bench-%d" % cores)
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def ensure_pages(n_docs: int) -> str:
+    """Deterministic on-disk pages corpus, generated once and reused."""
+    path = os.path.join(BENCH_TMP, "pages_%d" % n_docs)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from htmlcleanup_spark.sources.pages import synth_pages
+
+    spark = make_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    synth_pages(
+        spark, n_docs, num_partitions=max(CPUS * 2, 8)
+    ).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def run_extract_at(cores: int, pages_path: str) -> dict:
+    """The identical extract job at a given parallelism; returns metrics."""
+    from htmlcleanup_spark.plans.extract import run_extract
+
+    spark = make_session(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        # warmup: touch every python worker (fork + heavy imports) so the
+        # timed run measures the cascade, not daemon spin-up
+        import pyarrow as pa
+
+        def _warm(batches):
+            from htmlcleanup_spark.engine import clean_html  # noqa: F401
+
+            clean_html(b"<html><head><title>t</title></head>"
+                       b"<body><p>x</p></body></html>")
+            for b in batches:
+                yield b
+
+        (
+            spark.range(0, cores * 8, 1, cores * 8)
+            .mapInArrow(_warm, "id long")
+            .write.format("noop").mode("overwrite").save()
+        )
+
+        pages = spark.read.parquet(pages_path)
+        t0 = time.time()
+        m = run_extract(
+            spark, pages, resume=False, num_partitions=cores * 4
+        )
+        m["wall_sec"] = time.time() - t0
+        m["cores"] = cores
+        m["docs_per_sec"] = m["docs_out"] / m["wall_sec"]
+        m["mb_per_sec"] = (m["bytes_in"] or 0) / 1e6 / m["wall_sec"]
+        return m
+    finally:
+        spark.stop()
+
+
+def run_headline(sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    spark = make_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings = {}
+    try:
+        qs = entrymod.queries()
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+    return timings
+
+
+def main():
+    sf = sf_from_dir(SF_DIR)
+    n_docs = max(int(DOCS_PER_SF * sf), 200)
+    os.makedirs(BENCH_TMP, exist_ok=True)
+
+    pages_path = ensure_pages(n_docs)
+
+    small_cores = max(CPUS // 4, 1)
+    m_small = run_extract_at(small_cores, pages_path)
+    m_big = run_extract_at(CPUS, pages_path)
+    efficiency = (m_big["docs_per_sec"] / m_small["docs_per_sec"]) / (
+        CPUS / small_cores
+    )
+
+    timings = run_headline(SF_DIR)
+    total = round(sum(timings.values()), 3)
+
+    result = {
+        "metric": "headline query wall time at sf=%s (extract %.1f MB/s @ "
+        "local[%d], N->4N scaling efficiency %.2f)"
+        % (sf, m_big["mb_per_sec"], CPUS, efficiency),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extract": {
+            "n_docs": n_docs,
+            "local_n": {
+                "cores": small_cores,
+                "wall_sec": round(m_small["wall_sec"], 2),
+                "docs_per_sec": round(m_small["docs_per_sec"], 1),
+                "mb_per_sec": round(m_small["mb_per_sec"], 2),
+            },
+            "local_4n": {
+                "cores": CPUS,
+                "wall_sec": round(m_big["wall_sec"], 2),
+                "docs_per_sec": round(m_big["docs_per_sec"], 1),
+                "mb_per_sec": round(m_big["mb_per_sec"], 2),
+            },
+            "scaling_efficiency": round(efficiency, 3),
+        },
+    }
+    _write_bench_md(result)
+    print(json.dumps(result))
+
+
+def _write_bench_md(result: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    ex = result["extract"]
+    lines = [
+        "# BENCH — measured numbers (latest run)",
+        "",
+        "Scaling proxy per BASELINE.md: identical extract job, identical",
+        "on-disk input, two parallelism levels.",
+        "",
+        "| config | wall (s) | docs/s | MB/s |",
+        "| --- | --- | --- | --- |",
+        "| local[%d] (N) | %s | %s | %s |"
+        % (ex["local_n"]["cores"], ex["local_n"]["wall_sec"],
+           ex["local_n"]["docs_per_sec"], ex["local_n"]["mb_per_sec"]),
+        "| local[%d] (4N) | %s | %s | %s |"
+        % (ex["local_4n"]["cores"], ex["local_4n"]["wall_sec"],
+           ex["local_4n"]["docs_per_sec"], ex["local_4n"]["mb_per_sec"]),
+        "",
+        "**Scaling efficiency (N -> 4N): %.3f** (target >= 0.8)"
+        % ex["scaling_efficiency"],
+        "",
+        "Corpus: %d synthetic pathological pages (seeded, log-spread sizes)."
+        % ex["n_docs"],
+        "",
+        "## Headline queries at sf=%s (local[%d])" % (result["sf"], CPUS),
+        "",
+        "| query | sec |",
+        "| --- | --- |",
+    ]
+    for k, v in result["queries"].items():
+        lines.append("| %s | %s |" % (k, v))
+    lines.append("")
+    lines.append("Total: %s s" % result["value"])
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

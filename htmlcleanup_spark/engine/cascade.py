@@ -74,13 +74,13 @@ _TEXT_ONLY_RXS = (
 _BR_MATCH = RX_SPACEHTML_ONLY.search("<br />")  # constant truthy match object
 
 
+# Any char py2 repr would escape as \x/\u: outside printable ASCII + \t\n\r.
+_RX_REPR_ESCAPED = re.compile(r"[^\t\n\r -~]")
+
+
 def _has_non_ascii(s: str) -> bool:
     """True if py2 repr(s) would contain a \\u or \\x escape."""
-    for ch in s:
-        o = ord(ch)
-        if o > 126 or (o < 32 and ch not in "\t\n\r"):
-            return True
-    return False
+    return _RX_REPR_ESCAPED.search(s) is not None
 
 
 def get_tag_name(element) -> str:
@@ -172,15 +172,58 @@ class CascadeEngine:
             return [c for c in tag.contents if isinstance(c, Tag)]
         return tag.contents
 
+    # Short-circuit twins of get_contents for the hot emptiness / single-child
+    # checks in mangle_tag & co — same semantics, O(1)-ish instead of
+    # scanning a wide tag's whole child list (the profile showed this as the
+    # dominant quadratic term on bodies with thousands of direct children).
+
+    @staticmethod
+    def _has_nonws_string(tag) -> bool:
+        """Truthiness of get_contents(tag, 'nonwhitespace_string')."""
+        for c in tag.contents:
+            if isinstance(c, Text) and RX_NBSPACE_ONLY.match(c.value) is None:
+                return True
+        return False
+
+    @staticmethod
+    def _child_tags_capped(tag, cap: int = 2) -> list:
+        """Child tags, stopping after `cap` — enough for len()==1 checks."""
+        out = []
+        for c in tag.contents:
+            if isinstance(c, Tag):
+                out.append(c)
+                if len(out) >= cap:
+                    break
+        return out
+
     def move_contents_inside(self, from_tag, to_tag, insert_at_index=0,
                              starting_from_index=0):
         """Splice (the tail of) one tag's children into another
-        (soupcleanup.py:814-853)."""
-        r = from_tag.contents
-        i = insert_at_index
-        while len(r) > starting_from_index:
-            to_tag.insert(i, r[starting_from_index])
-            i += 1
+        (soupcleanup.py:814-853).
+
+        End state identical to inserting one-by-one like the reference, but
+        done as a single list splice + pointer rewire (O(k + n) not O(k*n)).
+        """
+        moving = from_tag.contents[starting_from_index:]
+        if not moving:
+            return
+        del from_tag.contents[starting_from_index:]
+        if starting_from_index > 0:
+            from_tag.contents[starting_from_index - 1].next_sibling = None
+        to = to_tag.contents
+        prev = to[insert_at_index - 1] if insert_at_index > 0 else None
+        nxt = to[insert_at_index] if insert_at_index < len(to) else None
+        to[insert_at_index:insert_at_index] = moving
+        for k, n in enumerate(moving, insert_at_index):
+            n.parent = to_tag
+            n._idx_hint = k
+        # moved nodes were contiguous siblings: their inner chain is intact
+        moving[0].previous_sibling = prev
+        moving[-1].next_sibling = nxt
+        if prev is not None:
+            prev.next_sibling = moving[0]
+        if nxt is not None:
+            nxt.previous_sibling = moving[-1]
 
     def move_contents_before(self, from_tag, before_element):
         """Move children out of a tag to just before an element
@@ -280,7 +323,7 @@ class CascadeEngine:
 
         seen_alignments = {}
         last_seen = None
-        if self.get_contents(parent_tag, "nonwhitespace_string"):
+        if self._has_nonws_string(parent_tag):
             # Non-whitespace text inherits the parent alignment: pin it.
             seen_alignments["inherit"] = True
 
@@ -340,6 +383,8 @@ class CascadeEngine:
     # ------------------------------------------------------------------
 
     def mangle_attributes(self, tag) -> bool:
+        if not tag.attrs:
+            return False
         changed = False
         tag_name = get_tag_name(tag)
         attr_names = [pair[0] for pair in tag.attrs]
@@ -449,10 +494,9 @@ class CascadeEngine:
         # Candidate destination: single child tag with no non-ws text
         # siblings (preferred: most specific), else the parent when the tag
         # is its only child (soupcleanup.py:594-635).
-        r1 = self.get_contents(tag, "nonwhitespace_string")
         parent_tag = tag.parent
-        if not r1:
-            r1 = self.get_contents(tag, "tags")
+        if not self._has_nonws_string(tag):
+            r1 = self._child_tags_capped(tag)
             if len(r1) == 1 and get_tag_name(r1[0]) in _DEST_TAG_NAMES:
                 # id-collision veto (soupcleanup.py:613-615)
                 if not ((tag_name == "a" or tag.get("id")) and r1[0].get("id")):
@@ -460,12 +504,12 @@ class CascadeEngine:
                     dest_is_child = True
         if dest is None:
             if get_tag_name(parent_tag) in _DEST_TAG_NAMES:
-                r1 = self.get_contents(parent_tag, "tags")
+                r1 = self._child_tags_capped(parent_tag)
                 if len(r1) == 1:
-                    r1 = []
+                    has_text = False
                     if tag_name != "a":
-                        r1 = self.get_contents(parent_tag, "nonwhitespace_string")
-                    if not r1:
+                        has_text = self._has_nonws_string(parent_tag)
+                    if not has_text:
                         if not ((tag_name == "a" or tag.get("id"))
                                 and parent_tag.get("id")):
                             dest = parent_tag
@@ -1004,9 +1048,12 @@ class CascadeEngine:
             self._bump("d2_comment")
 
         # D3: b->strong, i->em; attributes intentionally dropped
-        # (cleanup_msfp.py:109-118).
+        # (cleanup_msfp.py:109-118).  One traversal, two buckets: renaming
+        # b's neither creates nor removes i's (and vice versa), so the
+        # per-name snapshots are identical to the reference's.
+        d3 = doc.find_all_multi(("b", "i"))
         for old_name, new_name in (("b", "strong"), ("i", "em")):
-            for tag in doc.find_all(old_name):
+            for tag in d3[old_name]:
                 e = Tag(new_name)
                 tag.parent.insert(tag.index_in_parent(), e)
                 self.move_contents_inside(tag, e)
@@ -1035,9 +1082,7 @@ class CascadeEngine:
             r1 = tag.find_all("strong", recursive=False)
             if r1:
                 r2 = tag.find_all(recursive=False)
-                if len(r1) == len(r2) and not self.get_contents(
-                    tag, "nonwhitespace_string"
-                ):
+                if len(r1) == len(r2) and not self._has_nonws_string(tag):
                     for element in r1:
                         self.move_contents_before(element, element)
                         element.extract()
@@ -1047,30 +1092,47 @@ class CascadeEngine:
                     self._bump("i1_a_strong")
 
         # I2: hoist whitespace out of inline tags; remove empty ones
-        # except <a> (cleanup_msfp.py:193-195).
+        # except <a> (cleanup_msfp.py:193-195).  Single bucketed traversal:
+        # hoisting never creates nor extracts tags of the *other* inline
+        # names (only whole-<br> moves and the processed tag's own removal),
+        # so each name's snapshot equals a fresh findAll.
+        i2 = doc.find_all_multi(self.inline_tag_names)
         for tag_name in self.inline_tag_names:
-            for tag in doc.find_all(tag_name):
+            for tag in i2[tag_name]:
                 if self.move_whitespace_to_parent(tag, tag_name != "a"):
                     self._bump("i2_ws_hoist")
 
         # I3: wrapper elimination, font first, p last (cleanup_msfp.py:212-214).
-        for tag_name in ("font", "div", "span", "a", "p"):
-            for tag in doc.find_all(tag_name):
+        # <font> keeps its own traversal because mangling it can CREATE a
+        # <span> (soupcleanup.py:638-648) that the span pass must then see;
+        # div/span/a/p never create tags of each other's names.
+        for tag in doc.find_all("font"):
+            if self.mangle_tag(tag):
+                self._bump("i3_mangle_tag")
+        i3 = doc.find_all_multi(("div", "span", "a", "p"))
+        for tag_name in ("div", "span", "a", "p"):
+            for tag in i3[tag_name]:
+                if tag.parent is None:
+                    continue  # extracted by an earlier unwrap in this group
                 if self.mangle_tag(tag):
                     self._bump("i3_mangle_tag")
 
         # I4: attribute normalization (cleanup_msfp.py:219-221).
+        i4 = doc.find_all_multi(("p", "h2", "h3", "h4"))
         for tag_name in ("p", "h2", "h3", "h4"):
-            for t in doc.find_all(tag_name):
+            for t in i4[tag_name]:
                 if self.mangle_attributes(t):
                     self._bump("i4_mangle_attrs")
 
         # W1: dedupe whitespace in direct string children
-        # (cleanup_msfp.py:235-245).
-        for tag_name in self.inline_tag_names + (
+        # (cleanup_msfp.py:235-245).  Dedupe only rewrites/merges strings —
+        # tag snapshots are unaffected, so one traversal serves all names.
+        w1_names = self.inline_tag_names + (
             "p", "h2", "h3", "h4", "li", "blockquote",
-        ):
-            for tag in doc.find_all(tag_name):
+        )
+        w1 = doc.find_all_multi(w1_names)
+        for tag_name in w1_names:
+            for tag in w1[tag_name]:
                 r = tag.contents
                 i = 0
                 while i < len(r):
@@ -1081,8 +1143,11 @@ class CascadeEngine:
 
         # W4: strip whitespace at non-inline boundaries
         # (cleanup_msfp.py:252-256); <li> strips newlines entirely.
-        for tag_name in ("p", "h2", "h3", "h4", "li", "blockquote", "div"):
-            for tag in doc.find_all(tag_name):
+        # Strips only remove strings/brs — tag snapshots unaffected.
+        w4_names = ("p", "h2", "h3", "h4", "li", "blockquote", "div")
+        w4 = doc.find_all_multi(w4_names)
+        for tag_name in w4_names:
+            for tag in w4[tag_name]:
                 self.strip_non_inline_whitespace(
                     tag, True if tag_name == "li" else None
                 )

@@ -52,46 +52,58 @@ _RX_ATTR = re.compile(
 
 
 class Node:
-    """Base node: parent pointer + sibling navigation by identity scan."""
+    """Base node: parent pointer + O(1) doubly-linked sibling pointers.
 
-    __slots__ = ("parent",)
+    Sibling pointers are maintained by Tag.insert / Node.extract so the
+    cascade's heavy sibling walks don't pay an O(children) index scan per
+    step (they did in the first version; profiling on wide bodies showed it).
+    """
+
+    __slots__ = ("parent", "previous_sibling", "next_sibling", "_idx_hint")
 
     def __init__(self):
         self.parent = None
+        self.previous_sibling = None
+        self.next_sibling = None
+        self._idx_hint = 0
 
     # -- tree navigation ---------------------------------------------------
     def index_in_parent(self) -> int:
-        """Index of this node in parent.contents (identity scan).
+        """Index of this node in parent.contents (identity match).
 
-        Mirrors the reference's identity-based index lookup
-        (soupcleanup.py:192-208).
+        Same identity semantics as the reference's scan
+        (soupcleanup.py:192-208), accelerated by a self-repairing index hint:
+        exact hits are O(1); after sibling inserts/removals the position has
+        only drifted, so an outward scan from the hint finds it in O(drift).
         """
-        contents = self.parent.contents
-        for i, node in enumerate(contents):
-            if node is self:
-                return i
-        raise ValueError("node not found in its own parent")
-
-    @property
-    def previous_sibling(self):
-        if self.parent is None:
-            return None
-        i = self.index_in_parent()
-        return self.parent.contents[i - 1] if i > 0 else None
-
-    @property
-    def next_sibling(self):
-        if self.parent is None:
-            return None
-        i = self.index_in_parent()
         c = self.parent.contents
-        return c[i + 1] if i + 1 < len(c) else None
+        n = len(c)
+        h = self._idx_hint
+        if 0 <= h < n and c[h] is self:
+            return h
+        lo, hi = min(h - 1, n - 1), max(h + 1, 0)
+        while lo >= 0 or hi < n:
+            if lo >= 0 and c[lo] is self:
+                self._idx_hint = lo
+                return lo
+            if hi < n and c[hi] is self:
+                self._idx_hint = hi
+                return hi
+            lo -= 1
+            hi += 1
+        raise ValueError("node not found in its own parent")
 
     def extract(self):
         """Detach this node from its parent (keeps subtree intact)."""
         if self.parent is not None:
             self.parent.contents.remove(self)
             self.parent = None
+            if self.previous_sibling is not None:
+                self.previous_sibling.next_sibling = self.next_sibling
+            if self.next_sibling is not None:
+                self.next_sibling.previous_sibling = self.previous_sibling
+            self.previous_sibling = None
+            self.next_sibling = None
         return self
 
 
@@ -194,8 +206,22 @@ class Tag(Node):
         """Insert node at index; implicitly detaches it from any old parent."""
         if node.parent is not None:
             node.extract()
-        self.contents.insert(index, node)
+        c = self.contents
+        if index < 0:
+            index = max(len(c) + index, 0)
+        elif index > len(c):
+            index = len(c)
+        prev = c[index - 1] if index > 0 else None
+        nxt = c[index] if index < len(c) else None
+        c.insert(index, node)
         node.parent = self
+        node._idx_hint = index
+        node.previous_sibling = prev
+        node.next_sibling = nxt
+        if prev is not None:
+            prev.next_sibling = node
+        if nxt is not None:
+            nxt.previous_sibling = node
 
     def append(self, node: Node):
         self.insert(len(self.contents), node)
@@ -209,6 +235,22 @@ class Tag(Node):
         - recursive: False = direct children only
         """
         out = []
+        if not recursive and text_pred is None and attrs is None:
+            return [
+                c for c in self.contents
+                if isinstance(c, Tag) and (name is None or c.name == name)
+            ]
+        if recursive and text_pred is None and attrs is None:
+            # hot path: iterative preorder, name-only match
+            stack = list(reversed(self.contents))
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Tag):
+                    if name is None or node.name == name:
+                        out.append(node)
+                    if node.contents:
+                        stack.extend(reversed(node.contents))
+            return out
 
         def match_tag(node):
             if not isinstance(node, Tag):
@@ -222,7 +264,9 @@ class Tag(Node):
             return True
 
         def walk(parent):
-            for child in list(parent.contents):
+            # No defensive copy: the walk finishes before callers mutate;
+            # the returned list is the snapshot.
+            for child in parent.contents:
                 if text_pred is not None:
                     if isinstance(child, Text) and text_pred(child.value):
                         out.append(child)
@@ -233,6 +277,25 @@ class Tag(Node):
 
         walk(self)
         return out
+
+    def find_all_multi(self, names) -> dict:
+        """One preorder traversal bucketing tags by name: {name: [tags]}.
+
+        Equivalent to one find_all per name ONLY when processing tags of one
+        name neither creates nor extracts tags of another name in the set —
+        the cascade groups passes under that invariant (see run()).
+        """
+        buckets = {n: [] for n in names}
+        stack = list(reversed(self.contents))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Tag):
+                b = buckets.get(node.name)
+                if b is not None:
+                    b.append(node)
+                if node.contents:
+                    stack.extend(reversed(node.contents))
+        return buckets
 
     def find(self, name=None, **kw):
         r = self.find_all(name, **kw)

@@ -93,6 +93,9 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         .groupBy(id_col, "band")
         .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
     )
+    # Persist: both sides of the self-join read this; without it Spark
+    # recomputes the whole shingle->minhash lineage twice.
+    banded = banded.persist()
     a = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
     )
