@@ -55,7 +55,12 @@ def _t(sf_dir: str, name: str) -> str:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(_t(sf_dir, "documents"))
+    # The sandbox table is a single parquet file -> a single scan task, which
+    # serializes every explode/agg pipelined into the scan stage.  At corpus
+    # scale parallelism comes from file splits; here we repartition once
+    # (projections/filters still push through the exchange).
+    n = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(_t(sf_dir, "documents")).repartition(n)
 
 
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,9 +17,34 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _cosine_np_udf():
+    """Arrow-vectorized cosine (numpy) — the hot path.
+
+    zip_with/aggregate lambdas are interpreted per element in Spark (no
+    codegen for higher-order functions), so for wide vectors a pandas_udf
+    doing one batched einsum beats the 'built-in' route by ~10-50x.
+    float64 math matches a SQL oracle's double arithmetic to ~1 ulp; results
+    are rounded downstream.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(q: pd.Series, v: pd.Series) -> pd.Series:
+        qa = np.stack(q.to_numpy()).astype(np.float64)
+        va = np.stack(v.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", qa, va)
+        den = np.linalg.norm(qa, axis=1) * np.linalg.norm(va, axis=1)
+        return pd.Series(num / den)
+
+    return cos
 
 
 def _cosine(a, b):
@@ -54,10 +79,11 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
         )
     )
+    cos = _cosine_np_udf()
     scored = joined.filter(F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(_cosine(F.col("query_vec"), F.col("_v")), round_to).alias("cosine"),
+        F.round(cos(F.col("query_vec"), F.col("_v")), round_to).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -128,13 +154,14 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         *[F.col("q_bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
     )
     q = q.withColumn("bucket", F.explode(probes))
+    cos = _cosine_np_udf()
     scored = (
         q.join(corp, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(F.col("query_vec"), F.col("_v")), round_to)
+            F.round(cos(F.col("query_vec"), F.col("_v")), round_to)
             .alias("cosine"),
         )
         .distinct()
@@ -165,12 +192,13 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     b = withb.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
     )
+    cos = _cosine_np_udf()
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.round(_cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
+            F.round(cos(F.col("va"), F.col("vb")), 4).alias("cosine"),
         )
         .distinct()
         .filter(F.col("cosine") >= threshold)

@@ -39,16 +39,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc: (id, shingle)."""
-    words = F.split(F.col(text_col), " ")
+    """Distinct k-word shingles per doc: (id, shingle).
+
+    The word array is materialized as a column first: higher-order lambdas
+    are interpreted (no codegen, no common-subexpression elimination), so
+    referencing ``split(text)`` inside the lambda would re-split the whole
+    text per element — O(len^2) per document.  Docs with < k words yield no
+    shingles (matches generate_series semantics in the SQL oracle).
+    """
+    ws = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_ws")
+    ).filter(F.size("_ws") >= k)
     sh = F.transform(
-        F.sequence(F.lit(0), F.size(words) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)]),
+        F.sequence(F.lit(0), F.size("_ws") - k),
+        lambda i: F.concat_ws(" ", F.slice("_ws", i + 1, k)),
     )
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return ws.select(F.col(id_col), F.explode(sh).alias("shingle")).distinct()
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",

@@ -60,6 +60,33 @@ def size_bucket_salt(pages: DataFrame, salts: int = 64) -> DataFrame:
     ).withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(salts)))
 
 
+# docs >= 2^17 bytes (128 KB) go to the dedicated big-doc partition class
+_BIG_BUCKET = 17
+
+
+def partition_for_cascade(pages: DataFrame, num_partitions: int) -> DataFrame:
+    """Byte-balanced, straggler-resistant partitioning for the cascade.
+
+    Hashing (size_bucket, salt) leaves a balls-into-bins tail: a partition
+    unlucky enough to receive two heavy cells runs 2-3x the median and caps
+    scaling efficiency.  Instead, split the corpus into a big-doc class
+    (>=128 KB, ~1% of docs, ~30% of bytes) and a small class; round-robin
+    each class independently (count-balance == byte-balance within a class
+    because sizes are within ~4x), and put the BIG partitions first in the
+    union so the scheduler starts the longest work first (LPT heuristic).
+    At 10^12 docs the same plan holds: both repartitions are one shuffle,
+    and AQE skew handling stays on as the backstop.
+    """
+    # Same partition count for the big class: its per-partition byte total
+    # (and task time) then lands near the small class's median instead of
+    # forming a 5-10x tail (measured via /api/v1 task quantiles).
+    big_parts = max(num_partitions // 2, 2)
+    sized = pages.withColumn("_big", F.octet_length("html") >= (1 << _BIG_BUCKET))
+    big = sized.filter(F.col("_big")).drop("_big").repartition(big_parts)
+    small = sized.filter(~F.col("_big")).drop("_big").repartition(num_partitions)
+    return big.unionByName(small)
+
+
 def run_extract(
     spark: SparkSession,
     source: str | DataFrame,
@@ -67,7 +94,6 @@ def run_extract(
     output_table: str | None = None,
     rules: RuleConfig = DEFAULT_RULES,
     num_partitions: int | None = None,
-    salts: int = 64,
     resume: bool = True,
     lang_filter: str | None = None,
 ) -> dict:
@@ -91,12 +117,15 @@ def run_extract(
             df = df.join(F.broadcast(done), "url", "left_anti")
 
     df = dedup_latest_by_url(df)
-    df = size_bucket_salt(df, salts)
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 4
-    df = df.repartition(num_partitions, "size_bucket", "salt").drop(
-        "size_bucket", "salt"
-    )
+    df = partition_for_cascade(df, num_partitions)
+
+    # Cap rows per JVM->Python Arrow batch: the default 10000 rows of
+    # ~0.5 MB pages would put gigabytes in flight per task.  The UDF also
+    # re-chunks by bytes internally (functions/udf.py), but that can only
+    # split batches it has already received.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
 
     rules_bc = spark.sparkContext.broadcast(rules)
     result = df.mapInArrow(make_cascade_fn(rules_bc), RESULT_DDL)
@@ -172,6 +201,28 @@ def _merge_into_iceberg(spark: SparkSession, result: DataFrame,
     )
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Ship htmlcleanup_spark to the python workers (what --py-files does on
+    a cluster); needed when the job is launched as a bare script so the
+    cascade UDF unpickles on executors."""
+    import tempfile
+    import zipfile
+
+    import htmlcleanup_spark
+
+    pkg_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(htmlcleanup_spark.__file__)))
+    zpath = os.path.join(tempfile.mkdtemp(prefix="hc_spark_"), "engine.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg_dir = os.path.join(pkg_root, "htmlcleanup_spark")
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, pkg_root))
+    spark.sparkContext.addPyFile(zpath)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="HtmlCleanup-semantics extraction over a pages table "
@@ -191,6 +242,7 @@ def main(argv=None):
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
+    _ship_package(spark)
     metrics = run_extract(
         spark,
         args.source,

@@ -1,0 +1,94 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, no extra
+shuffles.  These lock in the plans we want at 100 TB, not just plans that
+happen to pass on 60k rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_exchanges(plan: str) -> int:
+    """Count Exchange *nodes* (the formatted dump names each node twice:
+    once in the tree, once in the details section)."""
+    import re as _re
+
+    return len(_re.findall(r"\n\(\d+\) Exchange", plan))
+
+
+def test_extract_scan_prunes_columns(spark, tmp_path):
+    """The UDF stage must read only (url, warc_ts, html, lang) — never the
+    full pages schema (text would double the scan)."""
+    from htmlcleanup_spark.sources.pages import synth_pages
+
+    src = str(tmp_path / "pages")
+    synth_pages(spark, 20, num_partitions=1).write.parquet(src)
+    pages = spark.read.parquet(src)
+    pruned = pages.select("url", "warc_ts", "html", "lang")
+    plan = plan_of(pruned)
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
+
+
+def test_lang_filter_pushed_down(spark, tmp_path):
+    from htmlcleanup_spark.sources.pages import synth_pages
+
+    src = str(tmp_path / "pages")
+    synth_pages(spark, 20, num_partitions=1).write.parquet(src)
+    df = spark.read.parquet(src).filter(F.col("lang") == "en")
+    plan = plan_of(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "lang" in pushed[0]
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_tpch_q1(spark, SF))
+    # one shuffle for the groupBy, partial aggregation before it
+    assert n_exchanges(plan) <= 2
+    plan2 = plan_of(e.q_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan2  # nation (25 rows) must broadcast
+
+
+def test_dedup_window_single_shuffle(spark, tmp_path):
+    from htmlcleanup_spark.plans.extract import dedup_latest_by_url
+    from htmlcleanup_spark.sources.pages import synth_pages
+
+    src = str(tmp_path / "pages")
+    synth_pages(spark, 20, num_partitions=1).write.parquet(src)
+    plan = plan_of(dedup_latest_by_url(spark.read.parquet(src)))
+    # exactly one hash exchange on url for the window
+    assert n_exchanges(plan) == 1
+
+
+def test_cascade_stage_has_no_postshuffle(spark, tmp_path):
+    """After the skew repartition, the cascade map + write must pipeline —
+    no further exchange."""
+    from htmlcleanup_spark.functions.udf import RESULT_DDL, make_cascade_fn
+    from htmlcleanup_spark.plans.extract import size_bucket_salt
+    from htmlcleanup_spark.sources.pages import synth_pages
+
+    src = str(tmp_path / "pages")
+    synth_pages(spark, 20, num_partitions=1).write.parquet(src)
+    df = (
+        size_bucket_salt(spark.read.parquet(src))
+        .repartition(4, "size_bucket", "salt")
+        .drop("size_bucket", "salt")
+        .mapInArrow(make_cascade_fn(), RESULT_DDL)
+    )
+    plan = plan_of(df)
+    assert n_exchanges(plan) == 1  # only the explicit repartition
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan

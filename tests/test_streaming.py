@@ -26,8 +26,9 @@ def test_stream_drains_backlog_and_resumes(spark, tmp_path):
     assert got.filter("error is not null").count() == 0
 
     # new files arrive; restart from checkpoint processes only the delta
+    # (urls 30..49 — disjoint from the first batch)
     synth_pages(spark, 50, num_partitions=2, dup_every=0).filter(
-        "url like '%/p/3%' or url like '%/p/4%'"
+        "cast(element_at(split(url, '/'), -1) as int) >= 30"
     ).write.mode("append").parquet(src)
     q2 = run_extract_stream(spark, src, out, ckpt)
     q2.awaitTermination(120)
