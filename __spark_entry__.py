@@ -140,7 +140,9 @@ def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
+    # max_hamming=3 keeps the 4-chunk pigeonhole blocking exact, so the
+    # DuckDB cross-join oracle must agree pair-for-pair.
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_events_latest_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +266,18 @@ def q_extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "text", "error", "bytes_in", "bytes_out")
 
 
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from htmlcleanup_spark.functions.text import rolling_fingerprints
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("_ws")
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(rolling_fingerprints("_ws", window=5)).alias("pos", "fp"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
@@ -292,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "events_hourly": q_events_hourly,
         "extract_synth": q_extract_synth,
+        "doc_fingerprints": q_doc_fingerprints,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -311,6 +326,40 @@ hx AS (SELECT doc_id, j.hash_id, md5(CAST(j.hash_id AS VARCHAR) || ':' || shingl
        FROM sh, (SELECT unnest(generate_series(0, 7)) AS hash_id) j),
 sig AS (SELECT doc_id, hash_id, min(h) AS minhash FROM hx GROUP BY doc_id, hash_id)
 """
+
+def _simhash_cte() -> str:
+    """DuckDB twin of operators.dedup.simhash64(portable=True): bit b of the
+    signature = sign of the per-doc vote where word bit b = bit b%4 of md5
+    nibble b//4; packed into a signed BIGINT (bit 63 via the negative
+    two's-complement constant — DuckDB has no wrapping shiftleft)."""
+    nibbles = ", ".join(
+        "strpos('0123456789abcdef', substr(h, %d, 1)) - 1 AS n%d" % (i + 1, i)
+        for i in range(16)
+    )
+    sums = ", ".join(
+        "sum(CASE WHEN ((n%d >> %d) & 1) = 1 THEN 1 ELSE -1 END) AS b%d"
+        % (b // 4, b % 4, b)
+        for b in range(64)
+    )
+    pack = " + ".join(
+        ["CASE WHEN b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) "
+         "ELSE 0 END"]
+        + [
+            "CASE WHEN b%d > 0 THEN CAST(%d AS BIGINT) ELSE 0 END"
+            % (b, 1 << b)
+            for b in range(62, -1, -1)
+        ]
+    )
+    return (
+        "WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+        " FROM documents),\n"
+        "hx AS (SELECT doc_id, md5(w) AS h FROM wd),\n"
+        "nb AS (SELECT doc_id, %s FROM hx),\n"
+        "bs AS (SELECT doc_id, %s FROM nb GROUP BY doc_id),\n"
+        "sig AS (SELECT doc_id, CAST(%s AS BIGINT) AS simhash FROM bs)\n"
+        % (nibbles, sums, pack)
+    )
+
 
 _QUALITY_SQL = (
     "CAST(floor((least(n_tokens / 100.0, 1.0) * 0.5 "
@@ -482,7 +531,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_bytes, md5(text) AS digest
             FROM documents
         """,
-        # rows-only (no portable SQL twin):
-        #   simhash64, simhash_near_pairs (conv base-16), ann_lsh_topk,
+        "doc_fingerprints": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            idx AS (SELECT doc_id, ws,
+                           unnest(generate_series(0, greatest(len(ws)-5, 0)))
+                             AS i
+                    FROM w)
+            SELECT doc_id, CAST(i AS INT) AS pos,
+                   md5(array_to_string(list_slice(ws, i+1, i+5), ' ')) AS fp
+            FROM idx
+        """,
+        "simhash64": _simhash_cte() + "SELECT doc_id, simhash FROM sig",
+        "simhash_near_pairs": _simhash_cte() + """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                     AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # rows-only (no portable SQL twin): ann_lsh_topk,
         #   embedding_near_dups (hyperplane closure), extract_synth
     }

@@ -78,13 +78,19 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(F.col(text_col))
 
 
-def rolling_fingerprints(text_col: str = "text", window: int = 5) -> Column:
+def rolling_fingerprints(words_col: Column | str = "_ws",
+                         window: int = 5) -> Column:
     """Winnowing-style fingerprints: md5 of each ``window``-token span.
 
-    Returns array<string>; pair with explode + min-per-band for plagiarism /
-    containment detection at corpus scale.
+    Takes a *materialized* words-array column (``split(text, ' ')`` selected
+    first) — referencing the split expression inside the transform lambda
+    would re-split the whole text per element, O(len^2) per document,
+    because higher-order-function lambdas are interpreted with no CSE.
+
+    Returns array<string>; pair with posexplode + min-per-band for
+    plagiarism / containment detection at corpus scale.
     """
-    w = tokens(text_col)
+    w = F.col(words_col) if isinstance(words_col, str) else words_col
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(w) - window, F.lit(0))),
         lambda i: F.md5(

@@ -158,23 +158,47 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document from word-level md5s.
+              id_col: str = "doc_id", portable: bool = True) -> DataFrame:
+    """64-bit SimHash per document from word-level hashes.
 
     Bit b of the signature is the sign of sum over words of
-    (+1 if bit b of the word digest else -1).  Pure column expressions
-    (xxhash64 + bit ops), JVM-side; no SQL oracle (xxhash64 has no portable
-    DuckDB twin) — the driver records a rows-only check for this one.
+    (+1 if bit b of the word digest else -1).  Pure column expressions,
+    JVM-side.  Two hash families:
+
+    - ``portable=True`` (default): bits come from the first 16 nibbles of
+      md5(word) — bit b = nibble b//4, bit-in-nibble b%4 — which any SQL
+      engine reproduces exactly (the DuckDB oracle does).
+    - ``portable=False``: xxhash64(word), one hash call instead of md5 +
+      16 nibble decodes; use for the 100 TB path where the exact hash
+      family doesn't matter, only its uniformity.
     """
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    wh = words.withColumn("h", F.xxhash64("w"))
+    if portable:
+        # nibble value of md5 hex char i (0-based): 0..15
+        wh = words.select(
+            id_col,
+            *[
+                (F.expr(
+                    "instr('0123456789abcdef', substring(md5(w), %d, 1))"
+                    % (i + 1)
+                ) - 1).alias("n%d" % i)
+                for i in range(16)
+            ],
+        )
+        bit = lambda b: (  # noqa: E731
+            F.shiftright(F.col("n%d" % (b // 4)), b % 4).bitwiseAND(F.lit(1))
+        )
+    else:
+        wh = words.withColumn("h", F.xxhash64("w"))
+        bit = lambda b: (  # noqa: E731
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+        )
     bit_sums = wh.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                       F.lit(1)).otherwise(F.lit(-1))
+                F.when(bit(b) == 1, F.lit(1)).otherwise(F.lit(-1))
             ).alias("b%d" % b)
             for b in range(64)
         ]
@@ -193,13 +217,21 @@ def simhash64(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       portable: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks.
 
-    Two signatures within Hamming distance 3 of each other agree exactly on
-    at least one of 4 16-bit chunks (pigeonhole) — the join key.
+    EXACT for ``max_hamming <= 3``: two signatures within Hamming distance 3
+    agree on at least one of the 4 16-bit chunks (pigeonhole) — the join key
+    — so the blocked join finds every qualifying pair without the O(n^2)
+    cross product.  Above 3 the blocking becomes a recall<1 approximation;
+    raise the chunk count instead if exactness is needed.
     """
-    sig = simhash64(df, text_col, id_col)
+    if max_hamming > 3:
+        raise ValueError(
+            "4-chunk pigeonhole blocking is only exact for max_hamming <= 3"
+        )
+    sig = simhash64(df, text_col, id_col, portable=portable)
     chunks = sig.select(
         id_col,
         "simhash",
