@@ -126,9 +126,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(
-        dedup.minhash_signatures(_docs(spark, sf_dir))
-    )
+    # fused docs->pairs plan: two shuffles total (minhash_wide groupBy +
+    # the band-bucket self-join); same semantics as
+    # lsh_candidate_pairs(minhash_signatures(df)) and the same oracle.
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

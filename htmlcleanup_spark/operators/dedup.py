@@ -50,39 +50,59 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ws = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_ws")
     ).filter(F.size("_ws") >= k)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size("_ws") - k),
-        lambda i: F.concat_ws(" ", F.slice("_ws", i + 1, k)),
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_ws") - k),
+            lambda i: F.concat_ws(" ", F.slice("_ws", i + 1, k)),
+        )
     )
-    return ws.select(F.col(id_col), F.explode(sh).alias("shingle")).distinct()
+    # per-doc distinct == distinct of (id, shingle): array_distinct does it
+    # map-side, so the explode carries no shuffle at all (a .distinct() here
+    # would shuffle the largest intermediate of the whole pipeline).
+    return ws.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def minhash_wide(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3,
+                 num_hashes: int = 8) -> DataFrame:
+    """Wide MinHash signatures: (id, m0..m{num_hashes-1}) in ONE shuffle.
+
+    hash family j: md5(j || ':' || shingle); the per-doc minimum of a hex
+    digest is a uniform random-permutation proxy, reproducible in any SQL
+    engine.  All num_hashes mins aggregate in a single groupBy(id) — the
+    md5s are computed map-side, partial min combines before the exchange,
+    and the shuffle carries one row per doc (vs one per (doc, hash_id) for
+    an explode-then-group plan).
+    """
+    sh = shingles(df, text_col, id_col, k)
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))
+            ).alias("m%d" % j)
+            for j in range(num_hashes)
+        ]
+    )
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        num_hashes: int = 8) -> DataFrame:
-    """MinHash signature rows: (id, hash_id, minhash).
-
-    hash family j: md5(j || ':' || shingle); the per-doc minimum of a hex
-    digest is a uniform random-permutation proxy, reproducible in any SQL
-    engine.
-    """
-    sh = shingles(df, text_col, id_col, k)
-    hashed = sh.select(
+    """MinHash signature rows (id, hash_id, minhash): shuffle-free explode
+    of :func:`minhash_wide`."""
+    wide = minhash_wide(df, text_col, id_col, k, num_hashes)
+    return wide.select(
         F.col(id_col),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(j).alias("hash_id"),
-                    F.md5(F.concat_ws(":", F.lit(str(j)), F.col("shingle"))).alias("h"),
+                    F.col("m%d" % j).alias("minhash"),
                 )
                 for j in range(num_hashes)
             ])
         ).alias("jh"),
-    ).select(id_col, "jh.hash_id", "jh.h")
-    return (
-        hashed.groupBy(id_col, "hash_id")
-        .agg(F.min("h").alias("minhash"))
-    )
+    ).select(id_col, "jh.hash_id", "jh.minhash")
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
@@ -108,6 +128,51 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     b = banded.select(
         F.col(id_col).alias("id_b"), "band", "band_key"
     )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Fused MinHash+LSH candidate pairs straight from documents.
+
+    Same result as ``lsh_candidate_pairs(minhash_signatures(df))`` but band
+    keys are computed map-side from the wide signature (sorted rows within
+    each band, matching the oracle's ORDER BY minhash), so the whole
+    docs -> candidate-pairs pipeline shuffles exactly twice at any scale:
+    the one groupBy(id) in minhash_wide and the band-bucket self-join
+    (vs four for the unfused rows-format plan).
+    """
+    wide = minhash_wide(df, text_col, id_col, k,
+                        num_hashes=bands * rows_per_band)
+    banded = wide.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.array_sort(F.array(*[
+                                F.col("m%d" % (b * rows_per_band + r))
+                                for r in range(rows_per_band)
+                            ])),
+                        )
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_key")
+    banded = banded.persist()
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -74,6 +74,26 @@ def test_dedup_window_single_shuffle(spark, tmp_path):
     assert n_exchanges(plan) == 1
 
 
+def test_shingles_explode_carries_no_shuffle(spark):
+    """Per-doc distinct is array_distinct (map-side); a .distinct() on the
+    exploded table would shuffle the largest intermediate of the pipeline."""
+    from htmlcleanup_spark.operators.dedup import shingles
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    assert n_exchanges(plan_of(shingles(docs))) == 0
+
+
+def test_minhash_single_shuffle(spark):
+    """All num_hashes mins aggregate in one groupBy(doc_id): exactly one
+    exchange, with partial aggregation (map-side combine) before it."""
+    from htmlcleanup_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    plan = plan_of(minhash_signatures(docs))
+    assert n_exchanges(plan) == 1
+    assert "partial_min" in plan  # map-side combine before the exchange
+
+
 def test_cascade_stage_has_no_postshuffle(spark, tmp_path):
     """After the skew repartition, the cascade map + write must pipeline —
     no further exchange."""
