@@ -180,6 +180,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_cosine_topk(emb, queries, k=10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-flat scale path: nprobe/n_centroids bounds the scanned fraction.
+    # Rows-only check (approximate recall; no SQL twin) — the recall floor
+    # vs exact brute force is asserted in tests/test_ann.py instead.
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann.ivf_cosine_topk(emb, queries, k=10, n_centroids=16, nprobe=8)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     return ann.embedding_near_dup_pairs(emb, threshold=0.35)
@@ -300,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_by_user": q_events_latest_by_user,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,

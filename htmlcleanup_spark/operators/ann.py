@@ -203,3 +203,91 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         .distinct()
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat: coarse quantizer -> inverted lists -> probe top lists
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic coarse quantizer: the n_centroids corpus vectors with
+    the smallest xxhash64(id) — a seedless uniform sample, reproducible
+    across runs and executors.  Returns a unit-normalized numpy [C, dim].
+
+    At 10^12 rows you'd train this with MLlib KMeans (kmeans||) on a
+    sample instead; everything downstream is unchanged — the quantizer is
+    just a [C, dim] matrix.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select(
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    c = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    return c / (np.linalg.norm(c, axis=1, keepdims=True) + 1e-12)
+
+
+def _assign_udf(centroids, nprobe: int):
+    """pandas_udf: top-``nprobe`` nearest centroid ids (by cosine) for each
+    vector.  The [C, dim] matrix rides inside the serialized UDF closure —
+    one copy per executor (for large C use an explicit broadcast)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        va = np.stack(v.to_numpy()).astype(np.float64)
+        va = va / (np.linalg.norm(va, axis=1, keepdims=True) + 1e-12)
+        sims = va @ centroids.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(top))
+
+    return assign
+
+
+def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                    n_centroids: int = 16, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_to: int = 4) -> DataFrame:
+    """Approximate top-k via IVF-flat: each corpus vector lands in exactly
+    one inverted list (nearest centroid); a query scores only the vectors
+    in its ``nprobe`` nearest lists.
+
+    Scanned fraction ~ nprobe / n_centroids.  At corpus scale, write the
+    embedding table partitioned by ``list_id`` so the probe join prunes
+    file scans instead of filtering rows.
+    """
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    corp = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"),
+        F.element_at(_assign_udf(cents, 1)(F.col(vec_col)), 1)
+        .alias("list_id"),
+    )
+    q = queries.withColumn(
+        "list_id", F.explode(_assign_udf(cents, nprobe)(F.col("query_vec")))
+    )
+    cos = _cosine_np_udf()
+    scored = (
+        q.join(corp, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos(F.col("query_vec"), F.col("_v")), round_to)
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
