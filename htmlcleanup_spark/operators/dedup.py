@@ -21,6 +21,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize-once for a DataFrame consumed by several branches
+    (self-joins recompute the whole upstream lineage per side otherwise).
+
+    localCheckpoint instead of persist(): persist registers the plan in the
+    CacheManager, which holds a strong reference until an explicit
+    unpersist() that a lazily-returned operator has no place to call — in a
+    long-lived session those entries accumulate.  A localCheckpoint's blocks
+    are tracked per-RDD by the ContextCleaner and freed when the consumer
+    DataFrame is garbage-collected.  eager=False keeps the operator lazy.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content digest.
@@ -119,9 +133,9 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         .groupBy(id_col, "band")
         .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
     )
-    # Persist: both sides of the self-join read this; without it Spark
+    # Pin: both sides of the self-join read this; without it Spark
     # recomputes the whole shingle->minhash lineage twice.
-    banded = banded.persist()
+    banded = _pin(banded)
     a = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
     )
@@ -170,7 +184,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_key")
-    banded = banded.persist()
+    banded = _pin(banded)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -184,26 +198,59 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for doc pairs.
 
-    With ``candidates`` (e.g. LSH output) only those pairs are scored; without
-    it, pairs sharing >= 1 shingle are scored via a shingle self-join (never
-    the full cross product).  Returns (id_a, id_b, jaccard rounded to 6).
+    Scale design — the naive plan (bare shingle self-join) is quadratic on
+    hot shingles: a stopword shingle present in f documents yields f^2 join
+    rows, effectively a cartesian product on that key at corpus scale.  Two
+    independent work-prunes keep the join bounded, both applied BEFORE the
+    self-join so they prune work, not output:
+
+    - ``candidates`` (e.g. LSH output): the shingle table is first
+      semi-joined to the candidate doc ids, and the exact (id_a, id_b) pair
+      filter is applied before the intersection aggregation — only candidate
+      pairs ever reach the groupBy.  Jaccard values are then identical to
+      the unpruned ones for those pairs.
+    - ``max_shingle_df``: shingles whose document frequency exceeds the cap
+      are dropped from BOTH the intersection and the per-doc sizes, i.e. the
+      Jaccard is defined over the informative-shingle universe (a shingle in
+      thousands of docs carries ~zero similarity signal but dominates join
+      cost).  This is the required dial for bare mode at 100 TB.
+
+    Returns (id_a, id_b, jaccard rounded to 6).
     """
-    sh = shingles(df, text_col, id_col, k).cache()
+    sh = shingles(df, text_col, id_col, k)
+    if candidates is not None:
+        ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(ids, id_col, "left_semi")
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sh = _pin(sh)  # consumed by sizes + both self-join sides
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    matched = a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"])
+        # Exact pair filter BELOW the aggregation: non-candidate pairs are
+        # dropped row-by-row (broadcastable candidate set under AQE) instead
+        # of being aggregated first and discarded after.
+        matched = matched.join(
+            candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+        )
+    inter = matched.groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

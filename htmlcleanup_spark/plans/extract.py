@@ -9,9 +9,17 @@ Scale notes (designed for 10^12 docs / 1000 executors, tested on local[32]):
 
 - column pruning: only (url, warc_ts, html, lang) are selected before the
   UDF stage; Catalyst pushes the projection into the scan.
-- resume: completed urls live in the output's `_done` manifest; a broadcast
-  LEFT ANTI join skips them.  At cluster scale the same plan works with the
-  Iceberg snapshot of the output table; AQE picks broadcast vs SMJ by size.
+- resume: the committed output itself is the checkpoint — the done-set is
+  a column-pruned scan of the output's url column (Iceberg: the current
+  snapshot; parquet fallback: data/, whose v1 output committer only exposes
+  job-committed files).  A LEFT ANTI join skips done urls; NO broadcast
+  hint — the done-set grows with the output table (unbounded at 10^12
+  docs), so AQE must pick broadcast vs SMJ from its measured size.
+- errored docs are in the done-set by default (a deterministic parser
+  crash recurs on every resume); pass ``retry_errors=True`` to re-attempt
+  them — each retry appends another attempt row for that url, so readers
+  of the parquet fallback take the last attempt per url (the Iceberg MERGE
+  path upserts and has no such duplicates).
 - dedup: keep the newest warc_ts per url.  This shuffles by url once; the
   subsequent repartition reuses the rows already clustered by url-hash.
 - skew: `size_bucket = floor(log2(octet_length(html)))` + a url-hash salt
@@ -25,6 +33,7 @@ Scale notes (designed for 10^12 docs / 1000 executors, tested on local[32]):
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -95,6 +104,7 @@ def run_extract(
     rules: RuleConfig = DEFAULT_RULES,
     num_partitions: int | None = None,
     resume: bool = True,
+    retry_errors: bool = False,
     lang_filter: str | None = None,
 ) -> dict:
     """Run the extraction pipeline; returns the run's counter dict.
@@ -112,9 +122,12 @@ def run_extract(
         df = df.filter(F.col("lang") == lang_filter)
 
     if resume and output_path:
-        done = _read_done(spark, output_path)
+        done = _read_done(spark, output_path, retry_errors=retry_errors)
         if done is not None:
-            df = df.join(F.broadcast(done), "url", "left_anti")
+            # No broadcast hint: the done-set is the whole committed output
+            # and grows without bound; AQE broadcasts it only while its
+            # measured size stays under the threshold, else SMJ.
+            df = df.join(done, "url", "left_anti")
 
     df = dedup_latest_by_url(df)
     if num_partitions is None:
@@ -154,20 +167,33 @@ def run_extract(
     return metrics
 
 
-def _read_done(spark: SparkSession, output_path: str) -> DataFrame | None:
+def _read_done(spark: SparkSession, output_path: str,
+               retry_errors: bool = False) -> DataFrame | None:
+    """The resume checkpoint: urls already present in the COMMITTED output.
+
+    Deriving the done-set from data/ itself (not a separate manifest) makes
+    resume crash-safe: there is no window where a row is committed in one
+    place but missing from the other — the parquet job commit (v1 output
+    committer) is the single commit point.  With ``retry_errors`` the urls
+    whose last run errored are excluded, so they are re-attempted.
+    """
     try:
-        return spark.read.parquet(output_path + "/_done").select("url")
+        done = spark.read.parquet(output_path + "/data").select("url", "error")
     except Exception:
         return None
+    if retry_errors:
+        done = done.filter(F.col("error").isNull())
+    return done.select("url")
 
 
 def _write_parquet_with_lineage(spark: SparkSession, result: DataFrame,
                                 output_path: str) -> None:
-    """Dev/sandbox sink: parquet append + per-partition lineage manifest +
-    done-url manifest (the resume checkpoint).
+    """Dev/sandbox sink: parquet append + per-partition lineage manifest.
 
-    At cluster scale the equivalent is a single Iceberg MERGE commit whose
-    snapshot IS the checkpoint; this fallback makes resume testable here.
+    data/ doubles as the resume checkpoint (see _read_done); _lineage is
+    advisory metrics only, so a crash between the two writes cannot cause
+    re-emission.  At cluster scale the equivalent is a single Iceberg MERGE
+    commit whose snapshot IS the checkpoint.
     """
     out = result.withColumn("part_id", F.spark_partition_id())
     out.persist()
@@ -181,24 +207,32 @@ def _write_parquet_with_lineage(spark: SparkSession, result: DataFrame,
             (F.sum("bytes_in") - F.sum("bytes_out")).alias("bytes_stripped"),
         )
         lineage.write.mode("append").parquet(output_path + "/_lineage")
-        out.select("url").write.mode("append").parquet(output_path + "/_done")
     finally:
         out.unpersist()
 
 
-def _merge_into_iceberg(spark: SparkSession, result: DataFrame,
-                        table: str) -> None:
-    """Iceberg MERGE sink (requires an Iceberg catalog on the cluster)."""
-    result.createOrReplaceTempView("_extract_src")
-    spark.sql(
-        f"""
+def merge_sql(table: str, source_view: str = "_extract_src") -> str:
+    """The Iceberg MERGE statement (upsert by url) — kept as a pure function
+    so its shape is unit-testable without an Iceberg catalog (none can be
+    installed in this sandbox; the runtime jar needs the network)."""
+    return f"""
         MERGE INTO {table} t
-        USING _extract_src s
+        USING {source_view} s
         ON t.url = s.url
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *
         """
-    )
+
+
+def _merge_into_iceberg(spark: SparkSession, result: DataFrame,
+                        table: str) -> None:
+    """Iceberg MERGE sink (requires an Iceberg catalog on the cluster).
+
+    The MERGE commit is one atomic snapshot: it is simultaneously the data
+    write and the resume checkpoint (reference sink shape:
+    cleanup_msfp.py:300-302 writes the cleaned doc back in one step)."""
+    result.createOrReplaceTempView("_extract_src")
+    spark.sql(merge_sql(table))
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -235,6 +269,8 @@ def main(argv=None):
     p.add_argument("--lang", default=None)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--retry-errors", action="store_true",
+                   help="re-attempt urls whose previous run errored")
     args = p.parse_args(argv)
 
     spark = (
@@ -250,9 +286,11 @@ def main(argv=None):
         output_table=args.output_table,
         num_partitions=args.partitions,
         resume=not args.no_resume,
+        retry_errors=args.retry_errors,
         lang_filter=args.lang,
     )
     print(metrics)
+    return metrics
 
 
 if __name__ == "__main__":

@@ -46,9 +46,14 @@ FIXTURES = {
             "<p>x</p> </center>"
         ),
     },
-    # P2: o:p strip incl. orphan starts (htmlcleanup.py:110-145)
+    # P2: o:p strip incl. orphan starts (htmlcleanup.py:110-145).  Trailing
+    # orphan starts (after the last end tag) SURVIVE — the reference never
+    # collects them (htmlcleanup.py:74; verified by the differential sweep
+    # in test_engine.py::TestPreparseDifferential).
     "p2-op-strip": {
         "01": page("<p>x<o:p></o:p>y</p>\n<p><o:p> </o:p>z</p>\n<p>w<o:p></p>"),
+        # orphan start collected between pairs: stripped (htmlcleanup.py:115)
+        "02": page("<p><o:p>a<o:p>b</o:p>c</p>"),
     },
     # P3: b/p interleave (cleanup_msfp.py:80-84, README.md:46)
     "p3-bp-interleave": {

@@ -61,9 +61,39 @@ class TestPreparse:
         with pytest.raises(UnparseableHtml):
             remove_tag_pairs("a</font>b", "font", ['face="X"'])
 
-    def test_orphan_start_stripped_when_strip_all(self):
-        assert remove_tag_pairs("a<o:p>b", "o:p") == "ab"
-        assert remove_tag_pairs('a<o:p x="1">b', "o:p") == "ab"
+    def test_trailing_orphan_start_survives(self):
+        # Starts after the last end tag are never collected
+        # (htmlcleanup.py:74, end_pos == -1): they survive strip-all mode.
+        assert remove_tag_pairs("a<o:p>b", "o:p") == "a<o:p>b"
+        assert remove_tag_pairs('a<o:p x="1">b', "o:p") == 'a<o:p x="1">b'
+
+    def test_orphan_start_between_pairs_stripped(self):
+        # A simple orphan collected before some end tag IS stripped
+        # (htmlcleanup.py:115-121).
+        assert remove_tag_pairs("<o:p>a<o:p>b</o:p>c", "o:p") == "abc"
+
+    def test_paired_compound_leaves_residue(self):
+        # Paired compound start in strip-all mode loses only "<o:p "
+        # (htmlcleanup.py:100-108); the attrs> text stays.
+        assert (
+            remove_tag_pairs('<o:p x="1">a<o:p>b</o:p>c</o:p>', "o:p")
+            == 'x="1">abc'
+        )
+
+    def test_compound_invisible_without_simple_ahead(self):
+        # htmlcleanup.py:78-83: with no simple start ahead, the compound hit
+        # is rejected (p < -1 never holds) -> end tag has no start -> raise.
+        with pytest.raises(UnparseableHtml):
+            remove_tag_pairs('a<o:p x="1">b</o:p>', "o:p")
+
+    def test_orphan_compound_slice_bug(self):
+        # htmlcleanup.py:133 slices html[start : gt - start + 1].  Far from
+        # the document start the slice is empty -> nothing stripped; near
+        # the start it is non-empty, contains '<', and raises.
+        far = ("z" * 40) + '<o:p x="1">tail<o:p>a</o:p>'
+        assert remove_tag_pairs(far, "o:p") == ("z" * 40) + '<o:p x="1">taila'
+        with pytest.raises(UnparseableHtml):
+            remove_tag_pairs('<o:p x="1">t<o:p>a</o:p>', "o:p")
 
     def test_only_configured_faces_stripped(self):
         html = '<font face="X">a</font><font face="Y">b</font>'
@@ -153,3 +183,73 @@ class TestQuirks:
         assert r.rules_fired["d2_comment"] == 1
         assert r.rules_fired["d3_rename"] == 1
         assert r.bytes_in > 0 and r.bytes_out > 0
+
+
+class TestPreparseDifferential:
+    """Byte-parity proof: run the REFERENCE implementation side-by-side.
+
+    The reference helper (htmlcleanup.py) is plain string code that imports
+    cleanly under Python 3; an exhaustive token-product sweep compares our
+    remove_tag_pairs against HtmlCleanupHelper.remove_tags on every
+    composition — same output bytes, or both raise.  This replaces trust in
+    engine-frozen fixtures with a direct trace of the reference
+    (independently derived per ADVICE round 1).
+    """
+
+    @staticmethod
+    def _reference():
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_htmlcleanup", "/root/reference/htmlcleanup.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.HtmlCleanupHelper
+
+    def _compare(self, helper, html, tag, contents):
+        try:
+            expected = helper.remove_tags(html, tag, contents)
+            ref_raised = None
+        except Exception as e:  # reference raises bare Exception
+            expected, ref_raised = None, e
+        try:
+            got = remove_tag_pairs(html, tag, contents)
+            got_raised = None
+        except UnparseableHtml as e:
+            got, got_raised = None, e
+        if ref_raised is not None:
+            assert got_raised is not None, (
+                "reference raised (%s) but repo returned %r for %r"
+                % (ref_raised, got, html)
+            )
+        else:
+            assert got_raised is None, (
+                "repo raised (%s) but reference returned %r for %r"
+                % (got_raised, expected, html)
+            )
+            assert got == expected, "divergence on %r" % html
+
+    def test_strip_all_token_sweep(self):
+        import itertools
+
+        helper = self._reference()
+        tokens = ["a", "<o:p>", "</o:p>", '<o:p x="1">', "zzzzzzzzzzzz<o:p>",
+                  '<o:p q="a', "<o:p"]
+        n = 0
+        for length in (1, 2, 3, 4):
+            for combo in itertools.product(tokens, repeat=length):
+                self._compare(helper, "".join(combo), "o:p", None)
+                n += 1
+        assert n == 7 + 49 + 343 + 2401
+
+    def test_font_contents_token_sweep(self):
+        import itertools
+
+        helper = self._reference()
+        tokens = ["b", '<font face="X">', '<font face="Y">', "</font>",
+                  "<font>"]
+        contents = ['face="X"', ""]
+        for length in (1, 2, 3, 4):
+            for combo in itertools.product(tokens, repeat=length):
+                self._compare(helper, "".join(combo), "font", contents)

@@ -112,3 +112,26 @@ def test_cascade_stage_has_no_postshuffle(spark, tmp_path):
     plan = plan_of(df)
     assert n_exchanges(plan) == 1  # only the explicit repartition
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
+
+
+def test_resume_antijoin_not_forced_broadcast(spark, tmp_path):
+    """The done-set grows with the output table (unbounded at 10^12 docs):
+    the anti-join must NOT carry a broadcast hint — AQE sizes it.  Either
+    join strategy is acceptable in the plan; what's asserted is the absence
+    of a forced broadcast hint on the done side."""
+    from htmlcleanup_spark.plans.extract import _read_done, run_extract
+    from htmlcleanup_spark.sources.pages import synth_pages
+
+    out = str(tmp_path / "out")
+    pages = synth_pages(spark, 10, num_partitions=1)
+    run_extract(spark, pages, output_path=out, num_partitions=2)
+    done = _read_done(spark, out)
+    joined = pages.select("url", "warc_ts", "html", "lang").join(
+        done, "url", "left_anti"
+    )
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+    # no ResolvedHint/UnresolvedHint survives into the optimized plan when
+    # none was given; a forced broadcast would show as a hint node upstream
+    logical = joined._jdf.queryExecution().logical().toString()
+    assert "hint" not in logical.lower()
