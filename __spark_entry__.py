@@ -133,7 +133,38 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    # Bare mode carries the document-frequency cap: a shingle present in
+    # more than 50 docs is dropped from the Jaccard universe BEFORE the
+    # self-join (hot-shingle f^2 blowup is the 100 TB killer; a stopword
+    # shingle carries no similarity signal).  The oracle applies the same
+    # cap, so values are defined over the same universe.
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.2, max_shingle_df=50
+    )
+
+
+def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The composed scale path: LSH candidates prune the shingle join via a
+    # pre-join semi-join on candidate ids + a pair filter below the
+    # aggregation; jaccard values are exact (uncapped) for those pairs.
+    docs = _docs(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(docs)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.2, candidates=cand)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairs -> connected components -> (doc_id, cluster_id = canonical min)
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return dedup.connected_components(pairs)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from htmlcleanup_spark.functions.text import corpus_stats
+
+    # exact variant (SQL-reproducible); the HLL approx variant is bounded
+    # against it in tests/test_dedup.py
+    return corpus_stats(_docs(spark, sf_dir))
 
 
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,6 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_stats": q_corpus_stats,
         "simhash64": q_simhash64,
         "simhash_near_pairs": q_simhash_near_pairs,
         "events_latest_by_user": q_events_latest_by_user,
@@ -338,6 +372,20 @@ _MINHASH_CTE = _SHINGLE_CTE + """,
 hx AS (SELECT doc_id, j.hash_id, md5(CAST(j.hash_id AS VARCHAR) || ':' || shingle) AS h
        FROM sh, (SELECT unnest(generate_series(0, 7)) AS hash_id) j),
 sig AS (SELECT doc_id, hash_id, min(h) AS minhash FROM hx GROUP BY doc_id, hash_id)
+"""
+
+# band keys + candidate pairs (the SQL twin of minhash_lsh_pairs)
+_LSH_PAIRS_CTE = _MINHASH_CTE + """,
+banded AS (
+  SELECT doc_id, hash_id // 2 AS band,
+         md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+  FROM sig GROUP BY doc_id, hash_id // 2
+),
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+)
 """
 
 def _simhash_cte() -> str:
@@ -418,21 +466,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "minhash_signatures": _MINHASH_CTE + "SELECT doc_id, hash_id, minhash FROM sig",
-        "lsh_candidate_pairs": _MINHASH_CTE + """,
-            banded AS (
-              SELECT doc_id, hash_id // 2 AS band,
-                     md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
-              FROM sig GROUP BY doc_id, hash_id // 2
-            )
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a JOIN banded b USING (band, band_key)
-            WHERE a.doc_id < b.doc_id
-        """,
+        "lsh_candidate_pairs": _LSH_PAIRS_CTE
+        + "SELECT id_a, id_b FROM cpairs",
         "ngram_jaccard_pairs": _SHINGLE_CTE + """,
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            rare AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) <= 50),
+            shc AS (SELECT sh.doc_id, sh.shingle
+                    FROM sh JOIN rare USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
-              FROM sh a JOIN sh b USING (shingle)
+              FROM shc a JOIN shc b USING (shingle)
               WHERE a.doc_id < b.doc_id GROUP BY 1, 2
             )
             SELECT id_a, id_b,
@@ -441,6 +485,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON id_a = sa.doc_id
             JOIN sizes sb ON id_b = sb.doc_id
             WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.2
+        """,
+        "ngram_jaccard_lsh": _LSH_PAIRS_CTE + """,
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b USING (shingle)
+              JOIN cpairs c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.2
+        """,
+        # transitive closure of the LSH candidate graph: cluster_id = min
+        # reachable doc id (DuckDB recursive CTE; Spark side is the
+        # large-star/small-star DataFrame loop)
+        "dedup_clusters": "WITH RECURSIVE "
+        + _LSH_PAIRS_CTE[len("WITH "):] + """,
+            edges AS (SELECT id_a AS u, id_b AS v FROM cpairs
+                      UNION SELECT id_b, id_a FROM cpairs),
+            reach(doc_id, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT reach.doc_id, edges.v
+              FROM reach JOIN edges ON reach.r = edges.u
+            )
+            SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        """,
+        "corpus_stats": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_distinct_texts,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS total_tokens
+            FROM documents GROUP BY lang
         """,
         "events_latest_by_user": """
             SELECT user_id, event_id,

@@ -378,3 +378,98 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 25,
+                         ) -> DataFrame:
+    """Duplicate-cluster resolution: candidate pairs -> (doc_id, cluster_id).
+
+    ``cluster_id`` is the minimum doc id of the connected component, i.e.
+    the canonical survivor; every doc appearing in any pair gets a row
+    (the canonical doc maps to itself).  Consumes the output of
+    minhash_lsh_pairs / simhash_near_pairs / embedding near-dups.
+
+    Scale design: the alternating large-star/small-star algorithm (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — pure
+    DataFrame joins/groupBys, converging in O(log^2 n) rounds even on
+    path-shaped components (naive min-label propagation needs O(diameter)).
+    Each round's edge set is localCheckpoint'ed: iterative plans otherwise
+    grow lineage exponentially and re-execute every prior round.  The
+    convergence probe (exceptAll both ways) is exact; at 10^12-edge scale
+    you'd swap it for a count+hash-sum comparison (one job instead of two).
+    """
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("u"),
+            F.greatest("id_a", "id_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # large-star: every neighbor v > u links to m(u) = min(N(u) + {u})
+        both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = both.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = m.select("u", F.least("u", F.col("_mn")).alias("m"))
+        large = (
+            both.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges are canonical (u < v); every big node v links
+        # its small neighbors (and itself) to their minimum
+        sm = large.groupBy("v").agg(F.min("u").alias("m"))
+        ssj = large.join(sm, "v")
+        new_e = (
+            ssj.select(
+                F.least("u", "m").alias("u"), F.greatest("u", "m").alias("v")
+            )
+            .union(
+                ssj.select(
+                    F.least("v", "m").alias("u"),
+                    F.greatest("v", "m").alias("v"),
+                )
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty():
+            e = new_e
+            break
+        e = new_e
+    else:
+        raise RuntimeError(
+            "connected_components did not converge in %d rounds"
+            % max_iterations
+        )
+    # fixed point is a star forest rooted at each component minimum:
+    # (u=min, v=member); the groupBy-min is belt-and-braces for the labels
+    labels = e.groupBy(F.col("v").alias("doc_id")).agg(
+        F.min("u").alias("_cl")
+    )
+    return nodes.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("_cl", F.col("doc_id")).alias("cluster_id")
+    )
+
+
+def dedup_survivors(df: DataFrame, clusters: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Filter a corpus to one canonical doc per duplicate cluster: drops
+    every doc whose cluster_id names a different doc.  Docs absent from
+    ``clusters`` (never in any candidate pair) are kept."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

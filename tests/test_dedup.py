@@ -1,0 +1,119 @@
+"""Dedup-layer gates: pairs->clusters correctness, the ngram work-pruning
+plan shape, and the HLL corpus-stats tolerance."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from htmlcleanup_spark.operators import dedup
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_connected_components_shapes(spark):
+    # path (worst case for naive propagation), star, isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 64-node path exercises the O(log^2 n) star-contraction bound —
+    naive min-propagation would need 63 rounds; the default budget (25)
+    must be plenty for large-star/small-star."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
+    )
+    cc = dedup.connected_components(pairs)
+    assert cc.filter(F.col("cluster_id") != 1).count() == 0
+    assert cc.count() == 64
+
+
+def test_dedup_survivors_keeps_one_per_cluster(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 8, 42)], "doc_id long"
+    )
+    cc = dedup.connected_components(pairs)
+    kept = sorted(r.doc_id for r in dedup.dedup_survivors(docs, cc).collect())
+    assert kept == [1, 7, 42]  # 42 never paired -> kept
+
+
+def test_ngram_candidates_mode_matches_bare_restriction(spark):
+    """With candidates, jaccard values equal the bare run restricted to
+    those pairs (the semi-joins prune work, not semantics)."""
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    bare = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    cand = dedup.minhash_lsh_pairs(docs)
+    pruned = dedup.ngram_jaccard_pairs(docs, threshold=0.2, candidates=cand)
+    bare_on_cand = bare.join(cand, ["id_a", "id_b"])
+    a = {(r.id_a, r.id_b, r.jaccard) for r in bare_on_cand.collect()}
+    b = {(r.id_a, r.id_b, r.jaccard) for r in pruned.collect()}
+    assert a == b and len(b) > 0
+
+
+def test_ngram_candidate_filter_below_aggregation(spark):
+    """Both prunes must sit under the intersection aggregate: the id
+    semi-join and the exact-pair semi-join appear as LeftSemi joins in the
+    plan (work pruning), not as a post-aggregation inner join."""
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    plan = plan_of(dedup.ngram_jaccard_pairs(docs, candidates=cand))
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_ngram_df_cap_drops_hot_shingles(spark):
+    """max_shingle_df must remove capped shingles from BOTH intersection
+    and sizes: two docs overlapping only in a hot shingle score nothing."""
+    rows = [
+        (1, "x x a b c"),
+        (2, "x x a b d"),
+        (3, "x x a q r"),
+        (4, "x x a s t"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # shingle "x x a" has df=4; cap=3 drops it everywhere
+    out = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.0001, max_shingle_df=3
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    # docs 1,2 still share "x a b" (df=2): sizes are 2 each after the cap
+    # ("x x a" removed), so jaccard = 1/(2+2-1)
+    assert got[(1, 2)] == round(1 / 3, 6)
+    # docs 3,4 shared ONLY capped shingles -> no pair at all
+    assert (3, 4) not in got
+
+
+def test_corpus_stats_hll_within_tolerance(spark):
+    from htmlcleanup_spark.functions.text import corpus_stats
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    exact = {r.lang: r.n_distinct_texts
+             for r in corpus_stats(docs).collect()}
+    approx = {r.lang: r.n_distinct_texts
+              for r in corpus_stats(docs, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for lang, n in exact.items():
+        assert abs(approx[lang] - n) <= max(0.1 * n, 2), lang
