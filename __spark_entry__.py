@@ -422,6 +422,44 @@ def _simhash_cte() -> str:
     )
 
 
+def _lsh_bucket_cols_sql(vec_expr: str, dim: int = 64, bits: int = 8,
+                         seed: int = 42, n_tables: int = 4) -> str:
+    """DuckDB twin of ann._bucket_udf: per-table bucket columns b0..b{L-1}.
+    The hyperplanes are deterministic md5-derived doubles, embedded as
+    literals (repr round-trips to the identical IEEE double)."""
+    from htmlcleanup_spark.operators.ann import plane_matrix
+
+    planes = plane_matrix(dim, bits, seed, n_tables)
+    cols = []
+    for t in range(n_tables):
+        terms = []
+        for b in range(bits):
+            arr = "[" + ", ".join(
+                repr(float(x)) for x in planes[t * bits + b]
+            ) + "]"
+            terms.append(
+                "(CASE WHEN list_dot_product(%s, %s) >= 0 THEN %d ELSE 0 END)"
+                % (vec_expr, arr, 1 << b)
+            )
+        cols.append("(" + "\n + ".join(terms) + ") AS b%d" % t)
+    return ",\n".join(cols)
+
+
+def _lsh_hit_sql(a_prefix: str, b_prefix: str, n_tables: int = 4) -> str:
+    """Candidate predicate: buckets within Hamming distance 1 in ANY table
+    (== the Spark side's exploded equi-join with single-bit multi-probe)."""
+    return " OR ".join(
+        "bit_count(xor(%sb%d, %sb%d)) <= 1" % (a_prefix, t, b_prefix, t)
+        for t in range(n_tables)
+    )
+
+
+_COS_SQL = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+
 _QUALITY_SQL = (
     "CAST(floor((least(n_tokens / 100.0, 1.0) * 0.5 "
     "+ (alpha_chars / greatest(n_char * 1.0, 1.0)) * 0.3 "
@@ -623,6 +661,45 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "ann_lsh_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                              %s
+                       FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id %% 50 = 0),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     %s AS cosine
+              FROM q JOIN e c
+                ON c.vec_id != q.vec_id AND (%s)
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked
+            WHERE rank <= 10
+        """ % (
+            _lsh_bucket_cols_sql("embedding::DOUBLE[]"),
+            _COS_SQL.format(a="q.v", b="c.v"),
+            _lsh_hit_sql("q.", "c."),
+        ),
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                              %s
+                       FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, %s AS cosine
+              FROM e a JOIN e b
+                ON a.vec_id < b.vec_id AND (%s)
+            )
+            SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35
+        """ % (
+            _lsh_bucket_cols_sql("embedding::DOUBLE[]"),
+            _COS_SQL.format(a="a.v", b="b.v"),
+            _lsh_hit_sql("a.", "b."),
+        ),
         "multimodal_meta": """
             SELECT doc_id, length(text) AS n_bytes, md5(text) AS digest
             FROM documents
@@ -646,6 +723,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
-        # rows-only (no portable SQL twin): ann_lsh_topk,
-        #   embedding_near_dups (hyperplane closure), extract_synth
+        # rows-only (no portable SQL twin): ann_ivf_topk (approximate;
+        #   recall floor asserted in tests/test_ann.py), extract_synth
+        #   (pathological corpus, engine semantics carried by
+        #   clean_fixtures + the preparse differential sweep)
     }

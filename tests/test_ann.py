@@ -55,3 +55,109 @@ def test_ivf_corpus_vector_lands_in_one_list(spark):
     # probing ALL lists == exact brute force (recall 1.0)
     exact = ann.cosine_topk(emb, qs, k=10).select("query_id", "neighbor_id")
     assert _recall(exact, approx.select("query_id", "neighbor_id")) == 1.0
+
+
+def _planted_corpus(spark, n_base=60, dim=64):
+    """Deterministic corpus with planted near-dup pairs: base vector i and
+    its noisy copy (i + 1000) sit at cosine ~0.97-0.99; distinct bases are
+    near-orthogonal.  Built from md5-seeded values, no RNG state."""
+    import hashlib
+
+    import numpy as np
+
+    def vec(tag, i):
+        h = b"".join(
+            hashlib.md5(("%s:%d:%d" % (tag, i, j)).encode()).digest()
+            for j in range((dim * 8) // 16 + 1)
+        )
+        raw = np.frombuffer(h[: dim * 8], dtype="<i8").astype(np.float64)
+        return raw / float(1 << 63)
+
+    rows = []
+    for i in range(n_base):
+        base = vec("base", i)
+        noise = vec("noise", i) * 0.12  # cosine(base, base+noise) ~ 0.97+
+        rows.append((i, [float(x) for x in base]))
+        rows.append((i + 1000, [float(x) for x in (base + noise)]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_lsh_topk_finds_planted_neighbor(spark):
+    """Design-regime recall: each query's true nearest neighbor (its
+    planted near-dup, cosine ~0.97) must surface in the LSH top-k.
+    OR-amplification at the defaults (4 tables x 8 bits, Hamming<=1
+    probing) predicts ~0.999; assert >= 0.9.  (On UNIFORM random vectors
+    recall degrades toward the scanned fraction — the documented worst
+    case, same as IVF; measured 0.23 at these settings on the sf0.001
+    embeddings table.)"""
+    from htmlcleanup_spark.operators import ann
+
+    emb = _planted_corpus(spark)
+    qs = emb.filter(F.col("vec_id") < 1000).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    approx = ann.lsh_cosine_topk(emb, qs, k=5)
+    hits = approx.filter(
+        F.col("neighbor_id") == F.col("query_id") + 1000
+    ).count()
+    assert hits / 60 >= 0.9
+
+
+def test_embedding_near_dups_recall_floor(spark):
+    """Planted near-dups (cosine >= 0.9) must be recovered; ground truth is
+    exact brute force over the same corpus at the same threshold."""
+    from htmlcleanup_spark.operators import ann
+
+    emb = _planted_corpus(spark)
+    got = ann.embedding_near_dup_pairs(emb, threshold=0.9)
+    found = {(r.id_a, r.id_b) for r in got.collect()}
+    # brute-force ground truth
+    import numpy as np
+
+    rows = emb.collect()
+    V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    ids = [r.vec_id for r in rows]
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    gt = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if round(S[i][j], 4) >= 0.9:
+                gt.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert len(gt) >= 50  # the plant worked
+    recall = len(found & gt) / len(gt)
+    assert recall >= 0.9, recall
+    # no false positives: every reported pair really clears the threshold
+    assert found <= gt
+
+
+def test_lsh_multiprobe_covers_hamming_le_1(spark):
+    """Structural guarantee: pairs whose signatures agree exactly or differ
+    in one bit (in any table) are candidates — verified by comparing the
+    candidate set against a direct signature computation."""
+    import numpy as np
+
+    from htmlcleanup_spark.operators import ann
+
+    emb = _planted_corpus(spark, n_base=30)
+    rows = emb.collect()
+    P = ann.plane_matrix(64, 8, 42, 4)
+    weights = (1 << np.arange(8)).astype(np.int64)
+    sigs = {}
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        s = ((v @ P.T) >= 0.0).reshape(4, 8) @ weights
+        sigs[r.vec_id] = s
+    expected = set()
+    idl = sorted(sigs)
+    for i in range(len(idl)):
+        for j in range(i + 1, len(idl)):
+            a, b = sigs[idl[i]], sigs[idl[j]]
+            if any(bin(int(x) ^ int(y)).count("1") <= 1 for x, y in zip(a, b)):
+                expected.add((idl[i], idl[j]))
+    got = ann.embedding_near_dup_pairs(emb, threshold=-1.0)
+    found = {(r.id_a, r.id_b) for r in got.collect()}
+    assert found == expected
