@@ -87,8 +87,9 @@ def ensure_pages(n_docs: int) -> str:
     return path
 
 
-def run_extract_at(cores: int, pages_path: str, repeats: int = 2) -> dict:
-    """The identical extract job at a given parallelism; returns metrics."""
+def run_extract_at(cores: int, pages_path: str) -> dict:
+    """ONE timed run of the identical extract job at a given parallelism
+    (fresh session, warmed python workers); returns metrics."""
     from htmlcleanup_spark.plans.extract import run_extract
 
     spark = make_session(cores)
@@ -96,8 +97,6 @@ def run_extract_at(cores: int, pages_path: str, repeats: int = 2) -> dict:
     try:
         # warmup: touch every python worker (fork + heavy imports) so the
         # timed run measures the cascade, not daemon spin-up
-        import pyarrow as pa
-
         def _warm(batches):
             from htmlcleanup_spark.engine import clean_html  # noqa: F401
 
@@ -113,24 +112,61 @@ def run_extract_at(cores: int, pages_path: str, repeats: int = 2) -> dict:
         )
 
         pages = spark.read.parquet(pages_path)
-        best = None
-        # repeat within one session and keep the fastest run: the shared VM's
-        # throughput swings minute-to-minute (see BENCH/BASELINE.md), and the
-        # *minimum* wall time is the least-contended estimate of the job.
-        for _ in range(repeats):
-            t0 = time.time()
-            m = run_extract(
-                spark, pages, resume=False, num_partitions=cores * 8
-            )
-            m["wall_sec"] = time.time() - t0
-            if best is None or m["wall_sec"] < best["wall_sec"]:
-                best = m
-        best["cores"] = cores
-        best["docs_per_sec"] = best["docs_out"] / best["wall_sec"]
-        best["mb_per_sec"] = (best["bytes_in"] or 0) / 1e6 / best["wall_sec"]
-        return best
+        t0 = time.time()
+        m = run_extract(spark, pages, resume=False, num_partitions=cores * 8)
+        m["wall_sec"] = time.time() - t0
+        m["cores"] = cores
+        m["docs_per_sec"] = m["docs_out"] / m["wall_sec"]
+        m["mb_per_sec"] = (m["bytes_in"] or 0) / 1e6 / m["wall_sec"]
+        return m
     finally:
         spark.stop()
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2.0
+
+
+def measure_scaling_window(small_cores: int, big_cores: int,
+                           pages_path: str, repeats: int = 3) -> dict:
+    """Symmetric sampling policy (no pass-conditioned retries): a FIXED
+    number of interleaved small/big runs regardless of outcome; efficiency
+    is computed from the medians and the per-level spread is reported, so
+    the number is sampled, not selected.  Interleaving means a degraded
+    host window (shared VM) hits both levels alike instead of inverting
+    the comparison."""
+    spin0 = _spin_calibration(small_cores, big_cores)
+    runs = {small_cores: [], big_cores: []}
+    for _ in range(repeats):
+        for cores in (small_cores, big_cores):
+            runs[cores].append(run_extract_at(cores, pages_path))
+    spin1 = _spin_calibration(small_cores, big_cores)
+
+    def level(cores):
+        dps = [r["docs_per_sec"] for r in runs[cores]]
+        mbs = [r["mb_per_sec"] for r in runs[cores]]
+        walls = [r["wall_sec"] for r in runs[cores]]
+        return {
+            "cores": cores,
+            "wall_sec": round(_median(walls), 2),
+            "docs_per_sec": round(_median(dps), 1),
+            "docs_per_sec_all": [round(x, 1) for x in dps],
+            "mb_per_sec": round(_median(mbs), 2),
+        }
+
+    small, big = level(small_cores), level(big_cores)
+    eff = (big["docs_per_sec"] / small["docs_per_sec"]) / (
+        big_cores / small_cores
+    )
+    return {
+        "local_n": small,
+        "local_4n": big,
+        "repeats": repeats,
+        "scaling_efficiency": round(eff, 3),
+        "spin_calibration": {"before": spin0, "after": spin1},
+    }
 
 
 def run_headline(sf_dir: str, repeats: int = 2) -> dict:
@@ -172,33 +208,19 @@ def main():
     # involved), while CPU-spin at 4->16 shows 0.91 — i.e. beyond 8 cores
     # the wall is DRAM bandwidth, which a real 4N-executor cluster would
     # scale (each executor brings its own memory) but one shared VM cannot.
-    # N=2 vs 4N=8 is the honest in-linear-region proxy (measured extract-job
-    # efficiency there: 0.98); override with SPARK_GRAFT_BENCH_N_CORES.
+    # N=2 vs 4N=8 is the in-linear-region proxy; BOTH windows are measured
+    # and reported so the window choice is auditable, not asserted.
+    # Override with SPARK_GRAFT_BENCH_N_CORES.
     small_cores = int(os.environ.get("SPARK_GRAFT_BENCH_N_CORES",
                                      max(CPUS // 16, 1)))
     big_cores = small_cores * 4
-    # Host throughput varies over time (shared VM): interleave N/4N runs and
-    # keep the best of two per config so one degraded window can't invert
-    # the comparison; record a spin calibration alongside each phase.
-    spin0 = _spin_calibration(small_cores, big_cores)
-    m_small = run_extract_at(small_cores, pages_path)
-    m_big = run_extract_at(big_cores, pages_path)
-    efficiency = (m_big["docs_per_sec"] / m_small["docs_per_sec"]) / (
-        big_cores / small_cores
-    )
-    if efficiency < 0.8:
-        # one adaptive retry: assume the slower-looking level hit a degraded
-        # host window and re-measure both once more, keeping the best
-        m_small2 = run_extract_at(small_cores, pages_path)
-        m_big2 = run_extract_at(big_cores, pages_path)
-        if m_small2["docs_per_sec"] > m_small["docs_per_sec"]:
-            m_small = m_small2
-        if m_big2["docs_per_sec"] > m_big["docs_per_sec"]:
-            m_big = m_big2
-        efficiency = (m_big["docs_per_sec"] / m_small["docs_per_sec"]) / (
-            big_cores / small_cores
-        )
-    spin1 = _spin_calibration(small_cores, big_cores)
+    primary = measure_scaling_window(small_cores, big_cores, pages_path,
+                                     repeats=3)
+    # auxiliary window past the DRAM knee, measured with the SAME protocol
+    # (fewer repeats: it exists to show the machine ceiling, not to grade)
+    aux = measure_scaling_window(small_cores * 2, big_cores * 2, pages_path,
+                                 repeats=2)
+    efficiency = primary["scaling_efficiency"]
 
     timings = run_headline(SF_DIR)
     total = round(sum(timings.values()), 3)
@@ -206,27 +228,19 @@ def main():
     result = {
         "metric": "headline query wall time at sf=%s (extract %.1f MB/s @ "
         "local[%d], N->4N scaling efficiency %.2f)"
-        % (sf, m_big["mb_per_sec"], big_cores, efficiency),
+        % (sf, primary["local_4n"]["mb_per_sec"], big_cores, efficiency),
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "extract": {
             "n_docs": n_docs,
-            "local_n": {
-                "cores": small_cores,
-                "wall_sec": round(m_small["wall_sec"], 2),
-                "docs_per_sec": round(m_small["docs_per_sec"], 1),
-                "mb_per_sec": round(m_small["mb_per_sec"], 2),
-            },
-            "local_4n": {
-                "cores": big_cores,
-                "wall_sec": round(m_big["wall_sec"], 2),
-                "docs_per_sec": round(m_big["docs_per_sec"], 1),
-                "mb_per_sec": round(m_big["mb_per_sec"], 2),
-            },
-            "scaling_efficiency": round(efficiency, 3),
-            "spin_calibration": {"before": spin0, "after": spin1},
+            "local_n": primary["local_n"],
+            "local_4n": primary["local_4n"],
+            "repeats": primary["repeats"],
+            "scaling_efficiency": efficiency,
+            "spin_calibration": primary["spin_calibration"],
+            "window_2x": aux,
         },
     }
     _write_bench_md(result)
@@ -258,11 +272,25 @@ def _spin_calibration(p1: int, p2: int) -> dict:
 def _write_bench_md(result: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     ex = result["extract"]
+    aux = ex["window_2x"]
+
+    def row(lv, tag):
+        return "| local[%d] (%s) | %s | %s (all: %s) | %s |" % (
+            lv["cores"], tag, lv["wall_sec"], lv["docs_per_sec"],
+            lv["docs_per_sec_all"], lv["mb_per_sec"],
+        )
+
     lines = [
         "# BENCH — measured numbers (latest run)",
         "",
         "Scaling proxy per BASELINE.md: identical extract job, identical",
         "on-disk input, two parallelism levels (N and 4N cores).",
+        "",
+        "Sampling policy: a FIXED number of interleaved N/4N runs (fresh",
+        "session each, warmed python workers), median reported with every",
+        "sample shown — no outcome-conditioned retries, so the efficiency",
+        "number is sampled, not selected.  Spin calibration (per-proc CPU",
+        "wall at both levels, ideal ratio 1.0) brackets each window.",
         "",
         "Machine ceiling caveat: this shared VM saturates for memory-heavy",
         "work past ~8 active cores — the pure-Python cascade under plain",
@@ -270,21 +298,35 @@ def _write_bench_md(result: dict) -> None:
         "docs/s at 1/2/4/8/16/32 procs (4->16 eff 0.51), while CPU-spin at",
         "4->16 shows 0.91: beyond 8 cores the wall is DRAM bandwidth, which",
         "a real 4N-executor cluster scales (per-executor memory) but one",
-        "VM cannot.  N=2 vs 4N=8 is the honest in-linear-region proxy.",
+        "VM cannot.  N=2 vs 4N=8 is the in-linear-region proxy; the",
+        "past-the-knee window below is measured with the same protocol so",
+        "the window choice is auditable.",
         "",
-        "| config | wall (s) | docs/s | MB/s |",
+        "## Primary window (%d repeats, interleaved)" % ex["repeats"],
+        "",
+        "| config | wall (s, median) | docs/s (median) | MB/s |",
         "| --- | --- | --- | --- |",
-        "| local[%d] (N) | %s | %s | %s |"
-        % (ex["local_n"]["cores"], ex["local_n"]["wall_sec"],
-           ex["local_n"]["docs_per_sec"], ex["local_n"]["mb_per_sec"]),
-        "| local[%d] (4N) | %s | %s | %s |"
-        % (ex["local_4n"]["cores"], ex["local_4n"]["wall_sec"],
-           ex["local_4n"]["docs_per_sec"], ex["local_4n"]["mb_per_sec"]),
+        row(ex["local_n"], "N"),
+        row(ex["local_4n"], "4N"),
         "",
-        "**Scaling efficiency (N -> 4N): %.3f** (target >= 0.8; best-of-2 "
-        "interleaved runs; machine spin calibration before/after: %s / %s)"
+        "**Scaling efficiency (N -> 4N): %.3f** (target >= 0.8; spin "
+        "calibration before/after: %s / %s)"
         % (ex["scaling_efficiency"], ex["spin_calibration"]["before"],
            ex["spin_calibration"]["after"]),
+        "",
+        "## Past-the-knee window (same protocol, %d repeats)"
+        % aux["repeats"],
+        "",
+        "| config | wall (s, median) | docs/s (median) | MB/s |",
+        "| --- | --- | --- | --- |",
+        row(aux["local_n"], "N"),
+        row(aux["local_4n"], "4N"),
+        "",
+        "Efficiency %.3f (spin calibration before/after: %s / %s) — the"
+        % (aux["scaling_efficiency"], aux["spin_calibration"]["before"],
+           aux["spin_calibration"]["after"]),
+        "gap vs the primary window is the documented DRAM ceiling (the",
+        "no-Spark multiprocessing curve above), not a Spark-plan property.",
         "",
         "Corpus: %d synthetic pathological pages (seeded, log-spread sizes)."
         % ex["n_docs"],

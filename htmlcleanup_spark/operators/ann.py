@@ -67,32 +67,74 @@ def _cosine(a, b):
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                round_to: int = 4) -> DataFrame:
+                round_to: int = 4, max_queries: int = 65536) -> DataFrame:
     """Exact top-k cosine neighbors for each query row.
 
     queries: DataFrame with (query_id, query_vec).  Returns
     (query_id, neighbor_id, cosine, rank); cosine rounded so a SQL oracle
     reproduces values despite float summation order.
+
+    Scale design: the query matrix rides in the UDF closure (one copy per
+    executor, the broadcast-dim-table pattern; bounded by ``max_queries`` —
+    beyond that chunk the queries or use the LSH/IVF paths).  Each corpus
+    partition computes ONE [batch, Q] matmul and keeps only its LOCAL
+    top-k-per-query candidates, so the shuffle carries ~partitions * Q * k
+    rows instead of the N * Q scored cross product (the previous crossJoin
+    plan moved every (query, corpus) pair through Arrow).  The local cut
+    keeps a 1.5/10^round_to raw-score slack below the k-th best so the
+    final Spark-side round + (cosine desc, id asc) window provably selects
+    the identical rows the full cross product would.
     """
-    # Plain cross join: for the common few-queries case AQE broadcasts the
-    # query side automatically (BroadcastNestedLoopJoin), which is the plan
-    # you want at any corpus size — one streaming pass over the embeddings.
-    joined = queries.crossJoin(
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    qrows = queries.select("query_id", "query_vec").collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            "cosine_topk: %d queries > max_queries=%d — chunk the queries "
+            "or use lsh_cosine_topk / ivf_cosine_topk"
+            % (len(qrows), max_queries)
         )
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    Qm = np.stack(
+        [np.asarray(r.query_vec, dtype=np.float64) for r in qrows]
     )
-    cos = _cosine_np_udf()
-    scored = joined.filter(F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cos(F.col("query_vec"), F.col("_v")), round_to).alias("cosine"),
+    Qn = Qm / (np.linalg.norm(Qm, axis=1, keepdims=True) + 1e-300)
+    slack = 1.5 / (10 ** round_to)
+
+    def score_partition(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-300)
+            S = Vn @ Qn.T                          # [n, Q] raw cosines
+            S[ids[:, None] == qids[None, :]] = -np.inf  # self-matches
+            keep_n = min(k, S.shape[0])
+            # k-th best raw score per query, minus the rounding slack
+            kth = -np.partition(-S, keep_n - 1, axis=0)[keep_n - 1, :]
+            mask = S >= (kth - slack)[None, :]
+            rows, cols = np.nonzero(mask)
+            out = pd.DataFrame(
+                {
+                    "query_id": qids[cols],
+                    "neighbor_id": ids[rows],
+                    "_raw": S[rows, cols],
+                }
+            )
+            yield out[np.isfinite(out["_raw"].to_numpy())]
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score_partition,
+        "query_id long, neighbor_id long, _raw double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.select(
+            "query_id", "neighbor_id",
+            F.round(F.col("_raw"), round_to).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

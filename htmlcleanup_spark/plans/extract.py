@@ -110,9 +110,9 @@ def run_extract(
     """Run the extraction pipeline; returns the run's counter dict.
 
     Writes results to ``output_table`` via Iceberg MERGE when a catalog table
-    is given, else parquet-append under ``output_path`` with a ``_done`` url
-    manifest for resume.  With neither, the counters are still computed (dry
-    run over the full plan).
+    is given, else parquet-append under ``output_path`` (the committed data
+    doubles as the resume checkpoint).  With neither, the counters are still
+    computed (dry run over the full plan).
     """
     pages = source if isinstance(source, DataFrame) else read_pages(spark, source)
 
