@@ -159,6 +159,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full dedup story end-to-end: candidate pairs -> connected
+    # components -> corpus filtered to one canonical doc per cluster
+    docs = _docs(spark, sf_dir)
+    clusters = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+    return dedup.dedup_survivors(docs, clusters).select("doc_id", "lang")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from htmlcleanup_spark.functions.text import corpus_stats
 
@@ -339,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         "corpus_stats": q_corpus_stats,
         "simhash64": q_simhash64,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -553,6 +562,24 @@ def oracle_sql() -> dict[str, str]:
               FROM reach JOIN edges ON reach.r = edges.u
             )
             SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        """,
+        "dedup_survivors": "WITH RECURSIVE "
+        + _LSH_PAIRS_CTE[len("WITH "):] + """,
+            edges AS (SELECT id_a AS u, id_b AS v FROM cpairs
+                      UNION SELECT id_b, id_a FROM cpairs),
+            reach(doc_id, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT reach.doc_id, edges.v
+              FROM reach JOIN edges ON reach.r = edges.u
+            ),
+            losers AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+              ) WHERE doc_id != cluster_id
+            )
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "corpus_stats": """
             SELECT lang,

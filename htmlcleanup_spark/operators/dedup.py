@@ -230,13 +230,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         )
         sh = sh.join(ids, id_col, "left_semi")
     if max_shingle_df is not None:
-        rare = (
+        # Anti-join against the HOT set, not semi-join against the rare
+        # set: hot shingles (df > cap) are the Zipf head — a small table —
+        # so AQE broadcasts it and the cap costs no extra shuffle of the
+        # big shingle table (the df aggregation itself is map-side-combined
+        # and carries one row per distinct shingle).  No broadcast hint: if
+        # the hot set ever outgrows the threshold AQE falls back to SMJ,
+        # still correct.
+        hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_shingle_df)
+            .filter(F.col("_df") > max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle", "left_semi")
+        sh = sh.join(hot, "shingle", "left_anti")
     sh = _pin(sh)  # consumed by sizes + both self-join sides
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
