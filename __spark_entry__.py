@@ -33,12 +33,23 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 _FIXDIR = os.path.join(_REPO, "tests", "fixtures")
 
 # --------------------------------------------------------------------------
-# pages wrap: documents.text -> a full page whose cascade output is exactly
-# reconstructable in SQL (the wrap is a fixed point of the cascade — the
-# text is ASCII, single-spaced, entity-free).
+# pages wrap: documents.text -> a PATHOLOGICAL page whose cascade output is
+# exactly reconstructable in SQL.  The input wrap carries real MSFP junk —
+# P1 font pair, P2 o:p pair, D2 mstheme comment, D3 <b>, I4 lang/line-height,
+# S3 align, S5 trailing empty <p> — and the cascade provably maps it to the
+# clean wrap (fixed point) for any ASCII single-spaced entity-free text, so
+# the 500-doc oracle checks CLEANUP SEMANTICS, not just plumbing (the
+# round-1 identity wrap only proved the latter).  The mapping is re-verified
+# per run by tests/test_spark_job.py::test_dirty_wrap_maps_to_clean_wrap.
 # --------------------------------------------------------------------------
-_WRAP_PRE = "<html>\n<head><title>d</title></head>\n<body>\n<p>"
-_WRAP_POST = "</p>\n<p>.</p>\n</body>\n</html>\n"
+_WRAP_PRE = (
+    "<html>\n<head><title>d</title></head>\n<body>\n"
+    '<!--mstheme--><font face="Book Antiqua">'
+    '<p lang="en" align="left" style="line-height: 100%"><b>d</b><o:p></o:p>'
+)
+_WRAP_POST = "</p>\n<p>.</p><p></p></font>\n</body>\n</html>\n"
+_CLEAN_PRE = "<html>\n<head><title>d</title></head>\n<body>\n<p><strong>d</strong>"
+_CLEAN_POST = "</p>\n<p>.</p>\n</body>\n</html>\n"
 
 
 def _sql_concat_literal(s: str) -> str:
@@ -496,14 +507,20 @@ def _clean_fixtures_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    wrap_pre = _sql_concat_literal(_WRAP_PRE)
-    wrap_post = _sql_concat_literal(_WRAP_POST)
+    dirty_pre = _sql_concat_literal(_WRAP_PRE)
+    dirty_post = _sql_concat_literal(_WRAP_POST)
+    clean_pre = _sql_concat_literal(_CLEAN_PRE)
+    clean_post = _sql_concat_literal(_CLEAN_POST)
     return {
+        # input is the DIRTY wrap; the oracle reconstructs the CLEAN wrap
+        # the cascade must produce (P1,P2,D2,D3,I4,S3,S5 all fire per doc)
         "clean_documents": f"""
             SELECT doc_id,
-                   concat({wrap_pre}, text, {wrap_post}) AS clean_text,
-                   length(concat({wrap_pre}, text, {wrap_post})) AS bytes_in,
-                   length(concat({wrap_pre}, text, {wrap_post})) AS bytes_out
+                   concat({clean_pre}, text, {clean_post}) AS clean_text,
+                   length(concat({dirty_pre}, text, {dirty_post}))
+                     AS bytes_in,
+                   length(concat({clean_pre}, text, {clean_post}))
+                     AS bytes_out
             FROM documents
         """,
         "clean_fixtures": _clean_fixtures_oracle(),

@@ -253,3 +253,30 @@ class TestPreparseDifferential:
         for length in (1, 2, 3, 4):
             for combo in itertools.product(tokens, repeat=length):
                 self._compare(helper, "".join(combo), "font", contents)
+
+
+def test_dirty_wrap_maps_to_clean_wrap():
+    """The driver-contract pages wrap is PATHOLOGICAL (P1 font pair, P2 o:p,
+    D2 comment, D3 <b>, I4 lang/style, S3 align, S5 trailing empty <p>) and
+    the cascade must map it to the clean wrap for any ASCII single-spaced
+    entity-free text — this is what makes the 500-doc clean_documents
+    oracle real cascade evidence rather than a plumbing identity check."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __spark_entry__ import _CLEAN_POST, _CLEAN_PRE, _WRAP_POST, _WRAP_PRE
+
+    for text in [
+        "Hello world this is a doc.",
+        "a",
+        "Der Hund und die Katze.",
+        "x y z w. Punct, stuff! (parens) 42.",
+        "No trailing dot",
+    ]:
+        r = clean_html(_WRAP_PRE + text + _WRAP_POST)
+        assert r.error is None
+        assert r.text == _CLEAN_PRE + text + _CLEAN_POST
+    fired = clean_html(_WRAP_PRE + "abc" + _WRAP_POST).rules_fired
+    for rule in ("p_preparse", "d2_comment", "d3_rename", "s3_alignment",
+                 "s5_trailing_empty_p"):
+        assert fired[rule] >= 1, rule
