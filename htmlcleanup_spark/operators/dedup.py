@@ -21,6 +21,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _drop_hot_buckets(banded: DataFrame, keys: list[str],
+                      max_bucket_size: int) -> DataFrame:
+    """Drop rows whose bucket holds more than ``max_bucket_size`` members.
+
+    A hot LSH bucket (a band key shared by m docs) emits m^2/2 candidate
+    pairs — the quadratic tail that dominates the self-join at corpus
+    scale while contributing near-zero information (its members are
+    already found by their other bands, or the key is degenerate).  Hot
+    buckets are few (Zipf head), so the anti-join side stays small and
+    AQE broadcasts it — the cap costs no extra shuffle of the big table
+    (same pattern as ngram_jaccard_pairs' max_shingle_df)."""
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(hot, keys, "left_anti")
+
+
 def _pin(df: DataFrame) -> DataFrame:
     """Materialize-once for a DataFrame consumed by several branches
     (self-joins recompute the whole upstream lineage per side otherwise).
@@ -120,11 +140,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+                        bands: int = 4, rows_per_band: int = 2,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Band-bucket join: docs agreeing on all rows of any band.
 
     signatures: output of minhash_signatures with num_hashes =
     bands * rows_per_band.  Returns distinct (id_a, id_b) with id_a < id_b.
+    ``max_bucket_size`` caps the m^2 hot-bucket tail (_drop_hot_buckets).
     """
     banded = (
         signatures.withColumn(
@@ -133,6 +155,9 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         .groupBy(id_col, "band")
         .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
     )
+    if max_bucket_size is not None:
+        banded = _drop_hot_buckets(banded, ["band", "band_key"],
+                                   max_bucket_size)
     # Pin: both sides of the self-join read this; without it Spark
     # recomputes the whole shingle->minhash lineage twice.
     banded = _pin(banded)
@@ -152,7 +177,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
-                      bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+                      bands: int = 4, rows_per_band: int = 2,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Fused MinHash+LSH candidate pairs straight from documents.
 
     Same result as ``lsh_candidate_pairs(minhash_signatures(df))`` but band
@@ -160,7 +186,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     each band, matching the oracle's ORDER BY minhash), so the whole
     docs -> candidate-pairs pipeline shuffles exactly twice at any scale:
     the one groupBy(id) in minhash_wide and the band-bucket self-join
-    (vs four for the unfused rows-format plan).
+    (vs four for the unfused rows-format plan).  ``max_bucket_size`` caps
+    the m^2 hot-bucket tail (_drop_hot_buckets) — the dial to set at
+    10^12 docs, where one degenerate band key (e.g. boilerplate-only
+    pages) otherwise emits a near-cartesian pair explosion.
     """
     wide = minhash_wide(df, text_col, id_col, k,
                         num_hashes=bands * rows_per_band)
@@ -184,6 +213,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_key")
+    if max_bucket_size is not None:
+        banded = _drop_hot_buckets(banded, ["band", "band_key"],
+                                   max_bucket_size)
     banded = _pin(banded)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")

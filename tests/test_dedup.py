@@ -117,3 +117,18 @@ def test_corpus_stats_hll_within_tolerance(spark):
     assert set(exact) == set(approx)
     for lang, n in exact.items():
         assert abs(approx[lang] - n) <= max(0.1 * n, 2), lang
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket_size drops degenerate band buckets (the m^2 tail): five
+    identical docs form hot buckets in every band and emit no pairs under
+    the cap, while a small genuine duplicate pair is still found."""
+    rows = [(i, "the same boilerplate text repeated here") for i in range(5)]
+    rows += [(10, "a unique document about owls and trees"),
+             (11, "a unique document about owls and trees")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_lsh_pairs(docs)
+    assert uncapped.count() == 10 + 1  # C(5,2) + the (10,11) pair
+    capped = dedup.minhash_lsh_pairs(docs, max_bucket_size=3)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(10, 11)}
