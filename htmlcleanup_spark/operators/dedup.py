@@ -434,8 +434,11 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25,
     path-shaped components (naive min-label propagation needs O(diameter)).
     Each round's edge set is localCheckpoint'ed: iterative plans otherwise
     grow lineage exponentially and re-execute every prior round.  The
-    convergence probe (exceptAll both ways) is exact; at 10^12-edge scale
-    you'd swap it for a count+hash-sum comparison (one job instead of two).
+    convergence probe is ONE aggregation job per round (edge count +
+    order-independent xxhash64 sum); a colliding non-equal edge set
+    (2^-64) would stop one round early — acceptable for any dedup use,
+    and the star-forest invariant below still yields valid labels because
+    the final groupBy takes the minimum root per node.
     """
     e = (
         pairs.select(
@@ -452,6 +455,16 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25,
         .distinct()
         .localCheckpoint()
     )
+    def _digest(edges: DataFrame):
+        row = edges.agg(
+            F.count("*").alias("n"),
+            # decimal(38) accumulator: a plain long sum of xxhash64 values
+            # overflows (ANSI mode raises on long overflow)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _digest(e)
     for _ in range(max_iterations):
         # large-star: every neighbor v > u links to m(u) = min(N(u) + {u})
         both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -484,9 +497,11 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25,
             .distinct()
             .localCheckpoint()
         )
-        if new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty():
+        cur = _digest(new_e)
+        if cur == prev:
             e = new_e
             break
+        prev = cur
         e = new_e
     else:
         raise RuntimeError(

@@ -172,3 +172,26 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     if "/" not in source:
         return spark.table(source)
     return spark.read.schema(PAGES_SCHEMA).parquet(source)
+
+
+def write_bucketed(df: DataFrame, table: str, path: str,
+                   buckets: int = 64, key: str = "url") -> None:
+    """Write ``df`` as an external parquet table bucketed (and sorted) by
+    ``key``.
+
+    Bucketing is the shuffle-elimination lever for the repeated url-keyed
+    joins at 10^12 rows: when the pages table and the committed-output
+    table are bucketed by url with the same bucket count, the resume
+    anti-join (plans/extract.py) and the latest-crawl dedup read
+    co-located buckets and the join plans with ZERO Exchange nodes
+    (asserted by tests/test_plans.py::test_bucketed_join_has_no_exchange).
+    Iceberg's equivalent is a bucket partition transform on url.
+    """
+    (
+        df.write.format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )

@@ -135,3 +135,30 @@ def test_resume_antijoin_not_forced_broadcast(spark, tmp_path):
     # none was given; a forced broadcast would show as a hint node upstream
     logical = joined._jdf.queryExecution().logical().toString()
     assert "hint" not in logical.lower()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located url-keyed join: two tables bucketed by url with the same
+    bucket count must join with ZERO Exchange nodes (the 10^12-row resume
+    anti-join plan).  Broadcast is disabled so the test can't pass via a
+    broadcast plan."""
+    from htmlcleanup_spark.sources.pages import synth_pages, write_bucketed
+
+    pages = synth_pages(spark, 50, num_partitions=2)
+    write_bucketed(pages, "t_pages_b", str(tmp_path / "pages_b"), buckets=4)
+    write_bucketed(
+        pages.select("url"), "t_done_b", str(tmp_path / "done_b"), buckets=4
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_pages_b").join(
+            spark.table("t_done_b"), "url", "left_anti"
+        )
+        plan = plan_of(joined)
+        assert n_exchanges(plan) == 0, plan
+        assert joined.count() == 0  # every url is 'done'
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_pages_b")
+        spark.sql("DROP TABLE IF EXISTS t_done_b")
