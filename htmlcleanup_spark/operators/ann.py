@@ -397,3 +397,80 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF on-disk index: embeddings partitioned by list_id -> pruned scans
+# ---------------------------------------------------------------------------
+
+def ivf_build_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF index as a parquet table PARTITIONED BY list_id.
+
+    This is the physical layout the ivf_cosine_topk docstring promises at
+    corpus scale: a probe for lists {3, 7} becomes a partition filter, so
+    the scan READS only those directories instead of filtering rows — the
+    difference between touching nprobe/n_centroids of the bytes and
+    touching all of them.  The quantizer matrix is stored alongside
+    (_centroids.npy) so searches reproduce the exact assignment.
+    """
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    indexed = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        F.element_at(_assign_udf(cents, 1)(F.col(vec_col)), 1)
+        .alias("list_id"),
+    )
+    indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    np.save(path.rstrip("/") + "/_centroids.npy", cents,
+            allow_pickle=False)
+
+
+def ivf_search_index(spark: SparkSession, path: str, queries: DataFrame,
+                     k: int = 10, nprobe: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_to: int = 4) -> DataFrame:
+    """Search an ivf_build_index layout; the probe-list filter is a
+    PartitionFilter on the scan (asserted by tests/test_ann.py), so only
+    the probed inverted lists are read from storage.
+
+    The probe set is the union of every query's nprobe nearest lists,
+    computed driver-side from the stored quantizer (queries are the small
+    side by construction); per-query restriction to ITS OWN lists then
+    happens in the join, as in ivf_cosine_topk.
+    """
+    cents = np.load(path.rstrip("/") + "/_centroids.npy",
+                    allow_pickle=False)
+    corp = spark.read.parquet(path)
+
+    q = queries.withColumn(
+        "list_id", F.explode(_assign_udf(cents, nprobe)(F.col("query_vec")))
+    )
+    probe_lists = sorted(
+        {r["list_id"] for r in q.select("list_id").distinct().collect()}
+    )
+    # plain IN-list predicate on the partition column -> partition pruning
+    corp = corp.filter(F.col("list_id").isin(probe_lists)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        "list_id",
+    )
+    cos = _cosine_np_udf()
+    scored = (
+        q.join(corp, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos(F.col("query_vec"), F.col("_v")), round_to)
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -161,3 +161,24 @@ def test_lsh_multiprobe_covers_hamming_le_1(spark):
     got = ann.embedding_near_dup_pairs(emb, threshold=-1.0)
     found = {(r.id_a, r.id_b) for r in got.collect()}
     assert found == expected
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The on-disk IVF layout must turn probe lists into PartitionFilters
+    (reading only the probed directories) and return exactly the same
+    rows as the in-memory ivf_cosine_topk at the same settings."""
+    from htmlcleanup_spark.operators import ann
+
+    emb, qs = _emb_queries(spark)
+    path = str(tmp_path / "ivf_idx")
+    ann.ivf_build_index(emb, path, n_centroids=16)
+    got = ann.ivf_search_index(spark, path, qs, k=10, nprobe=4)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "list_id" in pf[0], plan
+    mem = ann.ivf_cosine_topk(emb, qs, k=10, n_centroids=16, nprobe=4)
+    a = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in got.collect()}
+    b = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in mem.collect()}
+    assert a == b and len(a) > 0
