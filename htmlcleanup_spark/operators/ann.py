@@ -49,22 +49,6 @@ def _cosine_np_udf():
     return cos
 
 
-def _cosine(a, b):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda v: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return dot / (norm(a) * norm(b))
-
-
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_to: int = 4, max_queries: int = 65536) -> DataFrame:
