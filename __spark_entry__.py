@@ -247,9 +247,12 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from htmlcleanup_spark.functions.text import bpe_token_count
+
     return _docs(spark, sf_dir).select(
         "doc_id",
         token_count().alias("n_tokens"),
+        bpe_token_count().alias("n_bpe_tokens"),
         F.length("text").alias("n_char"),
         quality_score().alias("quality_e6"),
         fingerprint().alias("fp"),
@@ -642,13 +645,17 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT doc_id,
                      len(string_split(text, ' ')) AS n_tokens,
+                     len(regexp_extract_all(text,
+                         ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+                       AS n_bpe_tokens,
                      length(text) AS n_char,
                      length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
                        AS alpha_chars,
                      md5(text) AS fp
               FROM documents
             )
-            SELECT doc_id, n_tokens, n_char, {_QUALITY_SQL} AS quality_e6, fp
+            SELECT doc_id, n_tokens, n_bpe_tokens, n_char,
+                   {_QUALITY_SQL} AS quality_e6, fp
             FROM base
         """,
         "lang_id": """

@@ -28,6 +28,20 @@ def token_count(text_col: str = "text") -> Column:
     return F.size(tokens(text_col))
 
 
+# GPT-2-style pre-tokenizer shape, restricted to the dialect both Spark
+# (Java regex) and DuckDB (RE2) evaluate identically on the ASCII corpus:
+# a token is an optionally space-prefixed letter run, digit run, or
+# punctuation run.  This tracks BPE token counts (the unit training
+# budgets are written in) far better than whitespace words, which glue
+# punctuation onto words.
+_BPE_ISH = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(text_col: str = "text") -> Column:
+    """Training-token estimate via the BPE-ish pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), 0))
+
+
 def stopword_hits(text_col: str, words) -> Column:
     """Number of tokens that are one of ``words``."""
     return F.size(
