@@ -232,8 +232,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF-flat scale path: nprobe/n_centroids bounds the scanned fraction.
-    # Rows-only check (approximate recall; no SQL twin) — the recall floor
-    # vs exact brute force is asserted in tests/test_ann.py instead.
+    # Fully SQL-expressible: the quantizer is the 16 corpus vectors with
+    # the smallest md5(id) (portable hash), assignment is argmax cosine
+    # with stable cid tie-break — the DuckDB oracle reproduces centroids,
+    # lists, probes, and ranking end-to-end.
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -318,8 +320,12 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline (synth pages -> dedup -> skew repartition -> cascade);
-    rows-only check (the pathological corpus has no SQL twin)."""
+    """Full pipeline (synth pages -> dedup -> skew repartition -> cascade),
+    hash-checked: the oracle is the pure-Python engine run driver-side over
+    the same deterministic corpus (sources.pages.expected_extract_rows), so
+    the distributed plumbing — dedup window, repartition, Arrow batching,
+    column wiring — must map every url to the byte-exact engine output
+    (compared via md5 to keep the oracle literal small)."""
     from htmlcleanup_spark.plans.extract import dedup_latest_by_url, size_bucket_salt
     from htmlcleanup_spark.sources.pages import synth_pages
 
@@ -328,7 +334,10 @@ def q_extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
         8, "size_bucket", "salt"
     ).drop("size_bucket", "salt")
     out = _run_cascade(df)
-    return out.select("url", "text", "error", "bytes_in", "bytes_out")
+    return out.select(
+        "url", F.md5("text").alias("text_md5"), "error",
+        "bytes_in", "bytes_out",
+    )
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,6 +500,36 @@ _QUALITY_SQL = (
 )
 
 
+def _extract_synth_oracle() -> str:
+    """VALUES literal of the expected extract_synth rows: the pure engine
+    run over the same deterministic 200-page corpus, dedup'd the same way
+    (sources.pages.expected_extract_rows)."""
+    import hashlib
+
+    from htmlcleanup_spark.sources.pages import expected_extract_rows
+
+    rows = []
+    for url, text, error, b_in, b_out in expected_extract_rows(200):
+        md = (
+            "'%s'" % hashlib.md5(text.encode("utf-8")).hexdigest()
+            if text is not None
+            else "CAST(NULL AS VARCHAR)"
+        )
+        err = (
+            "'%s'" % error.replace("'", "''")
+            if error is not None
+            else "CAST(NULL AS VARCHAR)"
+        )
+        rows.append(
+            "('%s', %s, %s, CAST(%d AS BIGINT), CAST(%d AS BIGINT))"
+            % (url, md, err, b_in, b_out)
+        )
+    return (
+        "SELECT * FROM (VALUES %s) "
+        "AS t(url, text_md5, error, bytes_in, bytes_out)" % ", ".join(rows)
+    )
+
+
 def _clean_fixtures_oracle() -> str:
     rows = []
     for out_path in sorted(glob.glob(os.path.join(_FIXDIR, "*", "*.out.html"))):
@@ -527,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "clean_fixtures": _clean_fixtures_oracle(),
+        "extract_synth": _extract_synth_oracle(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
                    count(*) AS n_copies
@@ -751,6 +791,53 @@ def oracle_sql() -> dict[str, str]:
             _COS_SQL.format(a="a.v", b="b.v"),
             _lsh_hit_sql("a.", "b."),
         ),
+        # the IVF path's SQL twin: same md5-sampled centroids, same
+        # argmax-cosine assignment (ties -> lower cid, matching the stable
+        # argsort in ann._assign_udf), same probe-join and ranking
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            cents AS (
+              SELECT cid, cv FROM (
+                SELECT row_number() OVER
+                         (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+                       v AS cv
+                FROM e
+              ) WHERE cid < 16
+            ),
+            sims AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     list_dot_product(e.v, c.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(c.cv, c.cv))) AS sim
+              FROM e CROSS JOIN cents c
+            ),
+            asg AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
+              FROM sims
+            ),
+            corp AS (SELECT vec_id AS neighbor_id, v AS nv, cid AS list_id
+                     FROM asg WHERE rk = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv, cid AS list_id
+                  FROM asg WHERE vec_id % 50 = 0 AND rk <= 8),
+            scored AS (
+              SELECT q.query_id, corp.neighbor_id,
+                     round(list_dot_product(qv, nv) /
+                           (sqrt(list_dot_product(qv, qv)) *
+                            sqrt(list_dot_product(nv, nv))), 4) AS cosine
+              FROM q JOIN corp USING (list_id)
+              WHERE neighbor_id != query_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked
+            WHERE rank <= 10
+        """,
         "multimodal_meta": """
             SELECT doc_id, length(text) AS n_bytes, md5(text) AS digest
             FROM documents
@@ -774,8 +861,4 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
-        # rows-only (no portable SQL twin): ann_ivf_topk (approximate;
-        #   recall floor asserted in tests/test_ann.py), extract_synth
-        #   (pathological corpus, engine semantics carried by
-        #   clean_fixtures + the preparse differential sweep)
     }

@@ -22,8 +22,9 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -56,12 +57,16 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
     queries: DataFrame with (query_id, query_vec).  Returns
     (query_id, neighbor_id, cosine, rank); cosine rounded so a SQL oracle
-    reproduces values despite float summation order.
+    reproduces values despite float summation order.  Id columns keep
+    their input types (int, long, string, ... — the output schema is
+    derived from the inputs, nothing is narrowed to long).
 
     Scale design: the query matrix rides in the UDF closure (one copy per
-    executor, the broadcast-dim-table pattern; bounded by ``max_queries`` —
-    beyond that chunk the queries or use the LSH/IVF paths).  Each corpus
-    partition computes ONE [batch, Q] matmul and keeps only its LOCAL
+    executor, the broadcast-dim-table pattern).  More than ``max_queries``
+    queries are processed in chunks — one corpus pass per chunk, results
+    unioned — so memory per executor stays bounded at ~max_queries * dim
+    doubles with exactness preserved at any Q.  Each corpus partition
+    computes ONE [batch, Q] matmul and keeps only its LOCAL
     top-k-per-query candidates, so the shuffle carries ~partitions * Q * k
     rows instead of the N * Q scored cross product (the previous crossJoin
     plan moved every (query, corpus) pair through Arrow).  The local cut
@@ -70,46 +75,54 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     the identical rows the full cross product would.
     """
     qrows = queries.select("query_id", "query_vec").collect()
-    if len(qrows) > max_queries:
-        raise ValueError(
-            "cosine_topk: %d queries > max_queries=%d — chunk the queries "
-            "or use lsh_cosine_topk / ivf_cosine_topk"
-            % (len(qrows), max_queries)
-        )
-    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
-    Qm = np.stack(
-        [np.asarray(r.query_vec, dtype=np.float64) for r in qrows]
+    qid_type = queries.schema["query_id"].dataType.simpleString()
+    nid_type = embeddings.schema[id_col].dataType.simpleString()
+    scored_ddl = "query_id %s, neighbor_id %s, _raw double" % (
+        qid_type, nid_type,
     )
-    Qn = Qm / (np.linalg.norm(Qm, axis=1, keepdims=True) + 1e-300)
     slack = 1.5 / (10 ** round_to)
 
-    def score_partition(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Vn = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-300)
-            S = Vn @ Qn.T                          # [n, Q] raw cosines
-            S[ids[:, None] == qids[None, :]] = -np.inf  # self-matches
-            keep_n = min(k, S.shape[0])
-            # k-th best raw score per query, minus the rounding slack
-            kth = -np.partition(-S, keep_n - 1, axis=0)[keep_n - 1, :]
-            mask = S >= (kth - slack)[None, :]
-            rows, cols = np.nonzero(mask)
-            out = pd.DataFrame(
-                {
-                    "query_id": qids[cols],
-                    "neighbor_id": ids[rows],
-                    "_raw": S[rows, cols],
-                }
-            )
-            yield out[np.isfinite(out["_raw"].to_numpy())]
+    corpus = embeddings.select(id_col, vec_col)
+    if not qrows:
+        return embeddings.sparkSession.createDataFrame(
+            [], scored_ddl + ", cosine double, rank int"
+        ).select("query_id", "neighbor_id", "cosine", "rank")
+    scored = None
+    for lo in range(0, len(qrows), max_queries):
+        chunk = qrows[lo : lo + max_queries]
+        # numpy object dtype keeps string/decimal ids comparable; numeric
+        # ids stay numeric for the vectorized self-match mask either way
+        qids = np.array([r.query_id for r in chunk])
+        Qm = np.stack(
+            [np.asarray(r.query_vec, dtype=np.float64) for r in chunk]
+        )
+        Qn = Qm / (np.linalg.norm(Qm, axis=1, keepdims=True) + 1e-300)
 
-    scored = embeddings.select(id_col, vec_col).mapInPandas(
-        score_partition,
-        "query_id long, neighbor_id long, _raw double",
-    )
+        def score_partition(batches, qids=qids, Qn=Qn):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy()
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                Vn = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-300)
+                S = Vn @ Qn.T                          # [n, Q] raw cosines
+                S[ids[:, None] == qids[None, :]] = -np.inf  # self-matches
+                keep_n = min(k, S.shape[0])
+                # k-th best raw score per query, minus the rounding slack
+                kth = -np.partition(-S, keep_n - 1, axis=0)[keep_n - 1, :]
+                mask = S >= (kth - slack)[None, :]
+                rows, cols = np.nonzero(mask)
+                out = pd.DataFrame(
+                    {
+                        "query_id": qids[cols],
+                        "neighbor_id": ids[rows],
+                        "_raw": S[rows, cols],
+                    }
+                )
+                yield out[np.isfinite(out["_raw"].to_numpy())]
+
+        part = corpus.mapInPandas(score_partition, scored_ddl)
+        scored = part if scored is None else scored.unionByName(part)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -302,8 +315,12 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
 def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
                   id_col: str = "vec_id", vec_col: str = "embedding"):
     """Deterministic coarse quantizer: the n_centroids corpus vectors with
-    the smallest xxhash64(id) — a seedless uniform sample, reproducible
-    across runs and executors.  Returns a unit-normalized numpy [C, dim].
+    the smallest md5(cast(id as string)) — a seedless uniform sample,
+    reproducible across runs and executors, and portable: any SQL engine
+    reproduces the same sample (md5 is the repo-wide portable-hash
+    convention, operators/dedup.py), which is what lets the whole IVF path
+    be checked against a DuckDB oracle.  Centroid index = rank in md5
+    order.  Returns a unit-normalized numpy [C, dim].
 
     At 10^12 rows you'd train this with MLlib KMeans (kmeans||) on a
     sample instead; everything downstream is unchanged — the quantizer is
@@ -314,7 +331,7 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
     rows = (
         embeddings.select(
             F.col(vec_col).alias("_v"),
-            F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
         )
         .orderBy("_h")
         .limit(n_centroids)
@@ -335,8 +352,10 @@ def _assign_udf(centroids, nprobe: int):
         va = np.stack(v.to_numpy()).astype(np.float64)
         va = va / (np.linalg.norm(va, axis=1, keepdims=True) + 1e-12)
         sims = va @ centroids.T
-        top = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
-        return pd.Series(list(top))
+        # stable sort: similarity ties break toward the LOWER centroid id,
+        # matching the SQL oracle's ORDER BY sim DESC, cid ASC
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(top.astype("int32")))
 
     return assign
 
@@ -396,8 +415,11 @@ def ivf_build_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
     corpus scale: a probe for lists {3, 7} becomes a partition filter, so
     the scan READS only those directories instead of filtering rows — the
     difference between touching nprobe/n_centroids of the bytes and
-    touching all of them.  The quantizer matrix is stored alongside
-    (_centroids.npy) so searches reproduce the exact assignment.
+    touching all of them.  The quantizer is stored alongside as a tiny
+    parquet dataset (``_centroids/``) written through Spark, so the index
+    is self-contained on ANY storage the parquet writer supports (HDFS,
+    S3, ...), not just the driver's local POSIX disk; underscore-prefixed
+    paths are invisible to the main table scan (Hadoop hidden-path rule).
     """
     cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     indexed = embeddings.select(
@@ -406,8 +428,24 @@ def ivf_build_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
         .alias("list_id"),
     )
     indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
-    np.save(path.rstrip("/") + "/_centroids.npy", cents,
-            allow_pickle=False)
+    spark = embeddings.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in cents[i]]) for i in range(len(cents))
+    ]
+    (
+        spark.createDataFrame(cent_rows, "cid int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path.rstrip("/") + "/_centroids")
+    )
+
+
+def load_ivf_centroids(spark: SparkSession, path: str):
+    """The stored quantizer of an ivf_build_index layout as numpy [C, dim]."""
+    rows = spark.read.parquet(path.rstrip("/") + "/_centroids").collect()
+    rows.sort(key=lambda r: r["cid"])
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64)
+                     for r in rows])
 
 
 def ivf_search_index(spark: SparkSession, path: str, queries: DataFrame,
@@ -418,21 +456,32 @@ def ivf_search_index(spark: SparkSession, path: str, queries: DataFrame,
     PartitionFilter on the scan (asserted by tests/test_ann.py), so only
     the probed inverted lists are read from storage.
 
-    The probe set is the union of every query's nprobe nearest lists,
-    computed driver-side from the stored quantizer (queries are the small
-    side by construction); per-query restriction to ITS OWN lists then
-    happens in the join, as in ivf_cosine_topk.
+    Queries are the small side by construction, so they are collected once
+    and both the per-query probe lists AND the global probe set are
+    computed driver-side from the stored quantizer — zero extra Spark
+    jobs before the single search job.  Per-query restriction to ITS OWN
+    lists happens in the join, as in ivf_cosine_topk.
     """
-    cents = np.load(path.rstrip("/") + "/_centroids.npy",
-                    allow_pickle=False)
+    cents = load_ivf_centroids(spark, path)
     corp = spark.read.parquet(path)
 
-    q = queries.withColumn(
-        "list_id", F.explode(_assign_udf(cents, nprobe)(F.col("query_vec")))
+    qrows = queries.select("query_id", "query_vec").collect()
+    Qm = np.stack(
+        [np.asarray(r["query_vec"], dtype=np.float64) for r in qrows]
     )
-    probe_lists = sorted(
-        {r["list_id"] for r in q.select("list_id").distinct().collect()}
+    Qn = Qm / (np.linalg.norm(Qm, axis=1, keepdims=True) + 1e-12)
+    top = np.argsort(-(Qn @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    q = spark.createDataFrame(
+        [
+            (r["query_id"], list(r["query_vec"]), int(lid))
+            for r, lids in zip(qrows, top)
+            for lid in lids
+        ],
+        queries.select("query_id", "query_vec").schema.add(
+            "list_id", T.IntegerType()
+        ),
     )
+    probe_lists = sorted({int(x) for x in top.ravel()})
     # plain IN-list predicate on the partition column -> partition pruning
     corp = corp.filter(F.col("list_id").isin(probe_lists)).select(
         F.col(id_col).alias("neighbor_id"),

@@ -167,6 +167,33 @@ def _row_for(i: int, seed: int, dup_every: int):
     )
 
 
+def expected_extract_rows(n: int, seed: int = 42, dup_every: int = 10):
+    """Driver-side twin of (synth_pages -> dedup_latest_by_url -> cascade):
+    the byte-exact expected output rows (url, text, error, bytes_in,
+    bytes_out), computed with the same pure engine the Arrow UDF runs.
+
+    This is what makes the full Spark pipeline oracle-checkable: the
+    engine itself is proven against the reference's 51 fixtures
+    (tests/fixtures), and this function lets a SQL oracle assert that the
+    DISTRIBUTED path (dedup window + skew repartition + cascade + column
+    plumbing) maps every url to exactly the output the pure engine
+    produces.  Dedup semantics match plans.extract.dedup_latest_by_url:
+    newest warc_ts per url wins ((url, warc_ts) is unique by construction).
+    """
+    from ..engine.clean import clean_html
+    from ..engine.rules import DEFAULT_RULES
+
+    latest: dict = {}
+    for url, ts, html, _text, _lang in synth_rows(n, seed, dup_every):
+        if url not in latest or ts > latest[url][0]:
+            latest[url] = (ts, html)
+    out = []
+    for url in sorted(latest):
+        res = clean_html(latest[url][1], DEFAULT_RULES)
+        out.append((url, res.text, res.error, res.bytes_in, res.bytes_out))
+    return out
+
+
 def read_pages(spark: SparkSession, source: str) -> DataFrame:
     """Load the pages table: an Iceberg/catalog table name or a parquet path."""
     if "/" not in source:

@@ -12,17 +12,25 @@ parallelism is file-count, which is how Common Crawl ships (1 GB segment
 files).  The parser is a self-contained implementation of the public
 WARC/1.0 record grammar (version line, CRLF-separated headers, blank line,
 Content-Length octets, CRLF CRLF separator); only ``response`` records are
-emitted, with the HTTP envelope stripped.  Gzip members (.warc.gz is a
-concatenation of per-record gzip members) are handled by decompressing the
-whole stream first — correct for multi-member files because zlib is run
-member-by-member.
+emitted, with the HTTP envelope stripped.
+
+Task-memory bound: a 1 GB .warc.gz segment decompresses to ~4-5 GB; with
+several concurrent tasks per executor, materializing that (plus all its
+records in one pandas frame) is the first OOM at real scale.  So the
+decompressor walks the stream's gzip members INCREMENTALLY (zlib
+decompressobj; .warc.gz is a concatenation of per-record members), the
+record scanner consumes a rolling buffer that is trimmed as records
+complete, and records are yielded in batches capped at ``max_batch_bytes``
+of html.  Peak task memory is then ~(compressed file + one batch + the
+largest single record), independent of the decompressed file size.
 """
 
 from __future__ import annotations
 
 import gzip
 import io
-from collections.abc import Iterator
+import zlib
+from collections.abc import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -32,69 +40,149 @@ PAGES_DDL = (
 
 _CRLF = b"\r\n"
 
+# incremental-scan outcomes
+_NEED_MORE = "need_more"   # incomplete record: wait for more stream data
+_STOP = "stop"             # terminal garbage / truncation: end the scan
+
+
+def _scan_one(buf: bytes, pos: int, final: bool):
+    """Scan one record at ``pos``; returns (record_or_None, new_pos, status).
+
+    status: "ok" (record consumed; record is None for non-response types),
+    _NEED_MORE (record extends past the buffer — caller appends data and
+    retries), or _STOP (garbage / truncated tail — scan ends, matching the
+    reference behavior that a truncated final record must not poison the
+    whole file).
+    """
+    n = len(buf)
+    # skip inter-record CRLFs
+    while buf.startswith(_CRLF, pos):
+        pos += 2
+    if pos >= n or (n - pos < 5 and not final):
+        return None, pos, (_STOP if final else _NEED_MORE)
+    if not buf.startswith(b"WARC/", pos):
+        # enough bytes to rule the magic out (or stream end): garbage
+        if n - pos >= 5 or final:
+            return None, pos, _STOP
+        return None, pos, _NEED_MORE
+    hdr_end = buf.find(_CRLF + _CRLF, pos)
+    if hdr_end == -1:
+        return None, pos, (_STOP if final else _NEED_MORE)
+    headers = {}
+    lines = buf[pos:hdr_end].split(_CRLF)
+    for line in lines[1:]:  # lines[0] is the WARC/1.x version line
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().lower()] = v.strip()
+    try:
+        length = int(headers.get(b"content-length", b""))
+    except ValueError:
+        return None, pos, _STOP
+    block_start = hdr_end + 4
+    if block_start + length > n:
+        return None, pos, (_STOP if final else _NEED_MORE)
+    block = buf[block_start : block_start + length]
+    new_pos = block_start + length
+    if headers.get(b"warc-type") != b"response":
+        return None, new_pos, "ok"
+    url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+    ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
+    # strip the HTTP response envelope if present
+    if block[:5] == b"HTTP/":
+        http_end = block.find(_CRLF + _CRLF)
+        html = block[http_end + 4 :] if http_end != -1 else b""
+    else:
+        html = block
+    return {"url": url, "warc_ts": ts, "html": html}, new_pos, "ok"
+
+
+def iter_warc_records(chunks: Iterable[bytes]) -> Iterator[dict]:
+    """Yield {url, warc_ts, html} per WARC *response* record across a
+    stream of byte chunks, holding only the unconsumed tail in memory.
+
+    Malformed trailing garbage ends the scan rather than raising: a
+    truncated tail record in a crawl segment must not poison the file.
+    """
+    buf = b""
+    it = iter(chunks)
+    final = False
+    while True:
+        rec, pos, status = _scan_one(buf, 0, final)
+        if status == "ok":
+            buf = buf[pos:]  # trim consumed prefix: the rolling buffer
+            if rec is not None:
+                yield rec
+            continue
+        if status == _STOP or final:
+            return
+        nxt = next(it, None)
+        if nxt is None:
+            final = True
+        else:
+            buf += nxt
+
 
 def parse_warc_records(data: bytes) -> Iterator[dict]:
-    """Yield {url, warc_ts, html} per WARC *response* record in ``data``.
-
-    Pure function over bytes (unit-testable without Spark).  Malformed
-    trailing garbage ends the scan rather than raising: a truncated tail
-    record in a crawl segment should not poison the whole file.
-    """
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record CRLFs
-        while data.startswith(_CRLF, pos):
-            pos += 2
-        if pos >= n:
-            break
-        if not data.startswith(b"WARC/", pos):
-            break  # trailing garbage / truncated record
-        hdr_end = data.find(_CRLF + _CRLF, pos)
-        if hdr_end == -1:
-            break
-        headers = {}
-        lines = data[pos:hdr_end].split(_CRLF)
-        for line in lines[1:]:  # lines[0] is the WARC/1.x version line
-            k, sep, v = line.partition(b":")
-            if sep:
-                headers[k.strip().lower()] = v.strip()
-        try:
-            length = int(headers.get(b"content-length", b""))
-        except ValueError:
-            break
-        block_start = hdr_end + 4
-        if block_start + length > n:
-            break  # truncated final record
-        block = data[block_start : block_start + length]
-        pos = block_start + length
-        if headers.get(b"warc-type") != b"response":
-            continue
-        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
-        ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
-        # strip the HTTP response envelope if present
-        if block[:5] in (b"HTTP/",):
-            http_end = block.find(_CRLF + _CRLF)
-            html = block[http_end + 4 :] if http_end != -1 else b""
-        else:
-            html = block
-        yield {"url": url, "warc_ts": ts, "html": html}
+    """Whole-bytes convenience wrapper over :func:`iter_warc_records`
+    (pure function over bytes; unit-testable without Spark)."""
+    return iter_warc_records((data,))
 
 
-def _maybe_gunzip(content: bytes) -> bytes:
+def _iter_decompressed(content: bytes,
+                       chunk_bytes: int = 4 << 20) -> Iterator[bytes]:
+    """Decompressed chunks of ``content`` without materializing the whole
+    stream: gzip members (.warc.gz = one member per record) are walked with
+    a zlib decompressobj, restarted at each member boundary via
+    unused_data.  Plain (non-gzip) content is yielded as-is (binaryFile
+    already holds it in memory)."""
     if content[:2] != b"\x1f\x8b":
-        return content
-    out = io.BytesIO()
-    stream = io.BytesIO(content)
-    # .warc.gz = concatenated gzip members (one per record); GzipFile
-    # iterates members transparently
-    with gzip.GzipFile(fileobj=stream) as gz:
-        out.write(gz.read())
-    return out.getvalue()
+        yield content
+        return
+    view = memoryview(content)
+    n = len(content)
+    pos = 0
+    d = zlib.decompressobj(wbits=31)
+    while pos < n:
+        piece = bytes(view[pos : pos + chunk_bytes])
+        pos += len(piece)
+        while piece:
+            try:
+                out = d.decompress(piece)
+            except zlib.error:
+                return  # corrupt member: end the stream, keep the prefix
+            if out:
+                yield out
+            if not d.eof:
+                break  # member continues in the next compressed chunk
+            # member boundary: restart the decompressor on the leftover
+            piece = d.unused_data
+            d = zlib.decompressobj(wbits=31)
+            if piece and len(piece) >= 2 and piece[:2] != b"\x1f\x8b":
+                return  # trailing non-gzip garbage after the last member
+            # (a 1-byte leftover may be a member magic split across
+            # chunks — the new decompressobj buffers it and waits)
+
+
+def iter_warc_batches(content: bytes,
+                      max_batch_bytes: int = 64 << 20) -> Iterator[list]:
+    """Record batches [(url, ts, html), ...] from one WARC file's bytes,
+    each batch holding at most ``max_batch_bytes`` of html (at least one
+    record per batch, so a single oversized record still flows)."""
+    batch: list = []
+    acc = 0
+    for rec in iter_warc_records(_iter_decompressed(content)):
+        if batch and acc + len(rec["html"]) > max_batch_bytes:
+            yield batch
+            batch, acc = [], 0
+        batch.append((rec["url"], rec["warc_ts"], rec["html"]))
+        acc += len(rec["html"])
+    if batch:
+        yield batch
 
 
 def read_warc(spark: SparkSession, path: str,
-              path_glob: str = "*.warc*") -> DataFrame:
+              path_glob: str = "*.warc*",
+              max_batch_bytes: int = 64 << 20) -> DataFrame:
     """Read a directory of .warc / .warc.gz files as the pages table."""
     import pandas as pd
 
@@ -107,15 +195,13 @@ def read_warc(spark: SparkSession, path: str,
 
     def parse(batches):
         for pdf in batches:
-            rows = []
             for content in pdf["content"]:
-                for rec in parse_warc_records(_maybe_gunzip(bytes(content))):
-                    rows.append(
-                        (rec["url"], rec["warc_ts"], rec["html"], None, None)
+                for batch in iter_warc_batches(bytes(content),
+                                               max_batch_bytes):
+                    yield pd.DataFrame(
+                        [(u, t, h, None, None) for u, t, h in batch],
+                        columns=["url", "_ts", "html", "text", "lang"],
                     )
-            yield pd.DataFrame(
-                rows, columns=["url", "_ts", "html", "text", "lang"]
-            )
 
     raw = files.mapInPandas(
         parse, "url string, _ts string, html binary, text string, lang string"

@@ -163,6 +163,40 @@ def test_lsh_multiprobe_covers_hamming_le_1(spark):
     assert found == expected
 
 
+def test_cosine_topk_chunked_matches_single_pass(spark):
+    """Q > max_queries falls back to chunked corpus passes; the unioned
+    result must equal the single-pass result exactly (exactness is the
+    whole point of the brute-force baseline)."""
+    from htmlcleanup_spark.operators import ann
+
+    emb, qs = _emb_queries(spark)
+    single = ann.cosine_topk(emb, qs, k=5)
+    chunked = ann.cosine_topk(emb, qs, k=5, max_queries=3)
+    a = {tuple(r) for r in single.collect()}
+    b = {tuple(r) for r in chunked.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_cosine_topk_string_ids(spark):
+    """Id columns keep their input types: string vec_id/query_id must work
+    and the self-match mask must still exclude identity pairs."""
+    from htmlcleanup_spark.operators import ann
+
+    emb = _planted_corpus(spark, n_base=10).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    qs = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ann.cosine_topk(emb, qs, k=3)
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["neighbor_id"] == "string"
+    rows = out.collect()
+    assert len(rows) == 12
+    assert all(r.query_id != r.neighbor_id for r in rows)
+
+
 def test_ivf_index_partition_pruning(spark, tmp_path):
     """The on-disk IVF layout must turn probe lists into PartitionFilters
     (reading only the probed directories) and return exactly the same

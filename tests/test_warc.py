@@ -6,6 +6,8 @@ from __future__ import annotations
 import pytest
 
 from htmlcleanup_spark.sources.warc import (
+    iter_warc_batches,
+    iter_warc_records,
     parse_warc_records,
     read_warc,
     write_synth_warc,
@@ -33,6 +35,55 @@ def test_parser_truncated_tail(tmp_path):
     # chop mid-record: parser must yield the intact prefix, not raise
     recs = list(parse_warc_records(data[: len(data) - 40]))
     assert len(recs) == 2
+
+
+def test_incremental_parse_matches_whole_bytes(tmp_path):
+    """The rolling-buffer scanner fed 1 KB chunks must yield exactly the
+    records the whole-bytes parse does (records straddle chunk edges)."""
+    p = str(tmp_path / "a.warc")
+    write_synth_warc(p, 12)
+    with open(p, "rb") as f:
+        data = f.read()
+    whole = list(parse_warc_records(data))
+    chunks = [data[i : i + 1024] for i in range(0, len(data), 1024)]
+    assert len(chunks) > 3
+    incr = list(iter_warc_records(chunks))
+    assert incr == whole and len(incr) == 12
+
+
+def test_gz_batches_bounded(tmp_path):
+    """A multi-member .warc.gz above the byte cap must stream out in >1
+    batch (the task-memory bound), with zero record loss vs the
+    uncompressed parse — the decompressed file is never materialized."""
+    p = str(tmp_path / "a.warc.gz")
+    write_synth_warc(p, 30, compress=True)
+    with open(p, "rb") as f:
+        gz = f.read()
+    batches = list(iter_warc_batches(gz, max_batch_bytes=8_000))
+    assert len(batches) > 1
+    total = [r for b in batches for r in b]
+    pu = str(tmp_path / "a.warc")
+    write_synth_warc(pu, 30)
+    with open(pu, "rb") as f:
+        expected = list(parse_warc_records(f.read()))
+    assert [(u, t, h) for u, t, h in total] == [
+        (r["url"], r["warc_ts"], r["html"]) for r in expected
+    ]
+    # every batch except possibly the last respects the cap (single
+    # oversized records excepted — none here)
+    for b in batches[:-1]:
+        assert sum(len(h) for _, _, h in b) <= 8_000 or len(b) == 1
+
+
+def test_gz_truncated_member_keeps_prefix(tmp_path):
+    """A corrupt/truncated trailing gzip member ends the stream without
+    raising; intact earlier members are kept."""
+    p = str(tmp_path / "a.warc.gz")
+    write_synth_warc(p, 6, compress=True)
+    with open(p, "rb") as f:
+        gz = f.read()
+    recs = [r for b in iter_warc_batches(gz[:-25]) for r in b]
+    assert 1 <= len(recs) < 6
 
 
 def test_read_warc_to_pages_and_extract(spark, tmp_path):
