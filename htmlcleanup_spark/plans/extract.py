@@ -106,13 +106,23 @@ def run_extract(
     resume: bool = True,
     retry_errors: bool = False,
     lang_filter: str | None = None,
+    sink: str = "append",
 ) -> dict:
     """Run the extraction pipeline; returns the run's counter dict.
 
     Writes results to ``output_table`` via Iceberg MERGE when a catalog table
-    is given, else parquet-append under ``output_path`` (the committed data
-    doubles as the resume checkpoint).  With neither, the counters are still
-    computed (dry run over the full plan).
+    is given, else under ``output_path`` with ``sink`` semantics:
+
+    - ``"append"``: parquet append; each run stamps an ``attempt_ts``
+      column so re-attempt rows for the same url are distinguishable —
+      read back with :func:`read_latest_attempts` (newest attempt wins).
+    - ``"merge"``: the no-catalog upsert twin of the Iceberg MERGE
+      (:func:`merge_parquet`): matched urls are replaced, new urls
+      inserted, committed as a new snapshot directory — readers never see
+      duplicate urls or partial writes.
+
+    With neither output, the counters are still computed (dry run over the
+    full plan).
     """
     pages = source if isinstance(source, DataFrame) else read_pages(spark, source)
 
@@ -155,6 +165,8 @@ def run_extract(
     t0 = time.time()
     if output_table:
         _merge_into_iceberg(spark, result, output_table)
+    elif output_path and sink == "merge":
+        merge_parquet(spark, result, output_path)
     elif output_path:
         _write_parquet_with_lineage(spark, result, output_path)
     else:
@@ -171,19 +183,119 @@ def _read_done(spark: SparkSession, output_path: str,
                retry_errors: bool = False) -> DataFrame | None:
     """The resume checkpoint: urls already present in the COMMITTED output.
 
-    Deriving the done-set from data/ itself (not a separate manifest) makes
-    resume crash-safe: there is no window where a row is committed in one
-    place but missing from the other — the parquet job commit (v1 output
-    committer) is the single commit point.  With ``retry_errors`` the urls
-    whose last run errored are excluded, so they are re-attempted.
+    Deriving the done-set from the committed data itself (not a separate
+    manifest) makes resume crash-safe: there is no window where a row is
+    committed in one place but missing from the other — the parquet job
+    commit is the single commit point (append layout: data/'s v1 output
+    committer; merge layout: the newest snapshot dir with a _SUCCESS
+    marker).  With ``retry_errors`` the urls whose last run errored are
+    excluded, so they are re-attempted.
     """
+    snap = _current_snapshot(spark, output_path)
     try:
-        done = spark.read.parquet(output_path + "/data").select("url", "error")
+        src = snap if snap is not None else output_path + "/data"
+        done = spark.read.parquet(src).select("url", "error")
     except Exception:
         return None
     if retry_errors:
         done = done.filter(F.col("error").isNull())
     return done.select("url")
+
+
+# ---------------------------------------------------------------------------
+# parquet sinks: append (+attempt_ts) and snapshot-merge (MERGE-twin)
+# ---------------------------------------------------------------------------
+
+def _hadoop_ls(spark: SparkSession, path: str) -> list[str]:
+    """Child names of ``path`` via the Hadoop FileSystem API — works on any
+    storage the parquet writer supports (HDFS, S3A, local), unlike
+    os.listdir which binds the layout to the driver's POSIX disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    return [str(st.getPath().getName()) for st in fs.listStatus(hpath)]
+
+
+def _current_snapshot(spark: SparkSession, output_path: str) -> str | None:
+    """Newest COMMITTED snapshot dir of a merge-sink layout, else None.
+
+    Commit protocol: a snapshot is visible iff its parquet job committed
+    (the _SUCCESS marker).  A run that crashes mid-write leaves no marker,
+    so readers and resume keep seeing the previous snapshot — the same
+    single-commit-point property the Iceberg snapshot gives, minus
+    concurrent-writer arbitration (use a real catalog for that).
+    """
+    snaps = sorted(
+        n for n in _hadoop_ls(spark, output_path)
+        if n.startswith("snap-")
+    )
+    for name in reversed(snaps):
+        if "_SUCCESS" in _hadoop_ls(spark, output_path + "/" + name):
+            return output_path + "/" + name
+    return None
+
+
+def upsert_by_url(existing: DataFrame, updates: DataFrame) -> DataFrame:
+    """The MERGE contract as a pure DataFrame transform: matched urls take
+    the update row (WHEN MATCHED THEN UPDATE SET *), unmatched update rows
+    are inserted (WHEN NOT MATCHED THEN INSERT *), and the result never
+    holds two rows for one url — exactly :func:`merge_sql`'s semantics,
+    executable without a catalog.  The anti-join side is the update set
+    (bounded by one run's output), so AQE broadcasts it when small."""
+    kept = existing.join(updates.select("url"), "url", "left_anti")
+    return kept.unionByName(updates.select(*existing.columns))
+
+
+def merge_parquet(spark: SparkSession, result: DataFrame,
+                  output_path: str) -> None:
+    """No-catalog upsert sink: the Iceberg-MERGE twin over plain parquet.
+
+    Reads the current snapshot, applies :func:`upsert_by_url`, and writes
+    the merged table as the NEXT snapshot directory (never overwriting
+    what it reads).  The parquet job commit (_SUCCESS) is the atomic
+    commit point; old snapshots remain for time-travel/debug until an
+    expire pass removes them (Iceberg's expire_snapshots equivalent).
+    Reference sink shape: cleanup_msfp.py:300-302 (write the cleaned doc
+    back in one step).
+    """
+    cur = _current_snapshot(spark, output_path)
+    if cur is not None:
+        merged = upsert_by_url(spark.read.parquet(cur), result)
+        nxt = int(cur.rsplit("snap-", 1)[1]) + 1
+    else:
+        merged, nxt = result, 0
+    merged.write.mode("overwrite").parquet(
+        output_path + "/snap-%06d" % nxt
+    )
+
+
+def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
+    """Read back an extract output under either sink layout, duplicate-free:
+    merge layout -> the current snapshot (unique urls by construction);
+    append layout -> newest attempt per url (:func:`read_latest_attempts`).
+    """
+    snap = _current_snapshot(spark, output_path)
+    if snap is not None:
+        return spark.read.parquet(snap)
+    return read_latest_attempts(spark, output_path)
+
+
+def read_latest_attempts(spark: SparkSession, output_path: str) -> DataFrame:
+    """Newest attempt per url from an append-sink layout (retry_errors
+    re-runs append a second attempt row per retried url; attempt_ts makes
+    'latest' well-defined — rows written before the column existed sort
+    as the oldest attempt via the null-last ordering)."""
+    df = spark.read.parquet(output_path + "/data")
+    if "attempt_ts" not in df.columns:
+        return df
+    w = Window.partitionBy("url").orderBy(F.col("attempt_ts").desc_nulls_last())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def _write_parquet_with_lineage(spark: SparkSession, result: DataFrame,
@@ -192,10 +304,19 @@ def _write_parquet_with_lineage(spark: SparkSession, result: DataFrame,
 
     data/ doubles as the resume checkpoint (see _read_done); _lineage is
     advisory metrics only, so a crash between the two writes cannot cause
-    re-emission.  At cluster scale the equivalent is a single Iceberg MERGE
-    commit whose snapshot IS the checkpoint.
+    re-emission.  Every row is stamped with this run's ``attempt_ts`` so a
+    retried url's attempts stay distinguishable and readers can select the
+    newest (read_latest_attempts).  At cluster scale the equivalent is a
+    single Iceberg MERGE commit whose snapshot IS the checkpoint.
     """
-    out = result.withColumn("part_id", F.spark_partition_id())
+    import datetime as _dt
+
+    attempt = _dt.datetime.now(_dt.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S.%fZ"
+    )
+    out = result.withColumn("attempt_ts", F.lit(attempt)).withColumn(
+        "part_id", F.spark_partition_id()
+    )
     out.persist()
     try:
         out.drop("part_id").write.mode("append").parquet(output_path + "/data")
@@ -271,6 +392,9 @@ def main(argv=None):
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--retry-errors", action="store_true",
                    help="re-attempt urls whose previous run errored")
+    p.add_argument("--sink", choices=("append", "merge"), default="append",
+                   help="parquet sink: append (+attempt_ts) or snapshot "
+                        "upsert (the no-catalog MERGE twin)")
     args = p.parse_args(argv)
 
     spark = (
@@ -288,6 +412,7 @@ def main(argv=None):
         resume=not args.no_resume,
         retry_errors=args.retry_errors,
         lang_filter=args.lang,
+        sink=args.sink,
     )
     print(metrics)
     return metrics

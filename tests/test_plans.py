@@ -137,6 +137,73 @@ def test_resume_antijoin_not_forced_broadcast(spark, tmp_path):
     assert "hint" not in logical.lower()
 
 
+def test_upsert_by_url_contract(spark):
+    """The MERGE semantics proven offline: matched -> update, not-matched
+    -> insert, never two rows per url (what merge_sql does on Iceberg)."""
+    from htmlcleanup_spark.plans.extract import upsert_by_url
+
+    existing = spark.createDataFrame(
+        [("a", "v1"), ("b", "v1")], "url string, text string"
+    )
+    updates = spark.createDataFrame(
+        [("a", "v2"), ("c", "v2")], "url string, text string"
+    )
+    got = {r.url: r.text for r in upsert_by_url(existing, updates).collect()}
+    assert got == {"a": "v2", "b": "v1", "c": "v2"}
+
+
+def test_merge_sink_rerun_upserts_no_duplicates(spark, tmp_path):
+    """Re-running the extract with the merge sink over changed content must
+    leave exactly one row per url, carrying the NEWEST attempt's output —
+    the Iceberg-MERGE behavior the parquet-append fallback only
+    approximates."""
+    from htmlcleanup_spark.engine import clean_html
+    from htmlcleanup_spark.plans.extract import read_extracted, run_extract
+    from htmlcleanup_spark.sources.pages import make_html, synth_pages
+
+    out = str(tmp_path / "out")
+    run_extract(spark, synth_pages(spark, 10, num_partitions=1),
+                output_path=out, num_partitions=2, sink="merge")
+    # second crawl: same urls, different content (seed change); resume off
+    # so every url is re-attempted
+    run_extract(spark, synth_pages(spark, 10, seed=99, num_partitions=1),
+                output_path=out, num_partitions=2, resume=False,
+                sink="merge")
+    got = read_extracted(spark, out)
+    assert got.count() == 10
+    assert got.select("url").distinct().count() == 10
+    row = got.filter("url = 'https://host3.example/p/3'").first()
+    assert row.text == clean_html(make_html(3, 99)).text  # newest wins
+    # resume against the merged output: everything is done
+    m = run_extract(spark, synth_pages(spark, 10, seed=99, num_partitions=1),
+                    output_path=out, num_partitions=2, sink="merge")
+    assert m["docs_out"] == 0
+
+
+def test_append_sink_attempt_ts_distinguishes_retries(spark, tmp_path):
+    """The append fallback stamps attempt_ts: two attempts for one url are
+    distinguishable and read_latest_attempts picks the newest."""
+    from htmlcleanup_spark.engine import clean_html
+    from htmlcleanup_spark.plans.extract import (
+        read_latest_attempts,
+        run_extract,
+    )
+    from htmlcleanup_spark.sources.pages import make_html, synth_pages
+
+    out = str(tmp_path / "out")
+    run_extract(spark, synth_pages(spark, 6, num_partitions=1),
+                output_path=out, num_partitions=2)
+    run_extract(spark, synth_pages(spark, 6, seed=99, num_partitions=1),
+                output_path=out, num_partitions=2, resume=False)
+    raw = spark.read.parquet(out + "/data")
+    assert raw.count() == 12  # both attempts present
+    assert raw.select("attempt_ts").distinct().count() == 2
+    latest = read_latest_attempts(spark, out)
+    assert latest.count() == 6
+    row = latest.filter("url = 'https://host2.example/p/2'").first()
+    assert row.text == clean_html(make_html(2, 99)).text
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Co-located url-keyed join: two tables bucketed by url with the same
     bucket count must join with ZERO Exchange nodes (the 10^12-row resume
