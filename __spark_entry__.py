@@ -262,8 +262,13 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from htmlcleanup_spark.functions.text import lang_confidence
+
     return _docs(spark, sf_dir).select(
-        "doc_id", lang_id().alias("pred_lang"), F.col("lang").alias("tagged_lang")
+        "doc_id",
+        lang_id().alias("pred_lang"),
+        lang_confidence().alias("confidence"),
+        F.col("lang").alias("tagged_lang"),
     )
 
 
@@ -500,6 +505,46 @@ _QUALITY_SQL = (
 )
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB twin of functions.text.lang_id + lang_confidence, GENERATED
+    from the same LANG_MARKERS dict so the marker sets can never drift.
+    The CASE mirrors the Spark side's strictly-greater / en-de-fr-nl
+    tie-break; confidence is the same exact int/int double division."""
+    from htmlcleanup_spark.functions.text import _LANG_ORDER, LANG_MARKERS
+
+    scores = ",\n".join(
+        "len(list_filter(string_split(text,' '), x -> x IN (%s))) AS s_%s"
+        % (", ".join("'%s'" % w for w in LANG_MARKERS[lang]), lang)
+        for lang in _LANG_ORDER
+    )
+    # first language (in tie-break order) whose score is > 0 and >= all
+    # later ones == the iterative strictly-greater fold on the Spark side
+    cases = []
+    for i, lang in enumerate(_LANG_ORDER):
+        later = _LANG_ORDER[i + 1 :]
+        cond = " AND ".join(
+            ["s_%s > 0" % lang]
+            + ["s_%s >= s_%s" % (lang, o) for o in later]
+        )
+        cases.append("WHEN %s THEN '%s'" % (cond, lang))
+    pred = "CASE %s ELSE 'und' END" % " ".join(cases)
+    best = "greatest(%s)" % ", ".join("s_%s" % L for L in _LANG_ORDER)
+    return f"""
+        WITH s AS (
+          SELECT doc_id, lang AS tagged_lang,
+                 len(string_split(text, ' ')) AS n_tok,
+                 {scores}
+          FROM documents
+        )
+        SELECT doc_id,
+               {pred} AS pred_lang,
+               CAST({best} AS DOUBLE) / greatest(CAST(n_tok AS DOUBLE), 1.0)
+                 AS confidence,
+               tagged_lang
+        FROM s
+    """
+
+
 def _extract_synth_oracle() -> str:
     """VALUES literal of the expected extract_synth rows: the pure engine
     run over the same deterministic 200-page corpus, dedup'd the same way
@@ -698,30 +743,7 @@ def oracle_sql() -> dict[str, str]:
                    {_QUALITY_SQL} AS quality_e6, fp
             FROM base
         """,
-        "lang_id": """
-            WITH s AS (
-              SELECT doc_id, lang AS tagged_lang,
-                len(list_filter(string_split(text,' '),
-                    x -> x IN ('the','and','of','to','a'))) AS s_en,
-                len(list_filter(string_split(text,' '),
-                    x -> x IN ('der','die','und','das','ist'))) AS s_de,
-                len(list_filter(string_split(text,' '),
-                    x -> x IN ('le','la','et','les','des'))) AS s_fr,
-                len(list_filter(string_split(text,' '),
-                    x -> x IN ('de','het','een','en','van'))) AS s_nl
-              FROM documents
-            )
-            SELECT doc_id,
-              CASE
-                WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_nl THEN 'en'
-                WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_nl THEN 'de'
-                WHEN s_fr > 0 AND s_fr >= s_nl THEN 'fr'
-                WHEN s_nl > 0 THEN 'nl'
-                ELSE 'und'
-              END AS pred_lang,
-              tagged_lang
-            FROM s
-        """,
+        "lang_id": _lang_id_oracle(),
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

@@ -66,7 +66,11 @@ def remove_tag_pairs(html: str, tag_name: str, tag_contents=None) -> str:
     simple_start = "<" + tag_name + ">"
     compound_prefix = "<" + tag_name + " "
 
-    strip_all = tag_contents is None
+    # truthiness, not an is-None check: the reference's `if tag_contents:`
+    # (htmlcleanup.py:28) treats an EMPTY list exactly like None — both mean
+    # strip-all (differentially swept in tests/test_engine.py with
+    # tag_contents=[]).
+    strip_all = not tag_contents
     if strip_all:
         match_simple = True
         match_compound = True

@@ -11,13 +11,27 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Per-language stopword marker sets (top public stopwords) for the
+# stopword-count language heuristic.  Order within a set is irrelevant;
+# overlaps across languages (e.g. en/nl "in") are fine — scores count hits
+# and the tie-break is deterministic.  The DuckDB oracle is GENERATED from
+# this dict (__spark_entry__._lang_id_oracle) so the two can never drift.
 LANG_MARKERS = {
-    "en": ("the", "and", "of", "to", "a"),
-    "de": ("der", "die", "und", "das", "ist"),
-    "fr": ("le", "la", "et", "les", "des"),
-    "nl": ("de", "het", "een", "en", "van"),
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "was",
+           "for", "on", "are", "with", "as", "be", "at", "this", "have",
+           "not"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "eine",
+           "den", "von", "zu", "dem", "sich", "auf", "für", "auch", "als",
+           "wird", "bei"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "dans", "est",
+           "pour", "que", "qui", "sur", "avec", "pas", "plus", "par",
+           "mais", "nous", "vous"),
+    "nl": ("de", "het", "een", "en", "van", "dat", "te", "niet", "met",
+           "op", "voor", "zijn", "aan", "maar", "dan", "ook", "bij",
+           "naar", "uit", "ze"),
 }
+
+_LANG_ORDER = ("en", "de", "fr", "nl")
 
 
 def tokens(text_col: str = "text") -> Column:
@@ -49,19 +63,35 @@ def stopword_hits(text_col: str, words) -> Column:
     )
 
 
-def lang_id(text_col: str = "text") -> Column:
-    """Stopword-count heuristic language ID; 'und' when nothing matches.
+def _lang_best(text_col: str):
+    """(best_lang, best_score) column pair for the stopword heuristic.
 
-    Deterministic tie-break: language order en, de, fr, nl (strictly greater
-    wins).
+    Deterministic tie-break: language order en, de, fr, nl (strictly
+    greater wins); 'und'/0 when nothing matches.
     """
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    for lang in ("en", "de", "fr", "nl"):
+    for lang in _LANG_ORDER:
         score = stopword_hits(text_col, LANG_MARKERS[lang])
         best_lang = F.when(score > best_score, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(score > best_score, score).otherwise(best_score)
-    return best_lang
+    return best_lang, best_score
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Stopword-count heuristic language ID; 'und' when nothing matches."""
+    return _lang_best(text_col)[0]
+
+
+def lang_confidence(text_col: str = "text") -> Column:
+    """Confidence of :func:`lang_id`: winning-marker hits / tokens, in
+    [0, 1] (0.0 for 'und').  IEEE double division of two small ints is
+    exactly specified, so the value is bit-identical across engines —
+    no rounding needed for the SQL oracle."""
+    _, best_score = _lang_best(text_col)
+    return best_score.cast("double") / F.greatest(
+        token_count(text_col).cast("double"), F.lit(1.0)
+    )
 
 
 def quality_score(text_col: str = "text") -> Column:

@@ -51,6 +51,14 @@ def _pin(df: DataFrame) -> DataFrame:
     long-lived session those entries accumulate.  A localCheckpoint's blocks
     are tracked per-RDD by the ContextCleaner and freed when the consumer
     DataFrame is garbage-collected.  eager=False keeps the operator lazy.
+
+    Fault-tolerance trade: localCheckpoint blocks live on executors
+    unreplicated, so losing an executor fails the consuming job (Spark
+    recomputes nothing — lineage was truncated).  For these SINGLE-job
+    pins that is the same blast radius as losing a shuffle map output
+    (the job retries); it is only iterative multi-job flows that need the
+    reliable variant — connected_components takes ``checkpoint_dir`` for
+    exactly that.
     """
     return df.localCheckpoint(eager=False)
 
@@ -420,7 +428,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 
 
 def connected_components(pairs: DataFrame, max_iterations: int = 25,
-                         ) -> DataFrame:
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Duplicate-cluster resolution: candidate pairs -> (doc_id, cluster_id).
 
     ``cluster_id`` is the minimum doc id of the connected component, i.e.
@@ -432,28 +440,41 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25,
     et al., "Connected Components in MapReduce and Beyond") — pure
     DataFrame joins/groupBys, converging in O(log^2 n) rounds even on
     path-shaped components (naive min-label propagation needs O(diameter)).
-    Each round's edge set is localCheckpoint'ed: iterative plans otherwise
-    grow lineage exponentially and re-execute every prior round.  The
-    convergence probe is ONE aggregation job per round (edge count +
-    order-independent xxhash64 sum); a colliding non-equal edge set
-    (2^-64) would stop one round early — acceptable for any dedup use,
-    and the star-forest invariant below still yields valid labels because
-    the final groupBy takes the minimum root per node.
+    Each round's edge set is checkpointed: iterative plans otherwise grow
+    lineage exponentially and re-execute every prior round.  The default
+    ``localCheckpoint`` stores blocks on executors with NO fault
+    tolerance — a lost executor kills the job mid-iteration, which is fine
+    on local[n] but not on a 1000-executor cluster; pass
+    ``checkpoint_dir`` (a reliable path: HDFS/S3) to use true
+    ``checkpoint()`` there, trading one write+read of the edge set per
+    round for executor-loss survival.  The convergence probe is ONE
+    aggregation job per round (edge count + order-independent xxhash64
+    sum); a colliding non-equal edge set (2^-64) would stop one round
+    early — acceptable for any dedup use, and the star-forest invariant
+    below still yields valid labels because the final groupBy takes the
+    minimum root per node.
     """
-    e = (
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    e = _ckpt(
         pairs.select(
             F.least("id_a", "id_b").alias("u"),
             F.greatest("id_a", "id_b").alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
-    nodes = (
+    nodes = _ckpt(
         pairs.select(F.col("id_a").alias("doc_id"))
         .union(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
-        .localCheckpoint()
     )
     def _digest(edges: DataFrame):
         row = edges.agg(
@@ -495,8 +516,8 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25,
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
+        new_e = _ckpt(new_e)
         cur = _digest(new_e)
         if cur == prev:
             e = new_e

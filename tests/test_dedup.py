@@ -49,6 +49,26 @@ def test_connected_components_long_path_converges(spark):
     assert cc.count() == 64
 
 
+def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir (reliable checkpoint, the executor-loss-tolerant
+    cluster mode) must produce exactly the localCheckpoint result."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "id_a long, id_b long",
+    )
+    local = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    reliable = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(
+            pairs, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert reliable == local and len(local) == 9
+
+
 def test_dedup_survivors_keeps_one_per_cluster(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"

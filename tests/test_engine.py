@@ -243,6 +243,17 @@ class TestPreparseDifferential:
                 n += 1
         assert n == 7 + 49 + 343 + 2401
 
+    def test_empty_contents_means_strip_all_sweep(self):
+        """The reference's `if tag_contents:` truthiness makes [] identical
+        to None (strip-all); sweep the same token products with []."""
+        import itertools
+
+        helper = self._reference()
+        tokens = ["a", "<o:p>", "</o:p>", '<o:p x="1">']
+        for length in (1, 2, 3):
+            for combo in itertools.product(tokens, repeat=length):
+                self._compare(helper, "".join(combo), "o:p", [])
+
     def test_font_contents_token_sweep(self):
         import itertools
 

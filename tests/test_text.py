@@ -1,0 +1,50 @@
+"""Text-analysis functions: real-sentence quality gates for the language
+heuristic (the corpus oracle checks exactness; this checks it is *useful*
+on genuine text in each supported language)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+# one genuinely representative sentence per language (public phrasebook
+# material), plus an unidentifiable token soup
+_SENTENCES = [
+    ("en", "the cat sat on the mat and it was not at all pleased with this"),
+    ("de", "der hund lief mit dem ball zu dem kind und das war auch gut"),
+    ("fr", "le chat est dans la maison avec les enfants et nous sommes pour"),
+    ("nl", "de kat zit op het dak en ze gaat niet met de hond naar huis"),
+    ("und", "lorem zorbal quux flibber graxo polytope"),
+]
+
+
+def test_lang_id_real_sentences(spark):
+    from htmlcleanup_spark.functions.text import lang_confidence, lang_id
+
+    df = spark.createDataFrame(_SENTENCES, "expected string, text string")
+    got = df.select(
+        "expected",
+        lang_id().alias("pred"),
+        lang_confidence().alias("conf"),
+    ).collect()
+    for r in got:
+        assert r.pred == r.expected, (r.expected, r.pred)
+        if r.expected == "und":
+            assert r.conf == 0.0
+        else:
+            assert 0.15 <= r.conf <= 1.0, (r.expected, r.conf)
+
+
+def test_lang_confidence_bounds(spark):
+    """confidence is hits/tokens in [0, 1] and monotone in marker density."""
+    from htmlcleanup_spark.functions.text import lang_confidence
+
+    df = spark.createDataFrame(
+        [("the the the the",), ("the big spark table",)], "text string"
+    )
+    a, b = [r.c for r in df.select(lang_confidence().alias("c")).collect()]
+    assert a == 1.0
+    assert 0.0 < b < a
