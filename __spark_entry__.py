@@ -357,6 +357,37 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free image metadata over deterministic synthetic image bytes:
+    Python WRITES real PNG/JPEG/GIF container headers per doc_id
+    (multimodal.synth_image_bytes), the Spark-side parser READS them back
+    (multimodal.image_meta), and the oracle recomputes format/width/height
+    arithmetically from doc_id — an independent check of the byte-level
+    header parsing."""
+    import pandas as pd
+
+    from htmlcleanup_spark.operators.multimodal import (
+        image_meta,
+        synth_image_bytes,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_image_bytes(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    imgs = d.mapInPandas(gen, "doc_id bigint, payload binary")
+    return image_meta(imgs)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
@@ -392,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_synth": q_extract_synth,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_meta": q_multimodal_meta,
+        "image_meta": q_image_meta,
     }
 
 
@@ -862,6 +894,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": """
             SELECT doc_id, length(text) AS n_bytes, md5(text) AS digest
+            FROM documents
+        """,
+        # arithmetic twin of synth_image_bytes + parse_image_header:
+        # format cycles by doc_id % 3; width = 1 + doc_id % 512,
+        # height = 1 + (doc_id*7) % 512; n_bytes is the fixed container
+        # size per format (png 33, jpeg 44, gif 14)
+        "image_meta": """
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        ELSE 'gif' END AS format,
+                   CAST(1 + doc_id % 512 AS INT) AS width,
+                   CAST(1 + (doc_id * 7) % 512 AS INT) AS height,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 44
+                        ELSE 14 END AS BIGINT) AS n_bytes
             FROM documents
         """,
         "doc_fingerprints": """

@@ -209,6 +209,32 @@ def run_headline(sf_dir: str, repeats: int = 2) -> dict:
     return timings
 
 
+def data_scale_probe(sf_dir: str, timings_big: dict) -> dict | None:
+    """Data-size scaling: the same headline plans at the 10x-smaller
+    sibling sf dir.  Records per-query wall ratios (10x data should cost
+    <= ~10x time; plans with a quadratic tail or driver-side bottleneck
+    show up here long before they fall over at 100 TB).  Core scaling
+    (the N->4N window) is measured separately — this is the other axis.
+    """
+    sf = sf_from_dir(sf_dir)
+    small_dir = os.path.join(
+        os.path.dirname(sf_dir.rstrip("/")), "sf%g" % (sf / 10)
+    )
+    if not os.path.isdir(small_dir):
+        return None
+    timings_small = run_headline(small_dir)
+    ratios = {
+        k: round(timings_big[k] / max(timings_small[k], 1e-3), 2)
+        for k in timings_big
+        if k in timings_small
+    }
+    return {
+        "sf_small": sf / 10,
+        "queries_small": timings_small,
+        "time_ratio_10x_data": ratios,
+    }
+
+
 def main():
     sf = sf_from_dir(SF_DIR)
     n_docs = max(int(DOCS_PER_SF * sf), 200)
@@ -239,6 +265,7 @@ def main():
 
     timings = run_headline(SF_DIR)
     total = round(sum(timings.values()), 3)
+    data_scaling = data_scale_probe(SF_DIR, timings)
 
     result = {
         "metric": "headline query wall time at sf=%s (extract %.1f MB/s @ "
@@ -259,6 +286,8 @@ def main():
             "window_2x": aux,
         },
     }
+    if data_scaling is not None:
+        result["data_scaling"] = data_scaling
     _write_bench_md(result)
     print(json.dumps(result))
 
@@ -401,6 +430,27 @@ def _write_bench_md(result: dict) -> None:
         lines.append("| %s | %s |" % (k, v))
     lines.append("")
     lines.append("Total: %s s" % result["value"])
+    ds = result.get("data_scaling")
+    if ds:
+        lines += [
+            "",
+            "## Data-size scaling (sf=%s -> sf=%s, same plans, local[%d])"
+            % (ds["sf_small"], result["sf"], CPUS),
+            "",
+            "10x the data should cost <= ~10x the time; ratios well under",
+            "10 are fixed overhead amortizing, ratios over 10 would flag a",
+            "superlinear plan (quadratic tail / driver bottleneck).",
+            "",
+            "| query | sec @ sf_small | sec @ sf | ratio (10x data) |",
+            "| --- | --- | --- | --- |",
+        ]
+        for k, v in result["queries"].items():
+            if k in ds["queries_small"]:
+                lines.append(
+                    "| %s | %s | %s | %s |"
+                    % (k, ds["queries_small"][k], v,
+                       ds["time_ratio_10x_data"][k])
+                )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 

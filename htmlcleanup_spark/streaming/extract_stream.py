@@ -43,6 +43,85 @@ def extract_stream(pages: DataFrame, rules: RuleConfig = DEFAULT_RULES,
     return df.mapInArrow(make_cascade_fn(rules), RESULT_DDL)
 
 
+def dedup_stream_first_seen(pages: DataFrame,
+                            ttl_minutes: int = 24 * 60) -> DataFrame:
+    """Streaming exact-dedup by url: emit each url's FIRST-seen crawl, drop
+    later recrawls — the custom stateful operator path
+    (applyInPandasWithState), for pipelines that must suppress duplicates
+    online rather than reconcile them in the batch MERGE.
+
+    State is one marker per distinct url with a processing-time TTL
+    (re-armed on every sighting), so state size is bounded by the distinct
+    urls seen within the TTL window, not the stream's lifetime — the knob
+    that keeps 10^12-doc state holdable.  After a url's state expires, its
+    next recrawl passes through again; the downstream MERGE (newest
+    warc_ts wins at the table) reconciles that tail.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cols = [f.name for f in PAGES_SCHEMA.fields]
+
+    def first_seen(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)  # re-arm TTL
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values("warc_ts").head(1)
+            if best is None or (
+                cand["warc_ts"].iloc[0] < best["warc_ts"].iloc[0]
+            ):
+                best = cand
+        if best is None:
+            return
+        state.update((1,))
+        state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield best[cols]
+
+    return pages.groupBy("url").applyInPandasWithState(
+        first_seen,
+        outputStructType=PAGES_SCHEMA,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def events_hourly_stream(events: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming hourly event rollup with late-data handling: the watermark
+    bounds aggregation state (windows older than max(ts) - watermark
+    finalize and free), so state is O(active windows), not O(stream).
+    Append mode emits each (hour, event_type) row exactly once, when its
+    window finalizes — the streaming twin of the batch events_hourly
+    query."""
+    from pyspark.sql import functions as F
+
+    # watermarks require TIMESTAMP (with local tz); parquet event times are
+    # often TIMESTAMP_NTZ — cast is a no-op when already LTZ
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_extract_stream(spark: SparkSession, source_dir: str, output_dir: str,
                        checkpoint_dir: str, available_now: bool = True,
                        rules: RuleConfig = DEFAULT_RULES):

@@ -10,6 +10,92 @@ from htmlcleanup_spark.streaming.extract_stream import run_extract_stream
 pytestmark = pytest.mark.spark
 
 
+def test_stateful_first_seen_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: a url seen in an earlier micro-batch is
+    suppressed in later ones (true cross-batch state, exercised by
+    maxFilesPerTrigger=1 splitting the backlog into several batches)."""
+    from pyspark.sql import functions as F
+
+    from htmlcleanup_spark.streaming.extract_stream import (
+        dedup_stream_first_seen,
+        stream_pages,
+    )
+
+    src = str(tmp_path / "pages")
+    # file 1: urls 0..9 at their first-crawl timestamps
+    synth_pages(spark, 10, num_partitions=1, dup_every=0).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    # file 2: urls 5..14, every row one day later with different html
+    synth_pages(spark, 15, seed=99, num_partitions=1, dup_every=0).filter(
+        "cast(element_at(split(url, '/'), -1) as int) >= 5"
+    ).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    deduped = dedup_stream_first_seen(
+        stream_pages(spark, src, max_files_per_trigger=1)
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("first_seen")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM first_seen")
+    assert got.count() == 15  # urls 0..14, each exactly once
+    assert got.select("url").distinct().count() == 15
+    # urls 5..9 appeared in both files: the FIRST-seen (day-0) row wins
+    early = got.filter(
+        "cast(element_at(split(url, '/'), -1) as int) between 5 and 9"
+    ).select(F.min("warc_ts").alias("mn"), F.max("warc_ts").alias("mx")).first()
+    assert early.mx.day == early.mn.day == 1  # all day-0 rows, none day-1
+
+
+def test_events_hourly_stream_matches_batch(spark, tmp_path):
+    """The watermarked streaming rollup must agree with the batch
+    aggregation over the same drained input (complete mode so every window
+    is visible at stream end)."""
+    from htmlcleanup_spark.streaming.extract_stream import (
+        events_hourly_stream,
+    )
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "events")  # file-stream sources need a directory
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        events_hourly_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ev_hourly")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.hour), r.event_type): (r.n_events, float(r.sum_value))
+        for r in spark.sql("SELECT * FROM ev_hourly").collect()
+    }
+    from pyspark.sql import functions as F
+
+    expected = {
+        (str(r.hour), r.event_type): (r.n_events, float(r.sum_value))
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == expected and len(got) > 10
+
+
 def test_stream_drains_backlog_and_resumes(spark, tmp_path):
     src = str(tmp_path / "pages")
     out = str(tmp_path / "out")
