@@ -163,6 +163,25 @@ def test_lsh_multiprobe_covers_hamming_le_1(spark):
     assert found == expected
 
 
+def test_ivf_kmeans_quantizer(spark):
+    """The MLlib-trained quantizer: probing ALL lists is still exact
+    (inverted-list partition property holds for any quantizer), and at
+    nprobe=8/16 recall must clear the same floor as the sample quantizer
+    on this corpus."""
+    from htmlcleanup_spark.operators import ann
+
+    emb, qs = _emb_queries(spark)
+    exact = ann.cosine_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    full = ann.ivf_cosine_topk(
+        emb, qs, k=10, n_centroids=16, nprobe=16, quantizer="kmeans"
+    )
+    assert _recall(exact, full.select("query_id", "neighbor_id")) == 1.0
+    part = ann.ivf_cosine_topk(
+        emb, qs, k=10, n_centroids=16, nprobe=8, quantizer="kmeans"
+    )
+    assert _recall(exact, part.select("query_id", "neighbor_id")) >= 0.6
+
+
 def test_cosine_topk_chunked_matches_single_pass(spark):
     """Q > max_queries falls back to chunked corpus passes; the unioned
     result must equal the single-pass result exactly (exactness is the
