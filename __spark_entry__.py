@@ -345,6 +345,63 @@ def q_extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WARC_CACHE = "/tmp/spark_graft_warc_cache"
+_WARC_DOCS = 40
+
+
+def _ensure_warc_dir() -> str:
+    """Deterministic two-file WARC fixture dir (one plain, one .warc.gz),
+    built once per host from the seeded synthesizer."""
+    import os as _os
+
+    from htmlcleanup_spark.sources.warc import write_synth_warc
+
+    d = _os.path.join(_WARC_CACHE, "v1")
+    marker = _os.path.join(d, "_DONE")
+    if not _os.path.exists(marker):
+        _os.makedirs(d, exist_ok=True)
+        write_synth_warc(_os.path.join(d, "seg-0.warc"), _WARC_DOCS)
+        write_synth_warc(
+            _os.path.join(d, "seg-1.warc.gz"), _WARC_DOCS, compress=True
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC -> pages, hash-checked: both segment files (plain + gzip
+    members) hold the same 40 deterministic records, so every url appears
+    exactly twice with identical bytes; the oracle recomputes
+    (url, ts, md5(html)) driver-side from the same synthesizer."""
+    from htmlcleanup_spark.sources.warc import read_warc
+
+    pages = read_warc(spark, _ensure_warc_dir())
+    return pages.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.md5("html").alias("html_md5"),
+    )
+
+
+def _warc_ingest_oracle() -> str:
+    import hashlib
+
+    from htmlcleanup_spark.sources.pages import make_html
+
+    rows = []
+    for i in range(_WARC_DOCS):
+        url = "https://host%d.example/p/%d" % (i % 1000, i)
+        ts = "2024-01-01 00:00:%02d" % (i % 60)
+        md = hashlib.md5(make_html(i, 42)).hexdigest()
+        for _rep in range(2):  # present in both segment files
+            rows.append("('%s', '%s', '%s')" % (url, ts, md))
+    return (
+        "SELECT * FROM (VALUES %s) AS t(url, ts_s, html_md5)"
+        % ", ".join(rows)
+    )
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from htmlcleanup_spark.functions.text import rolling_fingerprints
 
@@ -424,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_meta": q_multimodal_meta,
         "image_meta": q_image_meta,
+        "warc_ingest": q_warc_ingest,
     }
 
 
@@ -644,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "clean_fixtures": _clean_fixtures_oracle(),
         "extract_synth": _extract_synth_oracle(),
+        "warc_ingest": _warc_ingest_oracle(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
                    count(*) AS n_copies
