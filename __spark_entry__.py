@@ -178,6 +178,14 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_survivors(docs, clusters).select("doc_id", "lang")
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # asymmetric near-dup: winnowed-fingerprint containment (quote /
+    # partial-copy detection); both directions above the threshold
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), k=5, w=4, threshold=0.5, max_fp_df=50
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from htmlcleanup_spark.functions.text import corpus_stats
 
@@ -464,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
+        "containment_pairs": q_containment_pairs,
         "corpus_stats": q_corpus_stats,
         "simhash64": q_simhash64,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -776,6 +785,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.lang FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        # winnowed-fingerprint containment: same 5-gram md5 fps as
+        # doc_fingerprints, min-per-4-window selection (identical frame
+        # semantics in both engines), df-capped, asymmetric ni/|A|
+        "containment_pairs": """
+            WITH wds AS (SELECT doc_id, string_split(text, ' ') AS ws
+                         FROM documents),
+            idx AS (SELECT doc_id, ws,
+                           unnest(generate_series(0, greatest(len(ws)-5, 0)))
+                             AS i
+                    FROM wds),
+            fps AS (SELECT doc_id, i AS pos,
+                           md5(array_to_string(list_slice(ws, i+1, i+5), ' '))
+                             AS fp
+                    FROM idx),
+            sel AS (SELECT DISTINCT doc_id,
+                           min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                    FROM fps),
+            hot AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) > 50),
+            sel2 AS (SELECT doc_id, fp FROM sel
+                     WHERE fp NOT IN (SELECT fp FROM hot)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sel2
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sel2 a JOIN sel2 b USING (fp)
+              WHERE a.doc_id != b.doc_id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(ni * 1.0 / s.n, 6) AS containment
+            FROM inter JOIN sizes s ON id_a = s.doc_id
+            WHERE round(ni * 1.0 / s.n, 6) >= 0.5
         """,
         "corpus_stats": """
             SELECT lang,

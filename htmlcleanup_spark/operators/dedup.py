@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _drop_hot_buckets(banded: DataFrame, keys: list[str],
@@ -313,6 +314,89 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def winnowed_fingerprints(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 5,
+                          w: int = 4) -> DataFrame:
+    """Winnowing-sparsified document fingerprints: (id, fp) distinct.
+
+    Every k-token span is hashed (functions.text.rolling_fingerprints),
+    then only the MINIMUM hash of each sliding window of ``w`` consecutive
+    positions is selected (Schleimer et al., "Winnowing: Local Algorithms
+    for Document Fingerprinting") — the selected set is ~2/(w+1) of all
+    spans but still guarantees any shared run of k+w-1 tokens contributes
+    at least one COMMON selected fingerprint, which is what makes the
+    containment join below recall-safe.  One shuffle (the per-doc window);
+    min-over-window and md5 are identical in Spark and DuckDB, so the
+    whole path is SQL-oracle-expressible.
+    """
+    from ..functions.text import rolling_fingerprints
+
+    fps = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_ws")
+    ).select(
+        id_col,
+        F.posexplode(rolling_fingerprints("_ws", window=k)).alias(
+            "pos", "fp"
+        ),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        fps.select(F.col(id_col), F.min("fp").over(win).alias("fp"))
+        .distinct()
+    )
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 5, w: int = 4,
+                      threshold: float = 0.5,
+                      max_fp_df: int | None = 50) -> DataFrame:
+    """Asymmetric near-duplication: containment(A in B) =
+    |fp(A) ∩ fp(B)| / |fp(A)| over winnowed fingerprints — catches a
+    document QUOTED or PARTIALLY copied inside a larger one, which
+    symmetric Jaccard dilutes below any usable threshold.
+
+    Returns ordered pairs (id_a, id_b, containment): id_a's selected
+    fingerprints covered by id_b, both directions emitted independently
+    when above ``threshold``.  Scale design mirrors ngram_jaccard_pairs:
+    ``max_fp_df`` drops boilerplate fingerprints shared by more than that
+    many docs BEFORE the self-join (the f^2 hot-key tail), via a
+    broadcastable anti-join of the Zipf head; the winnowing itself already
+    cut the join input ~2/(w+1)x.
+    """
+    sel = winnowed_fingerprints(df, text_col, id_col, k, w)
+    if max_fp_df is not None:
+        hot = (
+            sel.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_fp_df)
+            .select("fp")
+        )
+        sel = sel.join(hot, "fp", "left_anti")
+    sel = _pin(sel)  # consumed by sizes + both self-join sides
+    sizes = sel.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    a = sel.select(F.col(id_col).alias("id_a"), "fp")
+    b = sel.select(F.col(id_col).alias("id_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a"))
+    return (
+        inter.join(sa, "id_a")
+        .withColumn(
+            "containment", F.round(F.col("ni") / F.col("n_a"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )
 
 

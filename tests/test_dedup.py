@@ -69,6 +69,32 @@ def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
     assert reliable == local and len(local) == 9
 
 
+def test_containment_catches_partial_copy(spark):
+    """A short doc quoted verbatim inside a much larger one: containment
+    (quote in host) ~1.0 while symmetric Jaccard is diluted far below any
+    usable threshold — the operator's reason to exist."""
+    quote = " ".join("q%d" % i for i in range(40))
+    host = (
+        " ".join("h%d" % i for i in range(300))
+        + " " + quote + " "
+        + " ".join("t%d" % i for i in range(300))
+    )
+    other = " ".join("z%d" % i for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.8  # quote covered by host
+    assert (2, 1) not in got                      # host not covered by quote
+    assert not any(3 in pair for pair in got)
+    # symmetric Jaccard misses the same pair at any practical threshold
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    assert jac.filter("id_a = 1 and id_b = 2").count() == 0
+
+
 def test_dedup_survivors_keeps_one_per_cluster(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
