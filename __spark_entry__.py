@@ -5,9 +5,12 @@ cascade (tokenize -> DOM -> 22 ordered rules -> serialize) as an
 Arrow-batched map over a pages table derived from sf0.001 documents.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-(SURVEY.md §2 + the training-data layer); oracles are DuckDB SQL over the
-same parquet views.  Non-SQL-expressible ops (simhash conv(16), LSH
-hyperplanes, the synthetic-pages pipeline) omit the oracle -> rows-only.
+(SURVEY.md §2 + the training-data layer).  EVERY query carries a DuckDB
+oracle: relational ops as plain SQL twins; hash-family ops via portable
+md5 constructions; LSH/IVF via deterministic plane/centroid literals or
+SQL-reproducible sampling; synthesized inputs (pages, WARC segments,
+image headers) via VALUES literals computed at oracle time by the same
+pure generator (or its arithmetic twin).
 """
 
 from __future__ import annotations
