@@ -189,6 +189,42 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-url canonicalization: messy url variants are BUILT from doc_id
+    (case noise, default ports, unsorted params, fragments, scheme-less
+    relatives), normalized by functions.url.url_normalize, and the oracle
+    constructs the expected canonical string independently — checking the
+    normalizer, not echoing it."""
+    from htmlcleanup_spark.functions.url import url_normalize
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 50).alias("_h"), (F.col("doc_id") % 3).alias("_k")
+    )
+    messy = (
+        F.when(
+            F.col("_k") == 0,
+            F.concat(
+                F.lit("HTTP://Host"), F.col("_h"),
+                F.lit(".Example.COM:80/p/"), F.col("doc_id"),
+                F.lit("?b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("_k") == 1,
+            F.concat(
+                F.lit("HTTPS://S"), F.col("_h"), F.lit(".Ex.com:443/x/"),
+                F.col("doc_id"), F.lit("?"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("relative/path/"), F.col("doc_id"), F.lit("#frag"))
+        )
+    )
+    return d.select("doc_id", messy.alias("url")).withColumn(
+        "norm_url", url_normalize("url")
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from htmlcleanup_spark.functions.text import corpus_stats
 
@@ -476,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
         "containment_pairs": q_containment_pairs,
+        "url_normalize": q_url_normalize,
         "corpus_stats": q_corpus_stats,
         "simhash64": q_simhash64,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -788,6 +825,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.lang FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        # url canonicalization: the messy input AND the expected canonical
+        # form are both constructed arithmetically from doc_id — the
+        # normalizer's output must land exactly on the latter
+        "url_normalize": """
+            SELECT doc_id,
+              CASE doc_id % 3
+                WHEN 0 THEN 'HTTP://Host' || (doc_id % 50)
+                  || '.Example.COM:80/p/' || doc_id || '?b=2&a=1#frag'
+                WHEN 1 THEN 'HTTPS://S' || (doc_id % 50)
+                  || '.Ex.com:443/x/' || doc_id || '?'
+                ELSE 'relative/path/' || doc_id || '#frag'
+              END AS url,
+              CASE doc_id % 3
+                WHEN 0 THEN 'http://host' || (doc_id % 50)
+                  || '.example.com/p/' || doc_id || '?a=1&b=2'
+                WHEN 1 THEN 'https://s' || (doc_id % 50)
+                  || '.ex.com/x/' || doc_id
+                ELSE 'relative/path/' || doc_id
+              END AS norm_url
+            FROM documents
         """,
         # winnowed-fingerprint containment: same 5-gram md5 fps as
         # doc_fingerprints, min-per-4-window selection (identical frame

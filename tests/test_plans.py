@@ -180,6 +180,39 @@ def test_merge_sink_rerun_upserts_no_duplicates(spark, tmp_path):
     assert m["docs_out"] == 0
 
 
+def test_merge_sink_ignores_uncommitted_snapshot(spark, tmp_path):
+    """Crash-safety: a snapshot directory without _SUCCESS (a run that died
+    mid-write) is invisible to readers and resume — the previous committed
+    snapshot stays current, and the next merge overwrites the orphan."""
+    import os
+    import shutil
+
+    from htmlcleanup_spark.plans.extract import (
+        _current_snapshot,
+        read_extracted,
+        run_extract,
+    )
+    from htmlcleanup_spark.sources.pages import synth_pages
+
+    out = str(tmp_path / "out")
+    run_extract(spark, synth_pages(spark, 6, num_partitions=1),
+                output_path=out, num_partitions=2, sink="merge")
+    committed = _current_snapshot(spark, out)
+    assert committed.endswith("snap-000000")
+    # simulate a crashed writer: snap-000001 exists but never committed
+    orphan = os.path.join(out, "snap-000001")
+    shutil.copytree(committed, orphan)
+    os.remove(os.path.join(orphan, "_SUCCESS"))
+    assert _current_snapshot(spark, out) == committed
+    assert read_extracted(spark, out).count() == 6
+    # the next successful merge claims the orphan's slot and commits it
+    run_extract(spark, synth_pages(spark, 6, num_partitions=1),
+                output_path=out, num_partitions=2, resume=False,
+                sink="merge")
+    assert _current_snapshot(spark, out).endswith("snap-000001")
+    assert read_extracted(spark, out).count() == 6
+
+
 def test_append_sink_attempt_ts_distinguishes_retries(spark, tmp_path):
     """The append fallback stamps attempt_ts: two attempts for one url are
     distinguishable and read_latest_attempts picks the newest."""

@@ -38,6 +38,28 @@ def test_lang_id_real_sentences(spark):
             assert 0.15 <= r.conf <= 1.0, (r.expected, r.conf)
 
 
+def test_url_normalize_cases(spark):
+    from htmlcleanup_spark.functions.url import url_normalize
+
+    cases = [
+        # (input, expected)
+        ("HTTP://A.COM:80/Path/X?z=1&a=2#f", "http://a.com/Path/X?a=2&z=1"),
+        ("https://B.com:443/", "https://b.com/"),
+        ("http://a.com:8080/x", "http://a.com:8080/x"),   # non-default kept
+        ("http://a.com", "http://a.com"),
+        ("http://a.com?", "http://a.com"),                 # empty query dropped
+        ("http://a.com/x?b=2&b=1", "http://a.com/x?b=1&b=2"),
+        ("ftp://Host.Net/File.TXT", "ftp://host.net/File.TXT"),
+        ("no scheme here#frag", "no scheme here"),
+        ("https://u.io/p?only=1", "https://u.io/p?only=1"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    bad = df.withColumn("norm", url_normalize("url")).filter(
+        "norm != expected"
+    )
+    assert bad.count() == 0, bad.collect()
+
+
 def test_lang_confidence_bounds(spark):
     """confidence is hits/tokens in [0, 1] and monotone in marker density."""
     from htmlcleanup_spark.functions.text import lang_confidence
