@@ -189,6 +189,27 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in ONE plan: LSH candidate
+    pairs -> connected components -> survivors -> language-identified,
+    quality-thresholded corpus with per-doc stats.  This is the query a
+    reference user actually runs end-to-end; every stage is the same
+    operator the standalone queries check, so the oracle composes their
+    CTEs (recursive closure + generated lang scores + quality)."""
+    docs = _docs(spark, sf_dir)
+    clusters = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+    surv = dedup.dedup_survivors(docs, clusters)
+    out = surv.select(
+        "doc_id",
+        lang_id().alias("pred_lang"),
+        quality_score().alias("quality_e6"),
+        token_count().alias("n_tokens"),
+    )
+    return out.filter(
+        (F.col("quality_e6") >= 650000) & (F.col("pred_lang") != "und")
+    )
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-url canonicalization: messy url variants are BUILT from doc_id
     (case noise, default ports, unsorted params, fragments, scheme-less
@@ -513,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "containment_pairs": q_containment_pairs,
         "url_normalize": q_url_normalize,
+        "training_corpus": q_training_corpus,
         "corpus_stats": q_corpus_stats,
         "simhash64": q_simhash64,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -644,11 +666,12 @@ _QUALITY_SQL = (
 )
 
 
-def _lang_id_oracle() -> str:
-    """DuckDB twin of functions.text.lang_id + lang_confidence, GENERATED
-    from the same LANG_MARKERS dict so the marker sets can never drift.
-    The CASE mirrors the Spark side's strictly-greater / en-de-fr-nl
-    tie-break; confidence is the same exact int/int double division."""
+def _lang_sql_parts():
+    """(score column list, pred CASE, best-score expr) in DuckDB SQL,
+    GENERATED from LANG_MARKERS so the marker sets can never drift.  The
+    CASE mirrors the Spark side's strictly-greater / en-de-fr-nl
+    tie-break (first language whose score is > 0 and >= all later ones ==
+    the iterative fold)."""
     from htmlcleanup_spark.functions.text import _LANG_ORDER, LANG_MARKERS
 
     scores = ",\n".join(
@@ -656,8 +679,6 @@ def _lang_id_oracle() -> str:
         % (", ".join("'%s'" % w for w in LANG_MARKERS[lang]), lang)
         for lang in _LANG_ORDER
     )
-    # first language (in tie-break order) whose score is > 0 and >= all
-    # later ones == the iterative strictly-greater fold on the Spark side
     cases = []
     for i, lang in enumerate(_LANG_ORDER):
         later = _LANG_ORDER[i + 1 :]
@@ -668,6 +689,13 @@ def _lang_id_oracle() -> str:
         cases.append("WHEN %s THEN '%s'" % (cond, lang))
     pred = "CASE %s ELSE 'und' END" % " ".join(cases)
     best = "greatest(%s)" % ", ".join("s_%s" % L for L in _LANG_ORDER)
+    return scores, pred, best
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB twin of functions.text.lang_id + lang_confidence; confidence
+    is the same exact int/int double division."""
+    scores, pred, best = _lang_sql_parts()
     return f"""
         WITH s AS (
           SELECT doc_id, lang AS tagged_lang,
@@ -880,6 +908,38 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes s ON id_a = s.doc_id
             WHERE round(ni * 1.0 / s.n, 6) >= 0.5
         """,
+        # the composed pipeline: survivors (recursive closure of the LSH
+        # candidate graph) -> generated lang scores -> quality threshold
+        "training_corpus": "WITH RECURSIVE "
+        + _LSH_PAIRS_CTE[len("WITH "):] + """,
+            edges AS (SELECT id_a AS u, id_b AS v FROM cpairs
+                      UNION SELECT id_b, id_a FROM cpairs),
+            reach(doc_id, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT reach.doc_id, edges.v
+              FROM reach JOIN edges ON reach.r = edges.u
+            ),
+            losers AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+              ) WHERE doc_id != cluster_id
+            ),
+            surv AS (SELECT d.doc_id, d.text FROM documents d
+                     WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)),
+            feat AS (SELECT doc_id,
+                            len(string_split(text, ' ')) AS n_tokens,
+                            length(text) AS n_char,
+                            length(regexp_replace(text, '[^a-zA-Z ]', '',
+                                                  'g')) AS alpha_chars,
+                            %s
+                     FROM surv),
+            qual AS (SELECT doc_id, %s AS pred_lang, %s AS quality_e6,
+                            n_tokens
+                     FROM feat)
+            SELECT doc_id, pred_lang, quality_e6, n_tokens FROM qual
+            WHERE quality_e6 >= 650000 AND pred_lang != 'und'
+        """ % (_lang_sql_parts()[0], _lang_sql_parts()[1], _QUALITY_SQL),
         "corpus_stats": """
             SELECT lang,
                    count(*) AS n_docs,
