@@ -189,6 +189,42 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule fired-count rollup over the cascade output (the north
+    rule's 'rules fired' counter as a queryable table): explode the
+    rules_fired map, sum per rule.  The pathological wrap fires an
+    identical rule multiset for every ASCII single-spaced doc (asserted at
+    oracle-build time), so the oracle is per-doc constants × count(*)."""
+    out = _run_cascade(_docs_as_pages(spark, sf_dir))
+    return (
+        out.select(F.explode("rules_fired").alias("rule", "n"))
+        .groupBy("rule")
+        .agg(F.sum("n").alias("times_fired"))
+    )
+
+
+def _rule_counts_oracle() -> str:
+    from htmlcleanup_spark.engine import clean_html
+
+    fired = None
+    for text in ("abc", "Hello world this is a doc.", "x y. z 42"):
+        f = dict(
+            clean_html(_WRAP_PRE + text + _WRAP_POST).rules_fired
+        )
+        assert fired is None or f == fired, (
+            "wrap rule multiset not text-invariant: %r vs %r" % (fired, f)
+        )
+        fired = f
+    rows = ", ".join(
+        "('%s', %d)" % (rule, n) for rule, n in sorted(fired.items())
+    )
+    return (
+        "SELECT rule, CAST(per_doc * (SELECT count(*) FROM documents)"
+        " AS BIGINT) AS times_fired "
+        "FROM (VALUES %s) AS t(rule, per_doc)" % rows
+    )
+
+
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline in ONE plan: LSH candidate
     pairs -> connected components -> survivors -> language-identified,
@@ -535,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "url_normalize": q_url_normalize,
         "training_corpus": q_training_corpus,
+        "rule_counts": q_rule_counts,
         "corpus_stats": q_corpus_stats,
         "simhash64": q_simhash64,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -780,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_fixtures": _clean_fixtures_oracle(),
         "extract_synth": _extract_synth_oracle(),
         "warc_ingest": _warc_ingest_oracle(),
+        "rule_counts": _rule_counts_oracle(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
                    count(*) AS n_copies

@@ -259,6 +259,12 @@ def merge_parquet(spark: SparkSession, result: DataFrame,
     expire pass removes them (Iceberg's expire_snapshots equivalent).
     Reference sink shape: cleanup_msfp.py:300-302 (write the cleaned doc
     back in one step).
+
+    Cost honesty: each merge REWRITES the whole table (kept ∪ updates) —
+    O(table) I/O per run, vs Iceberg MERGE which rewrites only the files
+    holding matched rows.  This sink exists to prove the upsert contract
+    and give correct resumable semantics without a catalog; at 10^12 rows
+    use the real Iceberg path.
     """
     cur = _current_snapshot(spark, output_path)
     if cur is not None:

@@ -137,6 +137,18 @@ def test_resume_antijoin_not_forced_broadcast(spark, tmp_path):
     assert "hint" not in logical.lower()
 
 
+def test_containment_plan_no_cartesian(spark):
+    """The containment self-join must stay an equi-join on fp (hot keys
+    capped): no CartesianProduct node, bounded exchanges downstream of the
+    pinned fingerprint table."""
+    from htmlcleanup_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    plan = plan_of(containment_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert n_exchanges(plan) <= 4, plan
+
+
 def test_upsert_by_url_contract(spark):
     """The MERGE semantics proven offline: matched -> update, not-matched
     -> insert, never two rows per url (what merge_sql does on Iceberg)."""
