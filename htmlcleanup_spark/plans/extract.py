@@ -365,7 +365,15 @@ def _merge_into_iceberg(spark: SparkSession, result: DataFrame,
 def _ship_package(spark: SparkSession) -> None:
     """Ship htmlcleanup_spark to the python workers (what --py-files does on
     a cluster); needed when the job is launched as a bare script so the
-    cascade UDF unpickles on executors."""
+    cascade UDF unpickles on executors.
+
+    The zip is named by its content hash: addPyFile refuses a file whose
+    basename is already registered with different bytes, so a fixed name
+    ("engine.zip") collides with the archive spark-submit --py-files
+    already shipped — the hashed name makes re-shipping idempotent-or-
+    distinct, never a crash (found by driving the real spark-submit path).
+    """
+    import hashlib
     import tempfile
     import zipfile
 
@@ -373,15 +381,20 @@ def _ship_package(spark: SparkSession) -> None:
 
     pkg_root = os.path.dirname(os.path.dirname(
         os.path.abspath(htmlcleanup_spark.__file__)))
-    zpath = os.path.join(tempfile.mkdtemp(prefix="hc_spark_"), "engine.zip")
+    tmpd = tempfile.mkdtemp(prefix="hc_spark_")
+    zpath = os.path.join(tmpd, "engine.zip")
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
         pkg_dir = os.path.join(pkg_root, "htmlcleanup_spark")
         for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
+            for f in sorted(files):
                 if f.endswith(".py"):
                     p = os.path.join(root, f)
                     z.write(p, os.path.relpath(p, pkg_root))
-    spark.sparkContext.addPyFile(zpath)
+    with open(zpath, "rb") as f:
+        digest = hashlib.md5(f.read()).hexdigest()[:12]
+    hashed = os.path.join(tmpd, "hc_engine_%s.zip" % digest)
+    os.rename(zpath, hashed)
+    spark.sparkContext.addPyFile(hashed)
 
 
 def main(argv=None):
