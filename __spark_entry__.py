@@ -189,6 +189,50 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: the same PII-laced text is constructed from doc_id in
+    both engines and both apply the PII_PATTERNS table (Spark
+    regexp_replace is replace-all; DuckDB gets the 'g' flag) — a direct
+    cross-engine parity check of the patterns themselves."""
+    from htmlcleanup_spark.functions.text import redact_pii
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    txt = F.concat(
+        F.lit("User "), s(F.col("doc_id")),
+        F.lit(" mail a"), s(F.col("doc_id")),
+        F.lit("@ex"), s(F.col("doc_id") % 9),
+        F.lit(".com ip 10."), s(F.col("doc_id") % 256),
+        F.lit(".0.1 tel +1555"), s(F.col("doc_id") % 100000 + 1000000),
+        F.lit(" end"),
+    )
+    return d.select("doc_id", txt.alias("txt")).withColumn(
+        "redacted", redact_pii("txt")
+    )
+
+
+def _redact_pii_oracle() -> str:
+    from htmlcleanup_spark.functions.text import PII_PATTERNS
+
+    expr = "txt"
+    for pat, token in PII_PATTERNS:
+        expr = "regexp_replace(%s, '%s', '%s', 'g')" % (expr, pat, token)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 'User ' || CAST(doc_id AS VARCHAR)
+                 || ' mail a' || CAST(doc_id AS VARCHAR)
+                 || '@ex' || CAST(doc_id % 9 AS VARCHAR)
+                 || '.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.0.1 tel +1555'
+                 || CAST(doc_id % 100000 + 1000000 AS VARCHAR)
+                 || ' end' AS txt
+          FROM documents
+        )
+        SELECT doc_id, txt, {expr} AS redacted FROM t
+    """
+
+
 def q_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-rule fired-count rollup over the cascade output (the north
     rule's 'rules fired' counter as a queryable table): explode the
@@ -572,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "training_corpus": q_training_corpus,
         "rule_counts": q_rule_counts,
+        "redact_pii": q_redact_pii,
         "corpus_stats": q_corpus_stats,
         "simhash64": q_simhash64,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -818,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_synth": _extract_synth_oracle(),
         "warc_ingest": _warc_ingest_oracle(),
         "rule_counts": _rule_counts_oracle(),
+        "redact_pii": _redact_pii_oracle(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
                    count(*) AS n_copies

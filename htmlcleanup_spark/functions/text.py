@@ -117,6 +117,32 @@ def quality_score(text_col: str = "text") -> Column:
     return F.floor(q * 1000000.0).cast("long")
 
 
+# PII patterns, restricted to the dialect Java regex and RE2 evaluate
+# identically (no lookarounds; \b word boundaries are in both).  Order of
+# application matters and is fixed: emails, then IPv4, then phone-ish runs
+# (each earlier redaction removes digits the later patterns could misread).
+PII_PATTERNS = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("\\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text_col: str = "text") -> Column:
+    """Redact emails, IPv4 addresses, and phone-number-shaped digit runs
+    with typed placeholder tokens — the standard scrub pass before
+    training-data release.  Chained built-in regexp_replace (JVM-side,
+    replace-all); patterns live in PII_PATTERNS so the DuckDB oracle is
+    generated from the same table (regexp_replace(..., 'g') there).
+    Deliberately conservative: digit runs shorter than 8 and bare names
+    are untouched — recall on exotic formats is a tuning knob, not a
+    correctness property."""
+    col = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, token)
+    return col
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Full-content fingerprint (md5 hex)."""
     return F.md5(F.col(text_col))

@@ -60,6 +60,24 @@ def test_url_normalize_cases(spark):
     assert bad.count() == 0, bad.collect()
 
 
+def test_redact_pii_cases(spark):
+    from htmlcleanup_spark.functions.text import redact_pii
+
+    cases = [
+        ("mail bob.smith+x@corp.example.org now",
+         "mail <EMAIL> now"),
+        ("server at 192.168.001.1 up", "server at <IP> up"),
+        ("call +1 (555) 123-4567 today", "call <PHONE> today"),
+        ("call 5551234567", "call <PHONE>"),
+        ("v1.2.3 release, room 42", "v1.2.3 release, room 42"),  # untouched
+        ("a@b.co and 10.0.0.1 and +12345678",
+         "<EMAIL> and <IP> and <PHONE>"),
+    ]
+    df = spark.createDataFrame(cases, "text string, expected string")
+    bad = df.withColumn("got", redact_pii("text")).filter("got != expected")
+    assert bad.count() == 0, bad.collect()
+
+
 def test_lang_confidence_bounds(spark):
     """confidence is hits/tokens in [0, 1] and monotone in marker density."""
     from htmlcleanup_spark.functions.text import lang_confidence
