@@ -189,6 +189,28 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: 64-token chunks every 48 tokens (16-token
+    overlap), one row per (doc, chunk)."""
+    from htmlcleanup_spark.functions.text import chunk_spans
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("_ws")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.explode(chunk_spans("_ws", chunk_tokens=64, stride=48))
+            .alias("c"),
+        )
+        .select(
+            "doc_id", F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk").alias("chunk"),
+        )
+        .withColumn("n_tokens", F.size(F.split("chunk", " ")))
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: the same PII-laced text is constructed from doc_id in
     both engines and both apply the PII_PATTERNS table (Spark
@@ -617,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": q_training_corpus,
         "rule_counts": q_rule_counts,
         "redact_pii": q_redact_pii,
+        "chunk_text": q_chunk_text,
         "corpus_stats": q_corpus_stats,
         "simhash64": q_simhash64,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -864,6 +887,26 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _warc_ingest_oracle(),
         "rule_counts": _rule_counts_oracle(),
         "redact_pii": _redact_pii_oracle(),
+        # 64-token windows every 48: chunk count = max(ceil((n-64)/48)+1, 1),
+        # last window short, no token dropped; slice semantics align
+        # (Spark slice(start, len) == DuckDB list_slice inclusive ends)
+        "chunk_text": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+            c AS (SELECT doc_id, ws,
+                         unnest(generate_series(0,
+                           CAST(greatest(ceil((n - 64) / 48.0) + 1, 1)
+                                AS INT) - 1)) AS i
+                  FROM n)
+            SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                   array_to_string(list_slice(ws, i*48 + 1, i*48 + 64), ' ')
+                     AS chunk,
+                   len(string_split(
+                     array_to_string(list_slice(ws, i*48 + 1, i*48 + 64),
+                                     ' '), ' ')) AS n_tokens
+            FROM c
+        """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
                    count(*) AS n_copies

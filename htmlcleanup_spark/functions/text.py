@@ -169,6 +169,35 @@ def rolling_fingerprints(words_col: Column | str = "_ws",
     )
 
 
+def chunk_spans(words_col: Column | str = "_ws", chunk_tokens: int = 128,
+                stride: int = 96) -> Column:
+    """Token-window chunking for context packing: array of struct(chunk_id,
+    chunk) covering the materialized words array with windows of
+    ``chunk_tokens`` tokens every ``stride`` tokens (overlap =
+    chunk_tokens - stride; stride <= chunk_tokens covers every token).
+
+    Pure column expressions — the chunk count is ceil((n - chunk_tokens) /
+    stride) + 1 (min 1), so the LAST window may be shorter but no token is
+    dropped and no empty trailing chunk is emitted.  Takes the
+    materialized array column (same interpreted-lambda rule as
+    rolling_fingerprints).  Pair with posexplode to get one row per chunk.
+    """
+    w = F.col(words_col) if isinstance(words_col, str) else words_col
+    n = F.size(w)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1, F.lit(1)
+    ).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(w, i * stride + 1, chunk_tokens)
+            ).alias("chunk"),
+        ),
+    )
+
+
 def corpus_stats(df, text_col: str = "text", group_col: str = "lang",
                  approx: bool = False):
     """Per-group corpus statistics (SURVEY §2.7 corpus stats).

@@ -60,6 +60,38 @@ def test_url_normalize_cases(spark):
     assert bad.count() == 0, bad.collect()
 
 
+def test_chunk_spans_coverage_and_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from htmlcleanup_spark.functions.text import chunk_spans
+
+    text = " ".join("w%d" % i for i in range(150))
+    df = spark.createDataFrame([(text,), ("short doc",)], "text string")
+    rows = (
+        df.select(F.split("text", " ").alias("_ws"))
+        .select(F.explode(chunk_spans("_ws", 64, 48)).alias("c"))
+        .select("c.chunk_id", "c.chunk")
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.chunk[:2], []).append(r)
+    # 150 tokens, 64-window / 48-stride: ceil((150-64)/48)+1 = 3 chunks
+    long_chunks = sorted(
+        (r.chunk_id, r.chunk.split(" ")) for r in rows if len(r.chunk) > 20
+    )
+    assert len(long_chunks) == 3
+    covered = set()
+    for _cid, toks in long_chunks:
+        covered.update(toks)
+    assert covered == {"w%d" % i for i in range(150)}  # no token dropped
+    # consecutive chunks overlap by chunk_tokens - stride = 16
+    assert long_chunks[0][1][48:] == long_chunks[1][1][:16]
+    # short doc: exactly one chunk, the whole doc
+    short = [r for r in rows if r.chunk == "short doc"]
+    assert len(short) == 1 and short[0].chunk_id == 0
+
+
 def test_redact_pii_cases(spark):
     from htmlcleanup_spark.functions.text import redact_pii
 
