@@ -623,6 +623,69 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "digest")
 
 
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals + keep verdict per doc."""
+    from htmlcleanup_spark.functions.text import quality_signals
+
+    return quality_signals(_docs(spark, sf_dir))
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source crawl accounting: volume, exact-dup rate, tokens, mean
+    quality — the rollup behind domain blocklists."""
+    from htmlcleanup_spark.functions.text import source_stats
+
+    return source_stats(_docs(spark, sf_dir))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-extraction line-level boilerplate removal (CCNet pass) chained
+    directly onto the flagship pipeline: synth pages -> dedup -> cascade ->
+    line_dedup.  The oracle re-implements the line dedup in pure SQL over a
+    VALUES literal of the engine-exact cleaned texts
+    (sources.pages.expected_extract_rows), so the SQL side is an
+    INDEPENDENT implementation, not a driver-computed answer key."""
+    from htmlcleanup_spark.operators.dedup import line_dedup
+    from htmlcleanup_spark.plans.extract import dedup_latest_by_url
+    from htmlcleanup_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 200, num_partitions=4)
+    cleaned = _run_cascade(dedup_latest_by_url(pages)).filter(
+        F.col("text").isNotNull()
+    )
+    out = line_dedup(cleaned, id_col="url", text_col="text")
+    return out.select(
+        "url",
+        F.md5("text").alias("text_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+# Data-mixing rates for the stratified-sample query; the SQL oracle CASE is
+# generated from this same dict so the two can never drift.
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.75, "zh": 1.0}
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination verdict: docs sharing any 8-gram with the
+    deterministic eval slice (doc_id % 97 == 0) are flagged."""
+    from htmlcleanup_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, ev, k=8)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-lang Bernoulli sample (data-mixing weights)."""
+    from htmlcleanup_spark.operators.sample import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), _SAMPLE_RATES, strat_col="lang"
+    ).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "clean_documents": q_clean_documents,
@@ -658,6 +721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "image_meta": q_image_meta,
         "warc_ingest": q_warc_ingest,
+        "quality_signals": q_quality_signals,
+        "source_stats": q_source_stats,
+        "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -814,6 +882,113 @@ def _lang_id_oracle() -> str:
                  AS confidence,
                tagged_lang
         FROM s
+    """
+
+
+def _quality_signals_oracle() -> str:
+    """DuckDB twin of functions.text.quality_signals — same float op order
+    (IEEE doubles, floor-quantized) and the same max(cnt, bigram)
+    tie-break; the en-marker list is GENERATED from LANG_MARKERS."""
+    from htmlcleanup_spark.functions.text import LANG_MARKERS
+
+    en = ", ".join("'%s'" % w for w in LANG_MARKERS["en"])
+    nw = "CAST(len(ws) AS DOUBLE)"
+    return f"""
+        WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+                          CAST(length(text) AS DOUBLE) AS n_chars
+                   FROM documents),
+        base AS (
+          SELECT doc_id, len(ws) AS n_words,
+            CAST(floor((n_chars - ({nw} - 1)) / greatest({nw}, 1.0)
+                 * 1000000.0) AS BIGINT) AS mean_word_len_e6,
+            CAST(floor(CAST(len(list_distinct(ws)) AS DOUBLE)
+                 / greatest({nw}, 1.0) * 1000000.0) AS BIGINT)
+              AS uniq_word_frac_e6,
+            CAST(floor(CAST(len(list_filter(ws, x -> x IN ({en})))
+                 AS DOUBLE) / greatest({nw}, 1.0) * 1000000.0) AS BIGINT)
+              AS stopword_frac_e6,
+            n_chars, ws
+          FROM w),
+        idx AS (SELECT doc_id, n_chars, ws,
+                       unnest(generate_series(1, len(ws) - 1)) AS i
+                FROM base WHERE len(ws) >= 2),
+        big AS (SELECT doc_id, n_chars, ws[i] || ' ' || ws[i+1] AS bigram
+                FROM idx),
+        cnt AS (SELECT doc_id, any_value(n_chars) AS n_chars, bigram,
+                       count(*) AS cnt
+                FROM big GROUP BY doc_id, bigram),
+        top AS (SELECT doc_id,
+                  CAST(floor(CAST(cnt AS DOUBLE)
+                       * CAST(length(bigram) AS DOUBLE) / n_chars
+                       * 1000000.0) AS BIGINT) AS top_bigram_frac_e6
+                FROM cnt
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                  ORDER BY cnt DESC, bigram DESC) = 1)
+        SELECT b.doc_id, b.n_words, b.mean_word_len_e6,
+               b.uniq_word_frac_e6, b.stopword_frac_e6,
+               coalesce(t.top_bigram_frac_e6, 0) AS top_bigram_frac_e6,
+               (b.n_words >= 20 AND b.n_words <= 100000
+                AND b.mean_word_len_e6 >= 3000000
+                AND b.mean_word_len_e6 <= 10000000
+                AND coalesce(t.top_bigram_frac_e6, 0) <= 200000
+                AND b.uniq_word_frac_e6 >= 500000) AS keep
+        FROM base b LEFT JOIN top t USING (doc_id)
+    """
+
+
+def _line_dedup_oracle() -> str:
+    """Independent SQL line dedup over a VALUES literal of the engine-exact
+    cleaned texts (same corpus as q_line_dedup's Spark pipeline)."""
+    from htmlcleanup_spark.sources.pages import expected_extract_rows
+
+    rows = []
+    for url, text, error, _bi, _bo in expected_extract_rows(200):
+        if text is None:
+            continue
+        rows.append("('%s', %s)" % (url, _sql_concat_literal(text)))
+    return """
+        WITH docs AS (SELECT * FROM (VALUES %s) AS t(url, text)),
+        w AS (SELECT url, string_split(text, chr(10)) AS ls FROM docs),
+        idx AS (SELECT url, ls, unnest(generate_series(1, len(ls))) AS pos
+                FROM w),
+        lines AS (SELECT url, pos, ls[pos] AS line,
+                         md5(trim(ls[pos])) AS line_key
+                  FROM idx),
+        ldf AS (SELECT line_key, count(DISTINCT url) AS df
+                FROM lines GROUP BY line_key),
+        boiler AS (SELECT line_key FROM ldf
+                   WHERE df >= 2 AND df >= 0.30 *
+                     (SELECT CAST(count(*) AS DOUBLE) FROM docs)),
+        kept AS (SELECT * FROM lines
+                 WHERE line_key NOT IN (SELECT line_key FROM boiler)),
+        dropped AS (SELECT url, count(*) AS n_lines_dropped FROM lines
+                    WHERE line_key IN (SELECT line_key FROM boiler)
+                    GROUP BY url),
+        agg AS (SELECT url,
+                       md5(string_agg(line, chr(10) ORDER BY pos))
+                         AS text_md5,
+                       count(*) AS n_lines_kept
+                FROM kept GROUP BY url)
+        SELECT a.url, a.text_md5, a.n_lines_kept,
+               coalesce(d.n_lines_dropped, 0) AS n_lines_dropped
+        FROM agg a LEFT JOIN dropped d USING (url)
+    """ % ", ".join(rows)
+
+
+def _stratified_sample_oracle() -> str:
+    """Same md5-prefix-vs-threshold CASE as operators.sample, generated
+    from the same _SAMPLE_RATES dict (ASCII hex string compare is engine-
+    independent)."""
+    from htmlcleanup_spark.operators.sample import rate_threshold_hex
+
+    cases = " ".join(
+        "WHEN '%s' THEN '%s'" % (v, rate_threshold_hex(r))
+        for v, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < CASE lang {cases} ELSE '00000000' END
     """
 
 
@@ -1269,6 +1444,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i AS INT) AS pos,
                    md5(array_to_string(list_slice(ws, i+1, i+5), ' ')) AS fp
             FROM idx
+        """,
+        "quality_signals": _quality_signals_oracle(),
+        "line_dedup": _line_dedup_oracle(),
+        "decontaminate": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            idx AS (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 7)) AS i
+                    FROM w),
+            sh AS (SELECT DISTINCT doc_id,
+                          md5(array_to_string(list_slice(ws, i, i + 7), ' '))
+                            AS skey
+                   FROM idx),
+            ev AS (SELECT DISTINCT skey FROM sh WHERE doc_id % 97 = 0),
+            hit AS (SELECT DISTINCT doc_id FROM sh
+                    JOIN ev USING (skey))
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hit h USING (doc_id)
+        """,
+        "stratified_sample": _stratified_sample_oracle(),
+        # avg(quality) is safe as an IEEE double fold here: every addend is
+        # an integer <= 1e6, so all partial sums are integers < 2^53 and
+        # exactly representable in any order; floor then bit-matches
+        "source_stats": f"""
+            WITH t AS (SELECT source, text,
+                              len(string_split(text, ' ')) AS n_tokens,
+                              length(text) AS n_char,
+                              length(regexp_replace(text, '[^a-zA-Z ]', '',
+                                                    'g')) AS alpha_chars
+                       FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
+                   sum(n_tokens) AS total_tokens,
+                   CAST(floor(avg({_QUALITY_SQL})) AS BIGINT)
+                     AS mean_quality_e6
+            FROM t GROUP BY source
         """,
         "simhash64": _simhash_cte() + "SELECT doc_id, simhash FROM sig",
         "simhash_near_pairs": _simhash_cte() + """

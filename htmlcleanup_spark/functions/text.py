@@ -198,6 +198,126 @@ def chunk_spans(words_col: Column | str = "_ws", chunk_tokens: int = 128,
     )
 
 
+def quality_signals(df, text_col: str = "text", id_col: str = "doc_id",
+                    min_words: int = 20, max_words: int = 100_000,
+                    min_mean_word_len: float = 3.0,
+                    max_mean_word_len: float = 10.0,
+                    max_top_bigram_frac: float = 0.20,
+                    min_unique_frac: float = 0.50):
+    """Gopher-style per-document repetition/quality signals (Rae et al.
+    2021 §A1.1, the standard web-corpus filter set), with a keep/drop
+    verdict applying the thresholds.
+
+    Columns (ratios floor-quantized to BIGINT at 1e6 — portable across
+    engines, see quality_score):
+
+    - ``n_words``: whitespace tokens.
+    - ``mean_word_len_e6``: total word chars / words.  Texts are
+      single-space separated (the corpus contract), so word chars =
+      length - (n_words - 1) in pure column arithmetic.
+    - ``uniq_word_frac_e6``: distinct words / words — low values mean
+      word-level repetition (array_distinct is map-side, no shuffle).
+    - ``top_bigram_frac_e6``: chars covered by the most frequent word
+      2-gram / chars — THE Gopher repetition signal; boilerplate and
+      keyword-stuffed pages score high.  Needs real per-doc bigram
+      counts: explode -> count -> per-doc max.  Both aggregations have
+      map-side partial combine and the second carries one row per doc,
+      so the plan is 2 shuffles over the bigram stream plus a 1-row-per-
+      doc join back — the scale-safe shape (never a window over the
+      exploded stream).  Tie-break: max(struct(cnt, bigram)) == SQL
+      ORDER BY cnt DESC, bigram DESC LIMIT 1, deterministic.
+    - ``stopword_frac_e6``: English-marker hits / words (Gopher's
+      "has stopwords" rule, as a ratio).
+    - ``keep``: the verdict under the thresholds above.
+
+    Line-granularity Gopher rules (bullet/ellipsis line fractions) live
+    with :func:`~htmlcleanup_spark.operators.dedup.line_dedup`, which owns
+    the line model — the documents corpus is single-line by construction.
+    """
+    ws = F.split(F.col(text_col), " ")
+    n_words = F.size(ws).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    word_chars = n_chars - (n_words - 1)
+    mean_wl = word_chars / F.greatest(n_words, F.lit(1.0))
+    uniq_frac = F.size(F.array_distinct(ws)).cast("double") / F.greatest(
+        n_words, F.lit(1.0)
+    )
+    stop_frac = stopword_hits(text_col, LANG_MARKERS["en"]).cast(
+        "double"
+    ) / F.greatest(n_words, F.lit(1.0))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(ws).alias("n_words"),
+        F.floor(mean_wl * 1e6).cast("long").alias("mean_word_len_e6"),
+        F.floor(uniq_frac * 1e6).cast("long").alias("uniq_word_frac_e6"),
+        F.floor(stop_frac * 1e6).cast("long").alias("stopword_frac_e6"),
+        F.length(text_col).alias("_n_chars"),
+        F.split(F.col(text_col), " ").alias("_ws"),
+    )
+    bigrams = base.filter(F.size("_ws") >= 2).select(
+        id_col,
+        "_n_chars",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - 2),
+                lambda i: F.concat_ws(" ", F.slice("_ws", i + 1, 2)),
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "_n_chars", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col, "_n_chars")
+        .agg(F.max(F.struct("cnt", "bigram")).alias("_top"))
+        .select(
+            id_col,
+            F.floor(
+                F.col("_top.cnt")
+                * F.length("_top.bigram").cast("double")
+                / F.col("_n_chars").cast("double")
+                * 1e6
+            )
+            .cast("long")
+            .alias("top_bigram_frac_e6"),
+        )
+    )
+    out = base.drop("_n_chars", "_ws").join(top, id_col, "left").withColumn(
+        "top_bigram_frac_e6",
+        F.coalesce("top_bigram_frac_e6", F.lit(0)),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len_e6") >= int(min_mean_word_len * 1e6))
+        & (F.col("mean_word_len_e6") <= int(max_mean_word_len * 1e6))
+        & (F.col("top_bigram_frac_e6") <= int(max_top_bigram_frac * 1e6))
+        & (F.col("uniq_word_frac_e6") >= int(min_unique_frac * 1e6))
+    )
+    return out.withColumn("keep", keep)
+
+
+def source_stats(df, text_col: str = "text", source_col: str = "source"):
+    """Per-source corpus accounting — the rollup behind domain blocklists
+    in a crawl pipeline: volume, exact-duplicate rate, token mass, and
+    mean quality per source.  One hash-shuffle on the source key with
+    map-side partial aggregation (countDistinct rewrites to a two-phase
+    expand internally, still one logical pass); avg is floor-quantized
+    because sum(bigint)/count is IEEE-exact in both engines but the
+    textual rendering of the raw double is not hash-stable.
+    """
+    return df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.countDistinct(F.md5(F.col(text_col)))).alias(
+            "n_exact_dups"
+        ),
+        F.sum(token_count(text_col)).alias("total_tokens"),
+        F.floor(F.avg(quality_score(text_col)).cast("double"))
+        .cast("long")
+        .alias("mean_quality_e6"),
+    )
+
+
 def corpus_stats(df, text_col: str = "text", group_col: str = "lang",
                  approx: bool = False):
     """Per-group corpus statistics (SURVEY §2.7 corpus stats).

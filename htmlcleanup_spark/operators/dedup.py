@@ -632,3 +632,128 @@ def dedup_survivors(df: DataFrame, clusters: DataFrame,
         F.col("doc_id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def line_dedup(df: DataFrame, id_col: str = "url", text_col: str = "text",
+               min_df: int = 2, max_doc_frac: float = 0.30) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (Wenzek et al. 2019 §4.1,
+    the pass FineWeb/RefinedWeb run right after extraction): a line whose
+    trimmed form appears in more than ``max_doc_frac`` of documents (and at
+    least ``min_df`` of them) is boilerplate — nav bars, footers, cookie
+    banners — and is dropped from every document; per-document line order
+    is otherwise preserved.
+
+    Returns (id, text, n_lines_kept, n_lines_dropped) with ``text``
+    reassembled from the surviving lines.  A document whose every line is
+    boilerplate yields no output row — it IS boilerplate.
+
+    Scale shape (10^12 docs):
+    - the document-frequency count runs on md5(trim(line)) so the shuffle
+      key is fixed-width, with a map-side distinct-per-(doc,line) before
+      the exchange (groupBy on the pair, then on the hash) — two
+      aggregations but each with partial combine, never a raw
+      (doc x line) distinct-shuffle of unbounded strings;
+    - the boilerplate set is tiny by definition (df above a corpus-scale
+      threshold is the Zipf head), so the removal anti-join broadcasts —
+      no second shuffle of the exploded line stream by line;
+    - reassembly is one shuffle keyed by doc id carrying the surviving
+      lines (sort_array(collect_list(struct(pos, line))) — deterministic,
+      no window);
+    - the corpus doc count is a 1-row aggregate cross-joined in (the SQL
+      oracle's scalar subquery twin).
+    """
+    df = _pin(df.select(id_col, text_col))  # consumed by 4 branches:
+    # without the pin each branch re-runs the whole upstream lineage
+    # (for the post-extraction use that is the cascade itself, 4x)
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_key", F.md5(F.trim(F.col("line"))))
+
+    n_docs = df.select(
+        F.count("*").cast("double").alias("_n_docs")
+    )
+    line_df = (
+        lines.groupBy("_id", "line_key")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("line_key")
+        .agg(F.count("*").alias("_df"))
+    )
+    boiler = (
+        line_df.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("_df") >= min_df)
+            & (F.col("_df") >= F.col("_n_docs") * max_doc_frac)
+        )
+        .select("line_key")
+    )
+    kept = lines.join(F.broadcast(boiler), "line_key", "left_anti")
+    dropped_per_doc = (
+        lines.join(F.broadcast(boiler), "line_key", "left_semi")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_lines_dropped"))
+    )
+    out = (
+        kept.groupBy("_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "line"))
+            ).alias("_pl"),
+            F.count("*").alias("n_lines_kept"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.concat_ws(
+                "\n", F.transform("_pl", lambda s: s["line"])
+            ).alias(text_col),
+            "n_lines_kept",
+        )
+    )
+    return (
+        out.join(dropped_per_doc.withColumnRenamed("_id", id_col),
+                 id_col, "left")
+        .withColumn(
+            "n_lines_dropped", F.coalesce("n_lines_dropped", F.lit(0))
+        )
+    )
+
+
+def decontaminate(df: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 8) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appx C / The Pile §6.3 style): flag
+    every training document sharing at least one k-word shingle with the
+    evaluation corpus, so it can be dropped before training.
+
+    Returns (id, contaminated) for every input doc.
+
+    Scale shape (10^12 train docs vs a few-thousand-doc eval set):
+    - eval shingles hash to fixed-width md5 keys and the set is SMALL (a
+      benchmark suite is megabytes), so it broadcasts: the train-side
+      shingle stream is probed map-side — ZERO shuffle of the big table;
+    - only matched ids survive to the distinct (tiny), and the verdict
+      join back to ids is id-keyed on that tiny set;
+    - k is the standard 8-13: long enough that natural text rarely
+      collides, short enough to catch paraphrase-free copying.
+    """
+    ev = (
+        shingles(eval_df, text_col=text_col, id_col=id_col, k=k)
+        .select(F.md5("shingle").alias("skey"))
+        .distinct()
+    )
+    doc_sh = shingles(df, text_col=text_col, id_col=id_col, k=k).select(
+        F.col(id_col), F.md5("shingle").alias("skey")
+    )
+    hit = (
+        doc_sh.join(F.broadcast(ev), "skey", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        df.select(id_col)
+        .join(F.broadcast(hit), id_col, "left")
+        .withColumn(
+            "contaminated", F.coalesce("contaminated", F.lit(False))
+        )
+    )

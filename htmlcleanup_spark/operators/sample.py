@@ -1,0 +1,60 @@
+"""Deterministic corpus sampling (training-data mixing layer).
+
+Data-mixing recipes ("2 parts web, 1 part code, 0.5 parts forums...") need
+per-stratum sampling that is (a) reproducible run-to-run and machine-to-
+machine, (b) a pure FILTER — no shuffle, no RNG state, no sort — so it
+composes with any upstream plan at 10^12 rows, and (c) auditable in SQL.
+
+The trick: a row's inclusion is decided by comparing a fixed-width prefix of
+md5(salt || id) against a per-stratum hex threshold.  md5 output is uniform,
+the comparison is plain ASCII string ordering (identical in every engine),
+and the threshold for rate r is the first 8 hex digits of r * 16^8 — no
+float parsing, no engine-specific RNG, bit-identical everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PREFIX_NIBBLES = 8  # 32 bits of hash -> rate resolution ~2.3e-10
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """First-8-hex-digit threshold for Bernoulli rate ``rate`` in [0, 1]."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1], got %r" % rate)
+    return "%08x" % min(int(rate * 16 ** _PREFIX_NIBBLES),
+                        16 ** _PREFIX_NIBBLES - 1)
+
+
+def sample_key(id_col: str, salt: str) -> Column:
+    """The uniform selector: first 8 hex chars of md5(salt || ':' || id)."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+        1,
+        _PREFIX_NIBBLES,
+    )
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strat_col: str = "lang", id_col: str = "doc_id",
+                      salt: str = "v1",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Keep each row with its stratum's Bernoulli rate, deterministically.
+
+    ``rates`` maps stratum value -> keep probability; strata absent from the
+    map get ``default_rate``.  Changing ``salt`` redraws the sample;
+    keeping it fixes the sample across runs/retries (critical for resumable
+    jobs: a retried partition must select the SAME rows).
+
+    Pure column filter — Catalyst pushes it into the scan, no shuffle, no
+    per-partition RNG seeding to get wrong.  Stratum rates compile to a
+    CASE over threshold literals; the SQL oracle generates the same CASE
+    from the same dict.
+    """
+    thresh = F.lit(rate_threshold_hex(default_rate))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strat_col) == value, F.lit(rate_threshold_hex(rate))
+        ).otherwise(thresh)
+    return df.filter(sample_key(id_col, salt) < thresh)

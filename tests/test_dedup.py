@@ -178,3 +178,102 @@ def test_lsh_hot_bucket_cap(spark):
     capped = dedup.minhash_lsh_pairs(docs, max_bucket_size=3)
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert got == {(10, 11)}
+
+
+def test_line_dedup_removes_boilerplate_lines(spark):
+    """Lines present in >=30% of docs (and >=2 docs) are dropped
+    everywhere; order is preserved; an all-boilerplate doc vanishes."""
+    from htmlcleanup_spark.operators.dedup import line_dedup
+
+    footer = "copyright corp"
+    docs = [
+        (0, "alpha\n%s\nbeta" % footer),
+        (1, "gamma\n%s" % footer),
+        (2, "%s\ndelta" % footer),
+        (3, "unique one\nunique two"),
+        (4, footer),                       # only boilerplate -> no row
+        (5, "epsilon\nepsilon"),           # intra-doc repeat: df=1, kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in line_dedup(df, id_col="doc_id", text_col="text").collect()
+    }
+
+    assert 4 not in out
+    assert out[0].text == "alpha\nbeta"
+    assert out[0].n_lines_kept == 2 and out[0].n_lines_dropped == 1
+    assert out[1].text == "gamma"
+    assert out[2].text == "delta"
+    assert out[3].text == "unique one\nunique two"
+    assert out[3].n_lines_dropped == 0
+    assert out[5].text == "epsilon\nepsilon"
+
+
+def test_line_dedup_min_df_floor(spark):
+    """max_doc_frac alone can't drop a line seen once in a tiny corpus:
+    the min_df floor keeps singleton lines."""
+    from htmlcleanup_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(0, "only line")], "doc_id long, text string"
+    )
+    rows = line_dedup(df, id_col="doc_id", text_col="text").collect()
+    assert len(rows) == 1 and rows[0].text == "only line"
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    from htmlcleanup_spark.operators.dedup import decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 q5 q6 q7 q8 tail tail")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "q1 q2 q3 q4 q5 q6 q7 q8"),            # exact 8-gram
+            (1, "pre q1 q2 q3 q4 q5 q6 q7 q8 post"),   # embedded 8-gram
+            (2, "q1 q2 q3 q4 q5 q6 q7 other"),         # only 7 shared
+            (3, "clean text with nothing shared here at all"),
+            (4, "short doc"),                           # < k words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.contaminated for r in decontaminate(train, ev, k=8).collect()}
+    assert out == {0: True, 1: True, 2: False, 3: False, 4: False}
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from htmlcleanup_spark.operators.sample import (
+        rate_threshold_hex,
+        stratified_sample,
+    )
+
+    assert rate_threshold_hex(0.0) == "00000000"
+    assert rate_threshold_hex(1.0) == "ffffffff"
+    assert rate_threshold_hex(0.5) == "80000000"
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    rates = {"a": 0.25, "b": 1.0}
+    got1 = set(
+        r.doc_id
+        for r in stratified_sample(df, rates, strat_col="s").collect()
+    )
+    got2 = set(
+        r.doc_id
+        for r in stratified_sample(df, rates, strat_col="s").collect()
+    )
+    assert got1 == got2                       # deterministic
+    n_a = sum(1 for i in got1 if i % 2 == 0)
+    assert abs(n_a / 2000 - 0.25) < 0.05      # rate within 5 points
+    assert sum(1 for i in got1 if i % 2 == 1) == 2000  # rate 1.0 keeps all
+    # different salt redraws
+    got3 = set(
+        r.doc_id
+        for r in stratified_sample(df, rates, strat_col="s",
+                                   salt="v2").collect()
+    )
+    assert got3 != got1

@@ -274,3 +274,56 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_pages_b")
         spark.sql("DROP TABLE IF EXISTS t_done_b")
+
+
+def test_decontaminate_train_side_never_shuffles(spark):
+    """The scale contract of decontaminate: the train-side shingle stream
+    is probed by BROADCAST joins only — every Exchange in the plan must be
+    either a broadcast or keyed by the tiny matched-id/eval side, never a
+    repartition of the train shingles by shingle key."""
+    from htmlcleanup_spark.operators.dedup import decontaminate
+
+    train = spark.range(0, 200).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', 'w', cast(id as string), 'a b c d e f g h i j') "
+        "AS text",
+    )
+    ev = train.filter("doc_id % 50 = 0")
+    plan = plan_of(decontaminate(train, ev, k=8))
+    assert "BroadcastHashJoin" in plan, plan
+    # no sort-merge join anywhere: the big side must never sort/shuffle
+    # by shingle key
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stratified_sample_filter_pushdown(spark, tmp_path):
+    """The sample predicate is a pure filter over scan columns: the plan
+    must contain no Exchange and no Python/UDF node at all."""
+    from htmlcleanup_spark.operators.sample import stratified_sample
+
+    p = str(tmp_path / "docs")
+    spark.range(0, 100).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang"
+    ).write.parquet(p)
+    df = stratified_sample(
+        spark.read.parquet(p), {"en": 0.5, "de": 0.1}
+    )
+    plan = plan_of(df)
+    assert n_exchanges(plan) == 0, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_line_dedup_boiler_join_broadcasts(spark):
+    """line_dedup's removal joins must broadcast the (tiny) boilerplate
+    set — a sort-merge join there would shuffle the exploded line stream
+    by line hash, the thing the design forbids."""
+    from htmlcleanup_spark.operators.dedup import line_dedup
+
+    df = spark.range(0, 100).selectExpr(
+        "id AS doc_id",
+        "concat('common header', chr(10), 'body ', cast(id AS string)) "
+        "AS text",
+    )
+    plan = plan_of(line_dedup(df, id_col="doc_id", text_col="text"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

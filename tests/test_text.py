@@ -120,3 +120,53 @@ def test_lang_confidence_bounds(spark):
     a, b = [r.c for r in df.select(lang_confidence().alias("c")).collect()]
     assert a == 1.0
     assert 0.0 < b < a
+
+
+def test_quality_signals_values(spark):
+    """Hand-computable signal values + keep verdict on crafted docs."""
+    from htmlcleanup_spark.functions.text import quality_signals
+
+    docs = [
+        # 0: "spam spam ... spam" x 24 — top bigram "spam spam" covers
+        # nearly everything, uniq frac 1/24 -> dropped
+        (0, " ".join(["spam"] * 24)),
+        # 1: 24 distinct 4-char words incl. stopwords -> kept
+        (1, " ".join("w%03d" % i for i in range(20)) + " the and of to"),
+        # 2: too short -> dropped
+        (2, "tiny doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in quality_signals(df).collect()}
+
+    assert rows[0].n_words == 24
+    assert rows[0].uniq_word_frac_e6 == int(1 / 24 * 1e6)
+    # 23 occurrences of "spam spam" (9 chars) over 119 chars
+    assert rows[0].top_bigram_frac_e6 == int(23 * 9 / 119 * 1e6)
+    assert not rows[0].keep
+
+    assert rows[1].n_words == 24
+    assert rows[1].uniq_word_frac_e6 == 1000000
+    assert rows[1].stopword_frac_e6 == int(4 / 24 * 1e6)
+    assert rows[1].keep
+
+    assert rows[2].n_words == 2
+    assert rows[2].top_bigram_frac_e6 == int(1 * 8 / 8 * 1e6)
+    assert not rows[2].keep
+
+
+def test_source_stats_dup_rate(spark):
+    from htmlcleanup_spark.functions.text import source_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c", "s0"),
+            (1, "a b c", "s0"),   # exact dup within s0
+            (2, "d e f", "s0"),
+            (3, "g h i", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in source_stats(df).collect()}
+    assert rows["s0"].n_docs == 3 and rows["s0"].n_exact_dups == 1
+    assert rows["s1"].n_docs == 1 and rows["s1"].n_exact_dups == 0
+    assert rows["s0"].total_tokens == 9
