@@ -152,8 +152,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join (hot-shingle f^2 blowup is the 100 TB killer; a stopword
     # shingle carries no similarity signal).  The oracle applies the same
     # cap, so values are defined over the same universe.
+    # hash_key: 8-byte xxhash64 join keys instead of shingle strings —
+    # ~25% faster self-join, collision-free at any realistic scale (see
+    # operator docstring); the oracle joins raw shingles and still value-
+    # matches because the Jaccard universe is unchanged.
     return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.2, max_shingle_df=50
+        _docs(spark, sf_dir), threshold=0.2, max_shingle_df=50,
+        hash_key=True
     )
 
 
@@ -292,24 +297,40 @@ def _rule_counts_oracle() -> str:
 
 
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data pipeline in ONE plan: LSH candidate
-    pairs -> connected components -> survivors -> language-identified,
-    quality-thresholded corpus with per-doc stats.  This is the query a
-    reference user actually runs end-to-end; every stage is the same
+    """The composed training-data pipeline in ONE plan — the full modern
+    recipe (RefinedWeb/FineWeb shape): LSH candidate pairs -> connected
+    components -> survivors -> eval-set decontamination -> language +
+    quality filter -> deterministic data-mixing sample.  This is the query
+    a reference user actually runs end-to-end; every stage is the same
     operator the standalone queries check, so the oracle composes their
-    CTEs (recursive closure + generated lang scores + quality)."""
+    CTEs (recursive closure + 8-gram hit set + generated lang scores +
+    quality + sample-threshold CASE)."""
+    from htmlcleanup_spark.operators.sample import stratified_sample
+
     docs = _docs(spark, sf_dir)
     clusters = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
     surv = dedup.dedup_survivors(docs, clusters)
+    # decontaminate survivors against the deterministic eval slice; the
+    # contaminated set is tiny so it broadcast-anti-joins
+    bad = (
+        dedup.decontaminate(
+            surv, docs.filter(F.col("doc_id") % 97 == 0), k=8
+        )
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    surv = surv.join(F.broadcast(bad), "doc_id", "left_anti")
     out = surv.select(
         "doc_id",
+        "lang",
         lang_id().alias("pred_lang"),
         quality_score().alias("quality_e6"),
         token_count().alias("n_tokens"),
-    )
-    return out.filter(
+    ).filter(
         (F.col("quality_e6") >= 650000) & (F.col("pred_lang") != "und")
     )
+    # data-mixing sample on the tagged lang, deterministic + retry-stable
+    return stratified_sample(out, _SAMPLE_RATES, strat_col="lang")
 
 
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,20 +996,26 @@ def _line_dedup_oracle() -> str:
     """ % ", ".join(rows)
 
 
-def _stratified_sample_oracle() -> str:
-    """Same md5-prefix-vs-threshold CASE as operators.sample, generated
-    from the same _SAMPLE_RATES dict (ASCII hex string compare is engine-
-    independent)."""
+def _sample_pred_sql(strat_col: str = "lang") -> str:
+    """The md5-prefix-vs-threshold sampling predicate as DuckDB SQL,
+    generated from the same _SAMPLE_RATES dict as operators.sample (ASCII
+    hex string compare is engine-independent)."""
     from htmlcleanup_spark.operators.sample import rate_threshold_hex
 
     cases = " ".join(
         "WHEN '%s' THEN '%s'" % (v, rate_threshold_hex(r))
         for v, r in sorted(_SAMPLE_RATES.items())
     )
+    return (
+        "substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+        "< CASE %s %s ELSE '00000000' END" % (strat_col, cases)
+    )
+
+
+def _stratified_sample_oracle() -> str:
     return f"""
         SELECT doc_id, lang FROM documents
-        WHERE substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
-              < CASE lang {cases} ELSE '00000000' END
+        WHERE {_sample_pred_sql()}
     """
 
 
@@ -1227,21 +1254,44 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
               ) WHERE doc_id != cluster_id
             ),
-            surv AS (SELECT d.doc_id, d.text FROM documents d
+            surv AS (SELECT d.doc_id, d.text, d.lang FROM documents d
                      WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)),
-            feat AS (SELECT doc_id,
+            wsur AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM surv),
+            sidx AS (SELECT doc_id, ws,
+                            unnest(generate_series(1, len(ws) - 7)) AS i
+                     FROM wsur),
+            ssh AS (SELECT DISTINCT doc_id,
+                           md5(array_to_string(list_slice(ws, i, i + 7),
+                                               ' ')) AS skey
+                    FROM sidx),
+            wev AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE doc_id %% 97 = 0),
+            eidx AS (SELECT doc_id, ws,
+                            unnest(generate_series(1, len(ws) - 7)) AS i
+                     FROM wev),
+            esh AS (SELECT DISTINCT
+                           md5(array_to_string(list_slice(ws, i, i + 7),
+                                               ' ')) AS skey
+                    FROM eidx),
+            hit AS (SELECT DISTINCT doc_id FROM ssh JOIN esh USING (skey)),
+            surv2 AS (SELECT * FROM surv
+                      WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+            feat AS (SELECT doc_id, lang,
                             len(string_split(text, ' ')) AS n_tokens,
                             length(text) AS n_char,
                             length(regexp_replace(text, '[^a-zA-Z ]', '',
                                                   'g')) AS alpha_chars,
                             %s
-                     FROM surv),
-            qual AS (SELECT doc_id, %s AS pred_lang, %s AS quality_e6,
-                            n_tokens
+                     FROM surv2),
+            qual AS (SELECT doc_id, lang, %s AS pred_lang,
+                            %s AS quality_e6, n_tokens
                      FROM feat)
-            SELECT doc_id, pred_lang, quality_e6, n_tokens FROM qual
+            SELECT doc_id, lang, pred_lang, quality_e6, n_tokens FROM qual
             WHERE quality_e6 >= 650000 AND pred_lang != 'und'
-        """ % (_lang_sql_parts()[0], _lang_sql_parts()[1], _QUALITY_SQL),
+              AND %s
+        """ % (_lang_sql_parts()[0], _lang_sql_parts()[1], _QUALITY_SQL,
+               _sample_pred_sql()),
         "corpus_stats": """
             SELECT lang,
                    count(*) AS n_docs,

@@ -277,3 +277,21 @@ def test_stratified_sample_deterministic_and_rate(spark):
                                    salt="v2").collect()
     )
     assert got3 != got1
+
+
+def test_ngram_jaccard_hash_key_matches_exact(spark):
+    """The 8-byte-key fast path must produce identical pairs and values
+    to the exact string-key path (collisions are ~2^-65 per key pair)."""
+    from htmlcleanup_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    kw = dict(threshold=0.2, max_shingle_df=50)
+    exact = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, **kw).collect())
+    )
+    hashed = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, hash_key=True, **kw).collect())
+    )
+    assert exact == hashed and len(exact) > 0
