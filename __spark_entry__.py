@@ -707,6 +707,20 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout): one shuffle, two window
+    functions sharing a single partitioning+sort."""
+    from htmlcleanup_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return sessionize(ev).select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "session_seq",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "clean_documents": q_clean_documents,
@@ -747,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "events_sessionized": q_events_sessionized,
     }
 
 
@@ -1514,6 +1529,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hit h USING (doc_id)
         """,
         "stratified_sample": _stratified_sample_oracle(),
+        # lag's first-row NULL falls to the ELSE 0 branch in both engines;
+        # ties on ts break on event_id so the running sum is deterministic
+        "events_sessionized": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN CAST(epoch(ts) AS BIGINT)
+                               - lag(CAST(epoch(ts) AS BIGINT)) OVER
+                                 (PARTITION BY user_id
+                                  ORDER BY ts, event_id) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events)
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   sum(brk) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM e
+        """,
         # avg(quality) is safe as an IEEE double fold here: every addend is
         # an integer <= 1e6, so all partial sums are integers < 2^53 and
         # exactly representable in any order; floor then bit-matches

@@ -63,6 +63,7 @@ EXTENDED = [
     "line_dedup",
     "decontaminate",
     "stratified_sample",
+    "events_sessionized",
 ]
 
 

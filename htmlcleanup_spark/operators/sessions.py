@@ -1,0 +1,41 @@
+"""Event sessionization: gap-based session assignment per user.
+
+The classic two-window relational pattern: a lag() marks session breaks
+(gap > timeout), a running sum over the same ordering turns breaks into
+per-user session ordinals.  Both windows share one partitioning, so the
+whole operator costs exactly ONE shuffle (by user), and the sort is reused
+across the two window functions — the plan Catalyst produces is a single
+Window node pair over one Exchange+Sort.
+
+At 10^12 events the shuffle is keyed by user_id (high cardinality, no
+Zipf head worse than the busiest user); a user whose event count exceeds
+task memory would need a secondary time-bucket split, which composes with
+this operator unchanged (sessionize within (user, day) buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(df: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", order_tiebreak: str = "event_id",
+               gap_seconds: int = 1800) -> DataFrame:
+    """Add ``session_seq``: 0-based session ordinal per user, a new session
+    starting whenever the gap to the previous event exceeds
+    ``gap_seconds``.  Ordering ties break on ``order_tiebreak`` so the
+    assignment is deterministic (same-timestamp events).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    # parquet event times are TIMESTAMP_NTZ, which has no direct cast to
+    # BIGINT — go through TIMESTAMP (session TZ is UTC in this engine's
+    # sessions, so the epoch matches the SQL oracle's epoch())
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    brk = F.when(gap > gap_seconds, 1).otherwise(0)
+    seq = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("session_seq", seq)

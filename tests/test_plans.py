@@ -327,3 +327,27 @@ def test_line_dedup_boiler_join_broadcasts(spark):
     plan = plan_of(line_dedup(df, id_col="doc_id", text_col="text"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sessionize_single_shuffle_and_values(spark):
+    """Both window functions share one partitioning+sort: exactly one
+    Exchange.  Values: gap > timeout opens a new 0-based session."""
+    import datetime as dt
+
+    from htmlcleanup_spark.operators.sessions import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base),
+        (1, 2, base + dt.timedelta(minutes=10)),   # same session
+        (1, 3, base + dt.timedelta(minutes=50)),   # 40-min gap -> new
+        (1, 4, base + dt.timedelta(minutes=79)),   # 29-min gap -> same
+        (2, 5, base),                              # other user restarts at 0
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    )
+    out = sessionize(df)
+    assert n_exchanges(plan_of(out)) == 1, plan_of(out)
+    got = {r.event_id: r.session_seq for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
