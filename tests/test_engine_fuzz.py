@@ -5,9 +5,12 @@ the two behaviors that must hold for ALL inputs at 10^12-doc scale:
 
 1. total safety — clean_html never raises; every failure is a value in
    the error column (one malformed page cannot kill an executor), and
-2. convergence — when a document cleans successfully, a second pass is a
-   fixed point of a third (the cascade cannot oscillate; full idempotence
-   is deliberately NOT claimed — the reference's S3 isn't idempotent).
+2. convergence — when a document cleans successfully, repeated cleaning
+   reaches a fixed point within a few passes (the cascade cannot
+   oscillate; idempotence is deliberately NOT claimed — the reference's
+   single-pass semantics legitimately takes several passes to settle,
+   e.g. S5 empties a <p> on pass N and only pass N+1 can strip the
+   whitespace that removal exposes).
 """
 
 from __future__ import annotations
@@ -57,13 +60,19 @@ def test_never_raises_and_converges(html):
         return
     assert r.bytes_in == len(html.encode("utf-8"))
     assert r.bytes_out == len(r.text.encode("utf-8"))
-    # convergence: pass 2 is a fixed point of pass 3 (or pass 2 errors,
-    # which the per-document error column also tolerates)
-    r2 = clean_html(r.text)
-    if r2.error is not None:
-        return
-    r3 = clean_html(r2.text)
-    assert r3.error is None and r3.text == r2.text
+    # convergence: a fixed point is reached within a bounded number of
+    # passes (no oscillation). Each pass can expose new strippable
+    # content (emptied <p>s, then whitespace in the emptied parent), so
+    # the bound is > 2; 6 is far above anything the cascade produces.
+    cur = r.text
+    for _ in range(6):
+        rn = clean_html(cur)
+        if rn.error is not None:
+            return  # per-document error column tolerates this
+        if rn.text == cur:
+            return  # fixed point reached
+        cur = rn.text
+    raise AssertionError(f"no fixed point within 6 passes: {cur!r}")
 
 
 @settings(max_examples=60, deadline=None)
