@@ -636,6 +636,63 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_meta(imgs)
 
 
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text/layout parse (north rule's "PDF/layout parse"): Python
+    WRITES real PDFs per doc_id (catalog + page tree + Flate/plain/hex/TJ
+    content streams, reversed file layout for odd docs), the Spark-side
+    parser (operators.pdf.pdf_text, Arrow-batched stateless map) READS the
+    text back via the page tree; the oracle re-derives the text purely
+    arithmetically from doc_id."""
+    import pandas as pd
+
+    from htmlcleanup_spark.operators.pdf import pdf_text, synth_pdf_bytes
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_pdf_bytes(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    pdfs = d.mapInPandas(gen, "doc_id bigint, payload binary")
+    return pdf_text(pdfs)
+
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-heuristic main-content extraction (north rule's "DOM
+    heuristics"): link-density/length block classification with one
+    smoothing pass over pages with known chrome (nav/sidebar/footer) and
+    known article bodies; the oracle re-derives the expected main text from
+    the page RECIPE in SQL, so the whole segment→score→classify chain is
+    value-checked."""
+    import pandas as pd
+
+    from htmlcleanup_spark.engine.maincontent import synth_article_html
+    from htmlcleanup_spark.operators.content import extract_main_content
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html": [
+                        synth_article_html(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    pages = d.mapInPandas(gen, "doc_id bigint, html string")
+    return extract_main_content(pages)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
@@ -755,6 +812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_meta": q_multimodal_meta,
         "image_meta": q_image_meta,
+        "pdf_text": q_pdf_text,
+        "main_content": q_main_content,
         "warc_ingest": q_warc_ingest,
         "quality_signals": q_quality_signals,
         "source_stats": q_source_stats,
@@ -1498,6 +1557,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 44
                         ELSE 14 END AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        # arithmetic twin of synth_pdf_bytes + operators.pdf.pdf_text:
+        # n_pages = 1 + doc_id % 3; three fixed-shape lines per page (the
+        # doc_id % 5 branch carries parens + a literal backslash through
+        # the PDF string-escape round trip); pages joined by blank lines
+        "pdf_text": """
+            WITH pg AS (
+              SELECT d.doc_id, t.p FROM documents d, range(0, 3) t(p)
+              WHERE t.p < 1 + d.doc_id % 3
+            ), pt AS (
+              SELECT doc_id, p,
+                     'Doc ' || doc_id || ' page ' || p || chr(10) ||
+                     'value ' || (doc_id * 31 + 7 * p) || chr(10) ||
+                     CASE WHEN doc_id % 5 = 0
+                          THEN 'esc (a\\b) ' || p
+                          ELSE 'plain ' || ((doc_id + p) % 7) END AS t
+              FROM pg
+            )
+            SELECT doc_id,
+                   string_agg(t, chr(10) || chr(10) ORDER BY p) AS text,
+                   CAST(1 + doc_id % 3 AS INT) AS n_pages,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM pt GROUP BY doc_id
+        """,
+        # arithmetic twin of synth_article_html + the jusText-style
+        # classifier: chrome/nav/sidebar/footer blocks are BAD, the
+        # headline and pull-quote are SHORT blocks promoted by adjacent
+        # GOOD paragraphs; recipe re-derived here, classifier not consulted
+        "main_content": """
+            WITH p AS (
+              SELECT d.doc_id, t.j FROM documents d, range(0, 5) t(j)
+              WHERE t.j < 2 + d.doc_id % 3
+            ), paras AS (
+              SELECT doc_id, j,
+                     'Story ' || doc_id || ' para ' || j || '. ' ||
+                     'lorem ipsum dolor sit amet consectetur adipiscing ' ||
+                     'elit sed do eiusmod tempor incididunt ut labore.' ||
+                     CASE WHEN j = 0 AND doc_id % 3 = 0
+                          THEN chr(10) || 'Quote ' || doc_id
+                          ELSE '' END AS t
+              FROM p
+            ), agg AS (
+              SELECT doc_id, string_agg(t, chr(10) ORDER BY j) AS body
+              FROM paras GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   'Story ' || doc_id || ' headline' || chr(10) || body
+                     AS main_text,
+                   CAST(8 + doc_id % 3 +
+                        CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+                     AS n_blocks,
+                   CAST(3 + doc_id % 3 +
+                        CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+                     AS n_good,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM agg
         """,
         "doc_fingerprints": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -1,0 +1,91 @@
+"""DOM-heuristic main-content extraction: recipe round trip, classifier
+behaviors (chrome suppression, link density, short-block promotion),
+totality, Spark operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from htmlcleanup_spark.engine.maincontent import (
+    expected_main_content,
+    main_content,
+    synth_article_html,
+)
+
+LONG = "x" * 30 + " " + "y" * 30 + " " + "z" * 30  # 92 chars, no links
+
+
+@pytest.mark.parametrize("doc_id", list(range(18)))
+def test_recipe_round_trip(doc_id):
+    text, n_blocks, n_good, err = main_content(synth_article_html(doc_id))
+    exp_text, exp_blocks, exp_good = expected_main_content(doc_id)
+    assert err is None
+    assert (text, n_blocks, n_good) == (exp_text, exp_blocks, exp_good)
+
+
+def test_chrome_ancestors_are_always_bad():
+    html = "<body><nav><p>%s</p></nav><p>%s</p></body>" % (LONG, LONG)
+    text, n_blocks, n_good, _ = main_content(html)
+    assert n_blocks == 2 and n_good == 1
+    assert "x" * 30 in text  # the non-nav paragraph survived
+
+
+def test_link_density_kills_long_blocks():
+    linky = '<a href="/">%s</a> tail' % LONG  # density ~0.95
+    html = "<body><p>%s</p><p>%s</p></body>" % (linky, LONG)
+    _, n_blocks, n_good, _ = main_content(html)
+    assert n_blocks == 2 and n_good == 1
+
+
+def test_short_block_promotion_needs_a_good_neighbor():
+    # short between two good -> promoted
+    html = "<body><p>%s</p><h2>hdr</h2><p>%s</p></body>" % (LONG, LONG)
+    text, _, n_good, _ = main_content(html)
+    assert n_good == 3 and "hdr" in text
+    # isolated short among bad -> stays bad
+    html2 = '<body><nav><a href="/">home</a></nav><h2>hdr</h2></body>'
+    text2, _, n_good2, _ = main_content(html2)
+    assert n_good2 == 0 and text2 == ""
+
+
+def test_promotion_does_not_cascade_through_short_chains():
+    # good, short, short, short... the far shorts must not ride the chain
+    html = "<body><p>%s</p><h2>one</h2><h2>two</h2><h2>three</h2></body>" % LONG
+    text, _, n_good, _ = main_content(html)
+    assert "one" in text and "three" not in text
+
+
+def test_br_is_inline_not_a_block_boundary():
+    html = "<body><p>%s<br>%s</p></body>" % (LONG, LONG)
+    _, n_blocks, n_good, _ = main_content(html)
+    assert n_blocks == 1 and n_good == 1
+
+
+def test_total_on_garbage():
+    for junk in [None, b"\xff\xfe\x00junk", "", "<p>", "< < < >", "a" * 5]:
+        text, n_blocks, n_good, err = main_content(junk)
+        assert (text is None) == (err is not None)
+
+
+def test_spark_operator(spark):
+    import pandas as pd
+
+    from htmlcleanup_spark.operators.content import extract_main_content
+
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "html": [synth_article_html(int(i)) for i in pdf["doc_id"]],
+            })
+
+    pages = ids.mapInPandas(gen, "doc_id bigint, html string")
+    out = extract_main_content(pages).toPandas().sort_values("doc_id")
+    assert len(out) == 30 and out["error"].isna().all()
+    for _, row in out.iterrows():
+        exp_text, exp_blocks, exp_good = expected_main_content(
+            int(row["doc_id"]))
+        assert row["main_text"] == exp_text
+        assert (row["n_blocks"], row["n_good"]) == (exp_blocks, exp_good)
