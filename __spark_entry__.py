@@ -693,6 +693,35 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_content(pages)
 
 
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bytes→str head of the extraction pipeline: WHATWG-core charset
+    sniff (BOM > meta-in-first-1024 > utf-8 trial > cp1252 fallback) over
+    pages synthesized in five real encodings; the oracle re-derives the
+    decoded text + detected charset arithmetically from doc_id."""
+    import pandas as pd
+
+    from htmlcleanup_spark.functions.charset import (
+        decode_pages,
+        synth_encoded_page,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_encoded_page(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    raw = d.mapInPandas(gen, "doc_id bigint, payload binary")
+    return decode_pages(raw)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
@@ -814,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "pdf_text": q_pdf_text,
         "main_content": q_main_content,
+        "charset_decode": q_charset_decode,
         "warc_ingest": q_warc_ingest,
         "quality_signals": q_quality_signals,
         "source_stats": q_source_stats,
@@ -1557,6 +1587,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 44
                         ELSE 14 END AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        # arithmetic twin of synth_encoded_page + charset.decode_pages:
+        # same body in five encodings; detected charset cycles by
+        # doc_id % 5 (meta-utf8, utf-8 BOM, cp1252 http-equiv meta,
+        # utf-16 BOM, bare-utf8 trial decode)
+        "charset_decode": """
+            WITH b AS (
+              SELECT doc_id,
+                     'café nº ' || doc_id || ' — grüße' AS body,
+                     doc_id % 5 AS style
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE style
+                     WHEN 0 THEN '<html><head><meta charset="utf-8">'
+                                 || '</head><body>' || body
+                                 || '</body></html>'
+                     WHEN 2 THEN '<html><head><meta http-equiv='
+                                 || '"Content-Type" content='
+                                 || '"text/html; charset=windows-1252">'
+                                 || '</head><body>' || body
+                                 || '</body></html>'
+                     ELSE '<html><body>' || body || '</body></html>'
+                   END AS text,
+                   CASE style WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-sig'
+                        WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'utf-16'
+                        ELSE 'utf-8' END AS charset,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM b
         """,
         # arithmetic twin of synth_pdf_bytes + operators.pdf.pdf_text:
         # n_pages = 1 + doc_id % 3; three fixed-shape lines per page (the

@@ -64,6 +64,9 @@ EXTENDED = [
     "decontaminate",
     "stratified_sample",
     "events_sessionized",
+    "pdf_text",
+    "main_content",
+    "charset_decode",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Charset sniff + transcode (bytes→str pipeline head): BOM precedence,
+meta labels, trial decode, cp1252 fallback, totality, Spark operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from htmlcleanup_spark.functions.charset import (
+    decode_html,
+    decode_pages,
+    detect_charset,
+    expected_charset,
+    expected_decoded_text,
+    synth_encoded_page,
+)
+
+
+@pytest.mark.parametrize("doc_id", list(range(15)))
+def test_round_trip(doc_id):
+    text, cs, err = decode_html(synth_encoded_page(doc_id))
+    assert err is None
+    assert cs == expected_charset(doc_id)
+    assert text == expected_decoded_text(doc_id)
+
+
+def test_bom_beats_meta():
+    b = b'\xef\xbb\xbf<meta charset="windows-1252"><body>caf\xc3\xa9</body>'
+    text, cs, _ = decode_html(b)
+    assert cs == "utf-8-sig" and "café" in text and "﻿" not in text
+
+
+def test_utf16_bom_is_stripped():
+    b = b"\xff\xfe" + "<p>héllo</p>".encode("utf-16-le")
+    text, cs, _ = decode_html(b)
+    assert cs == "utf-16" and text == "<p>héllo</p>"
+
+
+def test_meta_labels_and_aliases():
+    for label, codec in [("ISO-8859-1", "windows-1252"),
+                         ("Latin1", "windows-1252"),
+                         ("UTF-8", "utf-8"),
+                         ("Shift_JIS", "shift_jis")]:
+        b = ('<meta charset="%s"><body>x</body>' % label).encode("ascii")
+        assert detect_charset(b) == codec, label
+
+
+def test_meta_only_searched_in_first_1024_bytes():
+    pad = b"<!--" + b"x" * 1100 + b"-->"
+    b = pad + b'<meta charset="utf-16"><body>ascii only</body>'
+    # meta is past the window; pure-ASCII bytes decode as utf-8
+    assert detect_charset(b) == "utf-8"
+
+
+def test_trial_decode_and_cp1252_fallback():
+    assert detect_charset("<p>grüße</p>".encode("utf-8")) == "utf-8"
+    raw = "<p>grüße</p>".encode("windows-1252")  # no meta, invalid utf-8
+    text, cs, _ = decode_html(raw)
+    assert cs == "windows-1252" and "grüße" in text
+
+
+def test_mislabeled_meta_falls_back_to_replace():
+    # meta claims utf-16 but the bytes are odd-length ASCII: strict decode
+    # fails, the cp1252 replace path still yields a value
+    b = b'<meta charset="utf-16"><body>abc</body>'
+    assert len(b) % 2 == 1
+    text, cs, err = decode_html(b)
+    assert err is None and text is not None and cs == "windows-1252"
+
+
+def test_total_on_garbage():
+    for junk in [None, b"", b"\x81\x9d\xff", bytes(range(256))]:
+        text, cs, err = decode_html(junk)
+        assert (text is None) == (err is not None)
+
+
+def test_spark_operator(spark):
+    import pandas as pd
+
+    ids = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synth_encoded_page(int(i))
+                            for i in pdf["doc_id"]],
+            })
+
+    raw = ids.mapInPandas(gen, "doc_id bigint, payload binary")
+    out = decode_pages(raw).toPandas().sort_values("doc_id")
+    assert len(out) == 25 and out["error"].isna().all()
+    for _, row in out.iterrows():
+        i = int(row["doc_id"])
+        assert row["text"] == expected_decoded_text(i)
+        assert row["charset"] == expected_charset(i)
