@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from . import charset
 from .cascade import CascadeEngine
 from .dom import parse
 from .preparse import preparse
@@ -35,7 +36,12 @@ def clean_html(html, rules: RuleConfig = DEFAULT_RULES) -> CleanResult:
     """
     if isinstance(html, (bytes, bytearray)):
         bytes_in = len(html)
-        html = bytes(html).decode("utf-8", errors="replace")
+        # WHATWG-core sniff (BOM > meta > utf-8 trial > cp1252): valid
+        # utf-8 decodes exactly as before; mislabeled/legacy crawl bytes
+        # now transcode instead of turning into U+FFFD runs
+        html, _charset, _err = charset.decode_html(bytes(html))
+        if html is None:
+            return CleanResult(text=None, error=_err, bytes_in=bytes_in)
     else:
         bytes_in = len(html.encode("utf-8"))
 

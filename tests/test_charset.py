@@ -73,6 +73,23 @@ def test_total_on_garbage():
         assert (text is None) == (err is not None)
 
 
+def test_clean_html_sniffs_binary_input():
+    from htmlcleanup_spark.engine import clean_html
+
+    page = "<html>\n<head><title>t</title></head>\n<body>\n<p>grüße — café</p>\n</body>\n</html>\n"
+    for enc, raw in [
+        ("utf-8", page.encode("utf-8")),
+        ("cp1252", page.encode("windows-1252")),
+        ("utf-8 BOM", b"\xef\xbb\xbf" + page.encode("utf-8")),
+        ("utf-16", b"\xff\xfe" + page.encode("utf-16-le")),
+    ]:
+        r = clean_html(raw)
+        assert r.error is None, enc
+        assert "grüße — café" in r.text, enc
+        assert "�" not in r.text and "﻿" not in r.text, enc
+        assert r.bytes_in == len(raw), enc
+
+
 def test_spark_operator(spark):
     import pandas as pd
 
