@@ -1,0 +1,312 @@
+"""Link-graph extraction and PageRank over crawled pages.
+
+A web-text pipeline needs the OUTLINK TABLE (who links to whom, with what
+anchor text) both as a quality signal (link-density, anchor spam) and as
+the input to graph-based corpus curation (PageRank-seeded crawls, host
+authority weighting — the Common Crawl / RefinedWeb practice).  The
+reference engine has no link concept (its DOM pass normalizes ``<a>`` tags
+in place, HtmlCleanup.py mangle_tag handling); extraction here reuses the
+same engine DOM so a page parses once and identically for cleanup and for
+link harvest.
+
+Scale design:
+
+- ``extract_outlinks`` is a stateless Arrow-batched map over pages — the
+  same zero-shuffle plan slot as the cascade; upstream size-bucket/salt
+  repartitioning applies unchanged.
+- ``pagerank`` is the standard iterate-until-k power method expressed as
+  DataFrame joins: per-iteration cost is one shuffle of the edge table on
+  ``src`` (join against ranks), one on ``dst`` (contribution aggregation
+  with map-side partial combine), and a broadcast of the 1-row dangling
+  aggregate.  Lineage is cut per iteration (localCheckpoint, or reliable
+  ``checkpoint`` when ``reliable=True`` — same tradeoff as
+  operators/dedup.connected_components: local blocks are unreplicated, so
+  a lost executor kills the job at cluster scale unless reliable mode is
+  on).  The edge table is re-used across iterations, so cache it when it
+  fits: at 100 TB the edges (two longs) are ~1-2% of the page bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUTLINKS_DDL = (
+    "src_doc bigint, seq int, href string, url string, anchor string, "
+    "host string"
+)
+
+_FILLER = "and some surrounding prose to keep the block textual"
+
+
+def resolve_url(base: str, href: str) -> str:
+    """Minimal crawl-grade href resolution (the three forms that dominate
+    real markup): absolute (``scheme://``), scheme-relative (``//host/…``,
+    inherits the base scheme), and root-relative (``/path``, inherits
+    scheme://host).  Anything else (fragments, query-only, path-relative)
+    returns the href unchanged — callers filter on the resolved shape."""
+    if href.startswith("//"):
+        scheme = base.split("://", 1)[0] if "://" in base else "http"
+        return scheme + ":" + href
+    if "://" in href:
+        return href
+    if href.startswith("/"):
+        if "://" in base:
+            scheme, rest = base.split("://", 1)
+            return scheme + "://" + rest.split("/", 1)[0] + href
+    return href
+
+
+def host_of(url: str) -> str:
+    """The authority component of an absolute url ('' when not absolute)."""
+    if "://" not in url:
+        return ""
+    return url.split("://", 1)[1].split("/", 1)[0]
+
+
+def _anchor_text(tag) -> str:
+    """Concatenated descendant text of an ``<a>`` (document order)."""
+    from ..engine.dom import Tag, Text
+
+    parts: list[str] = []
+
+    def walk(node):
+        for c in node.contents:
+            if isinstance(c, Text):
+                parts.append(c.value)
+            elif isinstance(c, Tag):
+                walk(c)
+
+    walk(tag)
+    return "".join(parts)
+
+
+def outlinks_of(html: str, base_url: str) -> list[tuple]:
+    """(seq, href, resolved_url, anchor, host) for every ``<a href=…>`` in
+    document order.  Anchors without an ``href`` attribute (named anchors)
+    are not links and are skipped.  Pure function — testable without
+    Spark, and the unit the differential tests drive."""
+    from ..engine.dom import parse
+
+    doc = parse(html)
+    out = []
+    for seq, a in enumerate(
+        t for t in doc.find_all("a") if t.get("href") is not None
+    ):
+        href = a["href"]
+        url = resolve_url(base_url, href)
+        out.append((seq, href, url, _anchor_text(a), host_of(url)))
+    return out
+
+
+def extract_outlinks(df: DataFrame, html_col: str = "html",
+                     id_col: str = "doc_id",
+                     base_url_col: str = "base_url") -> DataFrame:
+    """The outlink table of a page corpus: one row per anchor, in document
+    order, with the href resolved against the page's base url.
+
+    Stateless Arrow-batched map — zero shuffles; the engine DOM parse is
+    the same one the cleanup cascade uses, so pages that parse for
+    extraction parse identically here.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, html, base in zip(
+                pdf[id_col], pdf[html_col], pdf[base_url_col]
+            ):
+                for seq, href, url, anchor, host in outlinks_of(html, base):
+                    rows.append(
+                        (int(doc_id), seq, href, url, anchor, host)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["src_doc", "seq", "href", "url", "anchor", "host"],
+            )
+
+    return df.select(id_col, html_col, base_url_col).mapInPandas(
+        run, OUTLINKS_DDL
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic link corpus (oracle-reconstructable arithmetic)
+# ---------------------------------------------------------------------------
+
+def synth_base_url(doc_id: int) -> str:
+    return "http://host%d.example.com/p/%d" % (doc_id % 50, doc_id)
+
+
+def synth_linked_html(doc_id: int, n_docs: int) -> str:
+    """A page whose anchors are pure arithmetic in (doc_id, n_docs) so a
+    SQL oracle re-derives the expected outlink table independently:
+
+    - header nav: ``/``, ``/a``, ``/b`` (root-relative chrome),
+    - ``1 + doc_id % 4`` content links to docs ``(doc_id*7 + 13*(i+1)) %
+      n_docs``, cycling through absolute / root-relative / scheme-relative
+      href forms (exercising all three resolver branches), each with a
+      nested ``<strong>`` in the anchor text and a no-href named anchor as
+      a decoy,
+    - footer: ``/c``, ``/t``.
+    """
+    k = 1 + doc_id % 4
+    parts = [
+        "<html><head><title>p%d</title></head><body>" % doc_id,
+        '<header><nav><a href="/">Home</a> <a href="/a">About</a> '
+        '<a href="/b">Archive</a></nav></header>',
+        '<a name="top">not a link</a>',
+    ]
+    for i in range(k):
+        t = (doc_id * 7 + 13 * (i + 1)) % n_docs
+        form = (doc_id + i) % 3
+        if form == 0:
+            href = "http://host%d.example.com/p/%d" % (t % 50, t)
+        elif form == 1:
+            href = "/p/%d" % t
+        else:
+            href = "//host%d.example.com/p/%d" % (t % 50, t)
+        parts.append(
+            '<p>See <a href="%s"><strong>link</strong> %d</a> %s.</p>'
+            % (href, t, _FILLER)
+        )
+    parts.append(
+        '<footer><a href="/c">Contact</a> <a href="/t">Terms</a></footer>'
+        "</body></html>"
+    )
+    return "".join(parts)
+
+
+def expected_outlinks(doc_id: int, n_docs: int) -> list[tuple]:
+    """The outlink rows :func:`extract_outlinks` must produce on
+    :func:`synth_linked_html` — derived from the page RECIPE, not by
+    running the extractor (mirrors maincontent.expected_main_content)."""
+    src_host = "host%d.example.com" % (doc_id % 50)
+    base_abs = "http://" + src_host
+    rows = [
+        (doc_id, 0, "/", base_abs + "/", "Home", src_host),
+        (doc_id, 1, "/a", base_abs + "/a", "About", src_host),
+        (doc_id, 2, "/b", base_abs + "/b", "Archive", src_host),
+    ]
+    k = 1 + doc_id % 4
+    for i in range(k):
+        t = (doc_id * 7 + 13 * (i + 1)) % n_docs
+        t_host = "host%d.example.com" % (t % 50)
+        form = (doc_id + i) % 3
+        if form == 0:
+            href = "http://%s/p/%d" % (t_host, t)
+            url, hst = href, t_host
+        elif form == 1:
+            href = "/p/%d" % t
+            url, hst = base_abs + href, src_host
+        else:
+            href = "//%s/p/%d" % (t_host, t)
+            url, hst = "http:" + href, t_host
+        rows.append((doc_id, 3 + i, href, url, "link %d" % t, hst))
+    rows.append(
+        (doc_id, 3 + k, "/c", base_abs + "/c", "Contact", src_host)
+    )
+    rows.append(
+        (doc_id, 4 + k, "/t", base_abs + "/t", "Terms", src_host)
+    )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# PageRank (power iteration as DataFrame joins)
+# ---------------------------------------------------------------------------
+
+def edges_from_outlinks(outlinks: DataFrame) -> DataFrame:
+    """(src, dst) doc-graph edges from an outlink table: links whose
+    resolved url is a page url (``…/p/<id>``), self-links dropped,
+    de-duplicated.  One distinct-shuffle over the (small) edge stream."""
+    dst = F.regexp_extract(F.col("url"), "/p/([0-9]+)$", 1)
+    return (
+        outlinks.filter(dst != "")
+        .select(
+            F.col("src_doc").alias("src"),
+            dst.cast("bigint").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 5,
+             damping: float = 0.85,
+             checkpoint_dir: str | None = None) -> DataFrame:
+    """PageRank after a FIXED number of power iterations (fixed k keeps the
+    result SQL-oracle-expressible as k unrolled CTE stages; convergence-
+    threshold stopping would need a data-dependent trip count).
+
+    Semantics per iteration (the classic formulation with uniform teleport
+    and dangling-mass redistribution):
+
+        pr'(v) = (1-d)/N + d * ( sum_{u->v} pr(u)/outdeg(u) + dangling/N )
+
+    where ``dangling`` is the rank mass sitting on nodes with no
+    out-edges.  Returns (doc_id, pr_e9) with pr floor-quantized to 1e-9 —
+    the portable cross-engine convention (see functions/text.quality_score).
+
+    Scale: per iteration one shuffle on ``src`` (ranks join), one on
+    ``dst`` (partial-combined sum), a broadcast 1-row dangling aggregate
+    (crossJoin of a 1-row frame — no driver action), and an eager
+    checkpoint to cut lineage.  N is computed once (``nodes.count()``).
+    ``checkpoint_dir``: same contract as connected_components — default
+    localCheckpoint (fast, executor-local, no fault tolerance), or true
+    reliable checkpoint() to the given HDFS/S3 path for cluster runs.
+    """
+    n_nodes = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("_od"))
+    teleport = (1.0 - damping) / n_nodes
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    ranks = nodes.select(
+        F.col("doc_id").alias("v"), F.lit(1.0 / n_nodes).alias("pr")
+    )
+    src_ranks = ranks.withColumnRenamed("v", "src")
+    for _ in range(iterations):
+        with_deg = src_ranks.join(outdeg, "src", "left")
+        dangling = (
+            with_deg.filter(F.col("_od").isNull())
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
+        )
+        contribs = (
+            edges.join(
+                with_deg.filter(F.col("_od").isNotNull()), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("_od")).alias("_con"))
+        )
+        ranks = (
+            nodes.select(F.col("doc_id").alias("v"))
+            .join(contribs.withColumnRenamed("dst", "v"), "v", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "v",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_con"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("pr"),
+            )
+        )
+        ranks = _cut(ranks)
+        src_ranks = ranks.withColumnRenamed("v", "src")
+    return ranks.select(
+        F.col("v").alias("doc_id"),
+        F.floor(F.col("pr") * 1e9).cast("long").alias("pr_e9"),
+    )

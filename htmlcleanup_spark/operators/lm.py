@@ -1,0 +1,131 @@
+"""Unigram-LM perplexity scoring (the CCNet quality-bucketing signal).
+
+CCNet (Wenzek et al. 2020) ranks web documents by language-model
+perplexity and keeps the low-perplexity head/middle; the production system
+uses a KenLM 5-gram, which needs model files this environment cannot ship.
+The *pipeline shape* is identical with a corpus-trained unigram model —
+train token frequencies on the corpus itself, score each document by mean
+negative log-likelihood, bucket — and a unigram model has the decisive
+property here that every step is exact relational algebra, so the whole
+path is checkable against a SQL oracle.  Swapping in KenLM later changes
+only the scoring UDF, none of the Spark plan.
+
+Scale design:
+
+- ``unigram_model``: explode → groupBy(word) count.  ONE shuffle with
+  map-side partial combine; the model table is vocabulary-sized (~10^7
+  rows at web scale with a vocab cap), i.e. broadcastable.
+- ``perplexity``: explode → broadcast-join the model → per-doc avg.  The
+  join is broadcast (model ≪ corpus) so the only real shuffle is the
+  per-doc aggregation, which partial-combines and carries one row per
+  document.  Words of a document stay contiguous in their partition
+  (explode preserves locality), so partial sums accumulate in word order
+  — deterministic across runs, which is what lets the floor-quantized
+  BIGINT output hash-match the oracle.
+- ``ppl_buckets``: exact NTILE for test scale (global sort — fine up to
+  ~10^8 docs); at corpus scale pass ``thresholds`` computed from
+  ``approxQuantile`` on a sample (the CCNet approach) so bucketing is a
+  pushed-down CASE filter with no global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+    )
+
+
+def unigram_model(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  vocab_size: int | None = None) -> DataFrame:
+    """(word, cnt) token frequencies over the corpus; with ``vocab_size``,
+    only the top-V words by (cnt DESC, word ASC) — everything else scores
+    as out-of-vocabulary downstream (add-one smoothing keeps p > 0).
+
+    The top-V cut is a global sort-limit over the VOCABULARY table (not
+    the corpus) — cheap at any corpus size."""
+    counts = (
+        _words(df, text_col, id_col)
+        .groupBy("_w")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("_w").alias("word"), "cnt")
+    )
+    if vocab_size is not None:
+        counts = counts.orderBy(
+            F.col("cnt").desc(), F.col("word").asc()
+        ).limit(vocab_size)
+    return counts
+
+
+def perplexity(df: DataFrame, model: DataFrame | None = None,
+               text_col: str = "text", id_col: str = "doc_id",
+               vocab_size: int | None = None) -> DataFrame:
+    """Per-document mean negative log-likelihood under the unigram model:
+
+        nll(doc) = avg over words w of  -ln( (c(w)+1) / (T + V + 1) )
+
+    with c(w) the model count (0 for OOV), T the total modeled tokens and
+    V the vocabulary size — add-one smoothing, so OOV words score the
+    floor probability 1/(T+V+1).  Returns (doc_id, nll_e6) with the mean
+    floor-quantized to 1e-6 (the portable cross-engine convention).
+
+    ``model`` defaults to :func:`unigram_model` trained on ``df`` itself
+    (the CCNet self-trained setup); pass a model trained on a clean
+    corpus to score a dirty one.
+    """
+    if model is None:
+        model = unigram_model(df, text_col, id_col, vocab_size)
+    totals = model.agg(
+        F.sum("cnt").cast("double").alias("_t"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    scored = (
+        _words(df, text_col, id_col)
+        .join(F.broadcast(model), F.col("_w") == F.col("word"), "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + 1.0)
+                    / (F.col("_t") + F.col("_v") + 1.0)
+                )
+            ).alias("_nll"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.avg("_nll").alias("_m"))
+        .select(
+            id_col,
+            F.floor(F.col("_m") * 1e6).cast("long").alias("nll_e6"),
+        )
+    )
+
+
+def ppl_buckets(scored: DataFrame, n_buckets: int = 3,
+                id_col: str = "doc_id",
+                thresholds: list[float] | None = None) -> DataFrame:
+    """head/middle/tail bucketing of perplexity scores.
+
+    Default: exact NTILE(n) over (nll_e6, doc_id) — a total order, so the
+    assignment is deterministic and matches the SQL oracle's NTILE
+    bit-for-bit.  At corpus scale pass explicit ``thresholds`` (e.g. from
+    ``df.approxQuantile``): the bucket becomes a CASE expression — no
+    global window, fully pushed down."""
+    if thresholds is not None:
+        b = F.lit(1)
+        for i, t in enumerate(sorted(thresholds)):
+            b = F.when(F.col("nll_e6") > t, F.lit(i + 2)).otherwise(b)
+        return scored.select("*", b.alias("ppl_bucket"))
+    w = Window.orderBy(F.col("nll_e6").asc(), F.col(id_col).asc())
+    return scored.select(
+        "*", F.ntile(n_buckets).over(w).alias("ppl_bucket")
+    )

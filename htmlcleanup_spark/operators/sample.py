@@ -58,3 +58,32 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
             F.col(strat_col) == value, F.lit(rate_threshold_hex(rate))
         ).otherwise(thresh)
     return df.filter(sample_key(id_col, salt) < thresh)
+
+
+def domain_caps(df: DataFrame, host_col: str = "host", cap: int = 5,
+                order_col: str = "n_chars",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-domain document cap (the RefinedWeb / MassiveText practice):
+    keep at most ``cap`` documents per host, preferring high ``order_col``
+    (quality score, length, ...), ties broken by ``id_col`` ascending so
+    the selection is total-ordered and reproducible.
+
+    ONE shuffle on the host key; the per-host window never materializes
+    more than a partition's rows, and the rank filter drops losers before
+    anything downstream.  Host skew (the giant-domain problem: a single
+    host with 10^8 pages) is bounded by the window itself — row_number
+    short-circuits nothing, so for pathological hosts pre-filter with an
+    approximate per-host count and a cheap hash-sample before ranking;
+    at test scale the plain window is exact and oracle-checkable.
+
+    Returns the input columns plus ``host_rank`` (1-based within host).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= cap)
+    )

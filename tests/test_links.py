@@ -1,0 +1,172 @@
+"""Link-graph extraction + PageRank.
+
+The extractor is checked three ways: resolver unit cases, a hand-written
+page with decoys, and full parity between extract_outlinks and the
+recipe-derived expected_outlinks on the synthetic corpus.  PageRank is
+checked against an independent pure-Python power iteration and its
+invariants (mass conservation, uniform graph ⇒ uniform rank).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from htmlcleanup_spark.operators.links import (
+    edges_from_outlinks,
+    expected_outlinks,
+    extract_outlinks,
+    host_of,
+    outlinks_of,
+    pagerank,
+    resolve_url,
+    synth_base_url,
+    synth_linked_html,
+)
+
+BASE = "http://hostA.example.com/p/1"
+
+
+@pytest.mark.parametrize(
+    "href,expect",
+    [
+        ("http://x.org/a", "http://x.org/a"),
+        ("https://x.org/", "https://x.org/"),
+        ("//y.org/b", "http://y.org/b"),
+        ("/c/d", "http://hostA.example.com/c/d"),
+        ("/", "http://hostA.example.com/"),
+        ("rel/e", "rel/e"),          # path-relative: passed through
+        ("#frag", "#frag"),
+    ],
+)
+def test_resolve_url(href, expect):
+    assert resolve_url(BASE, href) == expect
+
+
+def test_resolve_scheme_relative_inherits_https():
+    assert resolve_url("https://s.ex/p", "//y.org/b") == "https://y.org/b"
+
+
+def test_host_of():
+    assert host_of("http://a.b.c:8080/x") == "a.b.c:8080"
+    assert host_of("/x") == ""
+
+
+def test_outlinks_of_hand_page():
+    html = (
+        "<html><body>"
+        '<a name="anchor-only">skip me</a>'
+        '<p><a href="/x"><strong>bold</strong> tail</a></p>'
+        '<div><a href="//other.org/y">sch</a>'
+        '<a href="http://abs.org/z">abs</a></div>'
+        "</body></html>"
+    )
+    rows = outlinks_of(html, BASE)
+    assert rows == [
+        (0, "/x", "http://hostA.example.com/x", "bold tail",
+         "hostA.example.com"),
+        (1, "//other.org/y", "http://other.org/y", "sch", "other.org"),
+        (2, "http://abs.org/z", "http://abs.org/z", "abs", "abs.org"),
+    ]
+
+
+def test_synth_parity_pure():
+    """Extractor output == recipe-derived expectation for every doc."""
+    n = 97
+    for d in range(n):
+        got = [
+            (d,) + r
+            for r in outlinks_of(synth_linked_html(d, n), synth_base_url(d))
+        ]
+        assert got == expected_outlinks(d, n), "doc %d" % d
+
+
+def _pure_pagerank(n, edges, iterations=5, damping=0.85):
+    """Independent reference: dict-based power iteration."""
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    pr = {v: 1.0 / n for v in range(n)}
+    for _ in range(iterations):
+        dangling = sum(pr[v] for v in range(n) if v not in out)
+        nxt = {v: (1 - damping) / n + damping * dangling / n
+               for v in range(n)}
+        for s, ts in out.items():
+            share = pr[s] / len(ts)
+            for t in ts:
+                nxt[t] += damping * share
+        pr = nxt
+    return pr
+
+
+@pytest.fixture(scope="module")
+def link_corpus(spark):
+    n = 60
+    rows = [
+        (d, synth_linked_html(d, n), synth_base_url(d)) for d in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, html string, base_url string"
+    )
+    return n, df
+
+
+def test_extract_outlinks_spark_matches_expected(spark, link_corpus):
+    n, df = link_corpus
+    got = sorted(
+        tuple(r) for r in extract_outlinks(df).collect()
+    )
+    want = sorted(
+        tuple(r) for d in range(n) for r in expected_outlinks(d, n)
+    )
+    assert got == want
+
+
+def test_pagerank_matches_pure_reference(spark, link_corpus):
+    n, df = link_corpus
+    links = extract_outlinks(df)
+    edges = edges_from_outlinks(links)
+    nodes = df.select("doc_id")
+    got = {r["doc_id"]: r["pr_e9"] for r in pagerank(nodes, edges).collect()}
+
+    pure_edges = sorted({(s, t) for s, t in (
+        (d, (d * 7 + 13 * (i + 1)) % n)
+        for d in range(n)
+        for i in range(1 + d % 4)
+    ) if s != t})
+    want = _pure_pagerank(n, pure_edges)
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert abs(got[v] - int(want[v] * 1e9)) <= 1, v
+
+
+def test_pagerank_mass_conserved(spark, link_corpus):
+    n, df = link_corpus
+    edges = edges_from_outlinks(extract_outlinks(df))
+    total = sum(
+        r["pr_e9"] for r in pagerank(df.select("doc_id"), edges).collect()
+    )
+    assert abs(total - 1e9) < n + 1  # floor loses < 1 ulp-of-quantum/node
+
+
+def test_pagerank_uniform_on_ring(spark):
+    """A directed ring (every outdeg == indeg == 1) keeps rank uniform."""
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src bigint, dst bigint"
+    )
+    prs = {r["pr_e9"] for r in pagerank(nodes, edges, iterations=3).collect()}
+    assert prs == {int(1e9 / n // 1)}
+
+
+def test_edges_drop_chrome_and_self(spark, link_corpus):
+    n, df = link_corpus
+    edges = edges_from_outlinks(extract_outlinks(df)).collect()
+    assert all(r["src"] != r["dst"] for r in edges)
+    # chrome links (/, /a, /b, /c, /t) never resolve to /p/<id> urls
+    want = {(s, t) for s, t in (
+        (d, (d * 7 + 13 * (i + 1)) % n)
+        for d in range(n)
+        for i in range(1 + d % 4)
+    ) if s != t}
+    assert {(r["src"], r["dst"]) for r in edges} == want

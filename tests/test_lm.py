@@ -1,0 +1,106 @@
+"""Unigram-LM perplexity scoring + bucketing + domain caps."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from htmlcleanup_spark.operators.lm import (
+    perplexity,
+    ppl_buckets,
+    unigram_model,
+)
+from htmlcleanup_spark.operators.sample import domain_caps
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+
+
+def test_unigram_model_counts(spark):
+    df = _mkdocs(spark, ["a b a", "b c"])
+    got = {r["word"]: r["cnt"] for r in unigram_model(df).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_unigram_model_vocab_cap_deterministic(spark):
+    df = _mkdocs(spark, ["a b a", "b c"])
+    got = {r["word"] for r in unigram_model(df, vocab_size=2).collect()}
+    assert got == {"a", "b"}  # ties (cnt 2) before c (cnt 1); a < b
+
+
+def test_perplexity_hand_computed(spark):
+    df = _mkdocs(spark, ["a a b", "c"])
+    # model: a=2, b=1, c=1; T=4, V=3 -> denom 8
+    p = {"a": 3 / 8, "b": 2 / 8, "c": 2 / 8}
+    want = {
+        0: math.floor(
+            -(2 * math.log(p["a"]) + math.log(p["b"])) / 3 * 1e6
+        ),
+        1: math.floor(-math.log(p["c"]) * 1e6),
+    }
+    got = {r["doc_id"]: r["nll_e6"] for r in perplexity(df).collect()}
+    assert got == want
+
+
+def test_perplexity_rare_words_score_higher(spark):
+    common = "the quick brown fox " * 10
+    df = _mkdocs(spark, [common.strip()] * 8 + ["zyx wvu tsr qpo"])
+    got = {r["doc_id"]: r["nll_e6"] for r in perplexity(df).collect()}
+    assert got[8] > got[0]
+
+
+def test_perplexity_oov_floor_with_external_model(spark):
+    train = _mkdocs(spark, ["a a a a"])
+    model = unigram_model(train)
+    score = _mkdocs(spark, ["a", "zzz"])
+    got = {r["doc_id"]: r["nll_e6"] for r in perplexity(
+        score, model=model
+    ).collect()}
+    # a: -ln(5/6); zzz OOV: -ln(1/6)
+    assert got[0] == math.floor(-math.log(5 / 6) * 1e6)
+    assert got[1] == math.floor(-math.log(1 / 6) * 1e6)
+
+
+def test_ppl_buckets_ntile_and_thresholds(spark):
+    scored = spark.createDataFrame(
+        [(i, i * 100) for i in range(9)], "doc_id bigint, nll_e6 long"
+    )
+    nt = {r["doc_id"]: r["ppl_bucket"]
+          for r in ppl_buckets(scored, 3).collect()}
+    assert nt == {i: i // 3 + 1 for i in range(9)}
+    th = {r["doc_id"]: r["ppl_bucket"]
+          for r in ppl_buckets(scored, thresholds=[250, 550]).collect()}
+    assert th == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 3, 7: 3, 8: 3}
+
+
+def test_domain_caps(spark):
+    rows = [
+        (i, "h%d" % (i % 3), 1000 - i) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, host string, n_chars int")
+    kept = domain_caps(df, cap=2).collect()
+    assert len(kept) == 6
+    by_host = {}
+    for r in kept:
+        by_host.setdefault(r["host"], []).append(r)
+    for h, rs in by_host.items():
+        assert len(rs) == 2
+        assert {r["host_rank"] for r in rs} == {1, 2}
+        # highest n_chars in the host == lowest doc_id (n_chars = 1000 - i)
+        best = min(i for i in range(30) if "h%d" % (i % 3) == h)
+        assert min(r["doc_id"] for r in rs) == best
+
+
+def test_domain_caps_tie_break_on_id(spark):
+    df = spark.createDataFrame(
+        [(3, "h", 5), (1, "h", 5), (2, "h", 5)],
+        "doc_id bigint, host string, n_chars int",
+    )
+    kept = sorted(
+        (r["doc_id"], r["host_rank"]) for r in domain_caps(df, cap=2).collect()
+    )
+    assert kept == [(1, 1), (2, 2)]
