@@ -807,6 +807,89 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_linked_pages(spark: SparkSession, sf_dir: str):
+    """Deterministic link corpus: one synthetic page per documents row,
+    anchors pure arithmetic in (doc_id, N) — see operators/links."""
+    import pandas as pd
+
+    from htmlcleanup_spark.operators.links import (
+        synth_base_url,
+        synth_linked_html,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html": [
+                        synth_linked_html(int(i), n) for i in pdf["doc_id"]
+                    ],
+                    "base_url": [
+                        synth_base_url(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return d.mapInPandas(gen, "doc_id bigint, html string, base_url string")
+
+
+def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph harvest: engine-DOM anchor extraction (document order,
+    nested-tag anchor text, named-anchor decoys skipped) + 3-branch href
+    resolution.  The oracle re-derives every row from the page RECIPE in
+    SQL — the DOM parse, traversal order, and resolver are all
+    value-checked, not echoed."""
+    from htmlcleanup_spark.operators.links import extract_outlinks
+
+    return extract_outlinks(_synth_linked_pages(spark, sf_dir))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank(5 iters, d=0.85) over the harvested link graph — the full
+    pages → outlinks → edges → power-iteration chain, checked against an
+    unrolled-CTE oracle that recomputes all 5 iterations from the
+    arithmetic edge recipe."""
+    from htmlcleanup_spark.operators.links import (
+        edges_from_outlinks,
+        extract_outlinks,
+        pagerank,
+    )
+
+    pages = _synth_linked_pages(spark, sf_dir)
+    edges = edges_from_outlinks(extract_outlinks(pages))
+    return pagerank(pages.select("doc_id"), edges, iterations=5)
+
+
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (RefinedWeb practice): keep the top-5 docs
+    per host by (n_chars DESC, doc_id ASC).  One shuffle on host."""
+    from htmlcleanup_spark.operators.sample import domain_caps
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+    )
+    return domain_caps(d, cap=5)
+
+
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: self-trained unigram LM, per-doc
+    mean NLL (add-one smoothing), NTILE(3) head/middle/tail buckets.
+    Model broadcast-joined; only real shuffles are the model count and the
+    per-doc aggregation."""
+    from htmlcleanup_spark.operators.lm import perplexity, ppl_buckets
+
+    return ppl_buckets(perplexity(_docs(spark, sf_dir)), 3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "clean_documents": q_clean_documents,
@@ -851,6 +934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "events_sessionized": q_events_sessionized,
+        "outlinks": q_outlinks,
+        "pagerank": q_pagerank,
+        "domain_caps": q_domain_caps,
+        "perplexity": q_perplexity,
     }
 
 
@@ -1169,6 +1256,114 @@ def _clean_fixtures_oracle() -> str:
     return (
         "SELECT * FROM (VALUES %s) AS t(url, clean_text)" % ", ".join(rows)
     )
+
+
+def _outlinks_oracle() -> str:
+    """Recipe-derived outlink table (operators/links.synth_linked_html):
+    header chrome + arithmetic content links (3 href forms) + footer
+    chrome, in document order — independent of the DOM extractor."""
+    return """
+        WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        shost AS (SELECT doc_id,
+                         'host' || (doc_id % 50) || '.example.com' AS h
+                  FROM documents),
+        hdr AS (
+          SELECT s.doc_id AS src_doc, c.seq, c.href,
+                 'http://' || s.h || c.href AS url, c.anchor, s.h AS host
+          FROM shost s CROSS JOIN (VALUES (0, '/', 'Home'),
+                                          (1, '/a', 'About'),
+                                          (2, '/b', 'Archive'))
+                                          c(seq, href, anchor)
+        ),
+        links AS (
+          SELECT doc_id,
+                 CAST(3 + i AS INT) AS seq,
+                 (doc_id * 7 + 13 * (i + 1)) % (SELECT n FROM nn) AS t,
+                 (doc_id + i) % 3 AS form
+          FROM (SELECT doc_id,
+                       unnest(generate_series(0, doc_id % 4)) AS i
+                FROM documents)
+        ),
+        content AS (
+          SELECT l.doc_id AS src_doc, l.seq,
+                 CASE l.form
+                   WHEN 0 THEN 'http://host' || (l.t % 50)
+                               || '.example.com/p/' || l.t
+                   WHEN 1 THEN '/p/' || l.t
+                   ELSE '//host' || (l.t % 50) || '.example.com/p/' || l.t
+                 END AS href,
+                 CASE l.form
+                   WHEN 1 THEN 'http://' || s.h || '/p/' || l.t
+                   ELSE 'http://host' || (l.t % 50) || '.example.com/p/'
+                        || l.t
+                 END AS url,
+                 'link ' || l.t AS anchor,
+                 CASE l.form
+                   WHEN 1 THEN s.h
+                   ELSE 'host' || (l.t % 50) || '.example.com'
+                 END AS host
+          FROM links l JOIN shost s ON l.doc_id = s.doc_id
+        ),
+        ftr AS (
+          SELECT s.doc_id AS src_doc,
+                 CAST(4 + (s.doc_id % 4) + c.j AS INT) AS seq, c.href,
+                 'http://' || s.h || c.href AS url, c.anchor, s.h AS host
+          FROM shost s CROSS JOIN (VALUES (0, '/c', 'Contact'),
+                                          (1, '/t', 'Terms'))
+                                          c(j, href, anchor)
+        )
+        SELECT src_doc, seq, href, url, anchor, host FROM hdr
+        UNION ALL
+        SELECT src_doc, seq, href, url, anchor, host FROM content
+        UNION ALL
+        SELECT src_doc, seq, href, url, anchor, host FROM ftr
+    """
+
+
+_PR_EDGES_CTE = """
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           (doc_id * 7 + 13 * (i + 1)) % (SELECT n FROM nn) AS dst
+    FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS i
+          FROM documents))
+  WHERE src <> dst
+),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+        FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS v, 1.0 / (SELECT n FROM nn) AS pr FROM documents)
+"""
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """k unrolled power-iteration CTE stages (fixed k is what keeps
+    PageRank SQL-expressible).  Float literals are emitted with repr() so
+    the SQL evaluates the SAME doubles Spark's Python-side constants do
+    ((1 - 0.85) != 0.15 in IEEE — repr preserves the exact value)."""
+    d = repr(damping)
+    tele_num = repr(1.0 - damping)
+    parts = [_PR_EDGES_CTE]
+    for k in range(iterations):
+        parts.append(""",
+d{k} AS (SELECT coalesce(sum(pr), 0) AS dm FROM r{k}
+         WHERE v NOT IN (SELECT src FROM deg)),
+r{k1} AS (
+  SELECT nv.v,
+         {tele} / (SELECT n FROM nn)
+         + {d} * (coalesce(c.con, 0)
+                  + (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS pr
+  FROM (SELECT doc_id AS v FROM documents) nv
+  LEFT JOIN (SELECT e.dst AS v, sum(r.pr / g.od) AS con
+             FROM edges e JOIN r{k} r ON e.src = r.v
+             JOIN deg g ON e.src = g.src
+             GROUP BY e.dst) c ON nv.v = c.v)""".format(
+            k=k, k1=k + 1, d=d, tele=tele_num))
+    parts.append(
+        "\nSELECT v AS doc_id, CAST(floor(pr * 1e9) AS BIGINT) AS pr_e9 "
+        "FROM r%d" % iterations
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1720,6 +1915,43 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS session_seq
             FROM e
+        """,
+        "outlinks": _outlinks_oracle(),
+        "pagerank": _pagerank_oracle(iterations=5, damping=0.85),
+        # top-5 per host by (n_chars DESC, doc_id ASC); the total order
+        # makes the window assignment engine-independent
+        "domain_caps": """
+            SELECT doc_id, n_chars, host,
+                   CAST(rk AS INT) AS host_rank
+            FROM (SELECT doc_id, n_chars,
+                         'host' || (doc_id % 50) || '.example.com' AS host,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY doc_id % 50
+                           ORDER BY n_chars DESC, doc_id ASC) AS rk
+                  FROM documents)
+            WHERE rk <= 5
+        """,
+        # self-trained unigram LM with add-one smoothing; avg of -ln(p)
+        # floor-quantized at 1e6 (sum-order FP drift << the quantum; see
+        # operators/lm.py), NTILE over the (nll_e6, doc_id) total order
+        "perplexity": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+                       FROM documents),
+            cnt AS (SELECT wd, CAST(count(*) AS DOUBLE) AS c
+                    FROM w GROUP BY wd),
+            tot AS (SELECT sum(c) AS t, CAST(count(*) AS DOUBLE) AS v
+                    FROM cnt),
+            nl AS (SELECT doc_id,
+                          avg(-ln((c + 1.0)
+                                  / ((SELECT t FROM tot)
+                                     + (SELECT v FROM tot) + 1.0))) AS m
+                   FROM w JOIN cnt USING (wd) GROUP BY doc_id),
+            sc AS (SELECT doc_id, CAST(floor(m * 1e6) AS BIGINT) AS nll_e6
+                   FROM nl)
+            SELECT doc_id, nll_e6,
+                   CAST(NTILE(3) OVER (ORDER BY nll_e6, doc_id) AS INT)
+                     AS ppl_bucket
+            FROM sc
         """,
         # avg(quality) is safe as an IEEE double fold here: every addend is
         # an integer <= 1e6, so all partial sums are integers < 2^53 and

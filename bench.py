@@ -67,6 +67,10 @@ EXTENDED = [
     "pdf_text",
     "main_content",
     "charset_decode",
+    "outlinks",
+    "pagerank",
+    "domain_caps",
+    "perplexity",
 ]
 
 
