@@ -880,6 +880,43 @@ def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_caps(d, cap=5)
 
 
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target inlink aggregation (anchor text is the classic
+    description-of-target signal): one partially-combined shuffle on the
+    target url over the harvested outlink table."""
+    from htmlcleanup_spark.operators.links import (
+        anchor_stats,
+        extract_outlinks,
+    )
+
+    return anchor_stats(extract_outlinks(_synth_linked_pages(spark, sf_dir)))
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL filtering: host blocklist (subdomain-inclusive, via
+    chained equi broadcast-hash anti-joins — never a nested-loop OR join)
+    + banned path regex.  Urls are built from doc_id; the oracle
+    re-derives which docs survive from the arithmetic directly."""
+    from htmlcleanup_spark.functions.url import blocklist_filter
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("/spam/x"))
+            .otherwise(F.lit("/p/")),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return blocklist_filter(
+        d,
+        hosts=["site3.com", "h5.site4.com"],
+        path_patterns=["/spam/"],
+    )
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality bucketing: self-trained unigram LM, per-doc
     mean NLL (add-one smoothing), NTILE(3) head/middle/tail buckets.
@@ -938,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "domain_caps": q_domain_caps,
         "perplexity": q_perplexity,
+        "anchor_stats": q_anchor_stats,
+        "blocklist": q_blocklist,
     }
 
 
@@ -1918,6 +1957,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "outlinks": _outlinks_oracle(),
         "pagerank": _pagerank_oracle(iterations=5, damping=0.85),
+        # inlink aggregation over the same recipe-derived outlink table
+        "anchor_stats": """
+            SELECT url AS target_url,
+                   count(*) AS n_inlinks,
+                   count(DISTINCT host) AS n_src_hosts,
+                   min(anchor) AS first_anchor
+            FROM (%s) GROUP BY url
+        """ % _outlinks_oracle(),
+        # survival re-derived from the url-construction arithmetic, not by
+        # re-running the filter: site3.com blocks doc_id%%7==3 (suffix),
+        # h5.site4.com blocks doc_id%%20==5 AND doc_id%%7==4 (exact),
+        # /spam/ blocks doc_id%%11==0
+        "blocklist": """
+            SELECT doc_id,
+                   'http://h' || (doc_id % 20) || '.site' || (doc_id % 7)
+                   || '.com'
+                   || CASE WHEN doc_id % 11 = 0 THEN '/spam/x'
+                           ELSE '/p/' END
+                   || doc_id AS url
+            FROM documents
+            WHERE NOT (doc_id % 7 = 3
+                       OR (doc_id % 20 = 5 AND doc_id % 7 = 4)
+                       OR doc_id % 11 = 0)
+        """,
         # top-5 per host by (n_chars DESC, doc_id ASC); the total order
         # makes the window assignment engine-independent
         "domain_caps": """

@@ -71,6 +71,8 @@ EXTENDED = [
     "pagerank",
     "domain_caps",
     "perplexity",
+    "anchor_stats",
+    "blocklist",
 ]
 
 

@@ -19,7 +19,7 @@ Scale design:
   ``src`` (join against ranks), one on ``dst`` (contribution aggregation
   with map-side partial combine), and a broadcast of the 1-row dangling
   aggregate.  Lineage is cut per iteration (localCheckpoint, or reliable
-  ``checkpoint`` when ``reliable=True`` — same tradeoff as
+  ``checkpoint`` when ``checkpoint_dir`` is given — same tradeoff as
   operators/dedup.connected_components: local blocks are unreplicated, so
   a lost executor kills the job at cluster scale unless reliable mode is
   on).  The edge table is re-used across iterations, so cache it when it
@@ -309,4 +309,33 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 5,
     return ranks.select(
         F.col("v").alias("doc_id"),
         F.floor(F.col("pr") * 1e9).cast("long").alias("pr_e9"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation (the classic web-IR inlink signal)
+# ---------------------------------------------------------------------------
+
+def anchor_stats(outlinks: DataFrame) -> DataFrame:
+    """Per-target inlink statistics from an outlink table: how many pages
+    link to each url, from how many distinct hosts, and the
+    lexicographically-first anchor text (a deterministic representative —
+    production ranks anchors by frequency; min() keeps the aggregation a
+    single pass and the result engine-independent).
+
+    The classic use at corpus scale: anchor text is the highest-precision
+    description of the TARGET page (search engines index it; quality
+    filters boost pages with many distinct-host inlinks).  ONE shuffle on
+    the target url with full map-side partial aggregation —
+    count/count_distinct/min all combine; distinct-host counting uses an
+    exact count(distinct) here (per-url host fan-in is bounded); switch to
+    approx_count_distinct at web scale where a url can have 10^8 inlinks.
+    """
+    return (
+        outlinks.groupBy(F.col("url").alias("target_url"))
+        .agg(
+            F.count("*").alias("n_inlinks"),
+            F.countDistinct(F.col("host")).alias("n_src_hosts"),
+            F.min("anchor").alias("first_anchor"),
+        )
     )

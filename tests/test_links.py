@@ -10,6 +10,7 @@ invariants (mass conservation, uniform graph ⇒ uniform rank).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from htmlcleanup_spark.operators.links import (
     edges_from_outlinks,
@@ -170,3 +171,71 @@ def test_edges_drop_chrome_and_self(spark, link_corpus):
         for i in range(1 + d % 4)
     ) if s != t}
     assert {(r["src"], r["dst"]) for r in edges} == want
+
+
+def test_anchor_stats(spark, link_corpus):
+    from htmlcleanup_spark.operators.links import (
+        anchor_stats,
+        extract_outlinks,
+    )
+
+    n, df = link_corpus
+    links = extract_outlinks(df)
+    stats = {r["target_url"]: r for r in anchor_stats(links).collect()}
+    # chrome '/': every page links to its own host root -> one row per host
+    # with n_inlinks == pages on that host (n=60, 50 hosts: hosts 0..9 get
+    # 2 pages, the rest 1)
+    h0 = stats["http://host0.example.com/"]
+    assert h0["n_inlinks"] == 2 and h0["n_src_hosts"] == 1
+    assert h0["first_anchor"] == "Home"
+    # a content url's inlink count equals its arithmetic indegree; NB the
+    # root-relative form resolves against the SOURCE host, so the url host
+    # is d%50 for form 1 and t%50 otherwise
+    expected = {}
+    for d in range(n):
+        for i in range(1 + d % 4):
+            t = (d * 7 + 13 * (i + 1)) % n
+            h = (d if (d + i) % 3 == 1 else t) % 50
+            u = "http://host%d.example.com/p/%d" % (h, t)
+            expected[u] = expected.get(u, 0) + 1
+    for u, cnt in list(expected.items())[:10]:
+        assert stats[u]["n_inlinks"] == cnt, u
+        assert stats[u]["first_anchor"].startswith("link ")
+
+
+def test_blocklist_filter(spark):
+    from htmlcleanup_spark.functions.url import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://bad.com/x"),
+            (2, "http://www.bad.com/y"),
+            (3, "http://notbad.com/z"),
+            (4, "https://ok.org/casino/p"),
+            (5, "https://ok.org/fine"),
+            (6, "relative/path"),
+        ],
+        "doc_id bigint, url string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in blocklist_filter(
+            df, hosts=["BAD.com"], path_patterns=["/casino/"]
+        ).collect()
+    }
+    assert kept == {3, 5, 6}
+
+
+def test_blocklist_filter_is_broadcast_antijoin(spark):
+    from htmlcleanup_spark.functions.url import blocklist_filter
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("http://h"), F.col("id") % 7, F.lit(".ex/p")).alias(
+            "url"
+        ),
+    )
+    plan = blocklist_filter(
+        df, hosts=["h1.ex", "h2.ex"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
