@@ -917,6 +917,36 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl snapshot delta: full-outer digest join where only
+    (key, md5) shuffles, never page bodies.  Snapshot N is a
+    deterministic perturbation of the documents table (drops %13, edits
+    %7, adds %17 under new urls); the oracle rebuilds both sides and
+    diffs them independently."""
+    from htmlcleanup_spark.operators.crawl import crawl_diff
+
+    d = _docs(spark, sf_dir)
+    old = d.select(F.col("doc_id").cast("string").alias("url"), "text")
+    new = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("!"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 1000000).cast("string").alias("url"),
+                F.concat(
+                    F.lit("new page "), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    return crawl_diff(old, new)
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality bucketing: self-trained unigram LM, per-doc
     mean NLL (add-one smoothing), NTILE(3) head/middle/tail buckets.
@@ -977,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "anchor_stats": q_anchor_stats,
         "blocklist": q_blocklist,
+        "crawl_diff": q_crawl_diff,
     }
 
 
@@ -1993,6 +2024,29 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY n_chars DESC, doc_id ASC) AS rk
                   FROM documents)
             WHERE rk <= 5
+        """,
+        # both snapshots rebuilt from the same perturbation arithmetic,
+        # then diffed with an independent FULL OUTER JOIN
+        "crawl_diff": """
+            WITH o AS (SELECT CAST(doc_id AS VARCHAR) AS k,
+                              md5(text) AS od FROM documents),
+            n AS (
+              SELECT CAST(doc_id AS VARCHAR) AS k,
+                     md5(CASE WHEN doc_id % 7 = 0 THEN text || '!'
+                              ELSE text END) AS nd
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT CAST(doc_id + 1000000 AS VARCHAR),
+                     md5('new page ' || doc_id)
+              FROM documents WHERE doc_id % 17 = 0
+            )
+            SELECT coalesce(o.k, n.k) AS url,
+                   CASE WHEN o.k IS NULL THEN 'added'
+                        WHEN n.k IS NULL THEN 'removed'
+                        WHEN od = nd THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   od AS old_digest, nd AS new_digest
+            FROM o FULL OUTER JOIN n ON o.k = n.k
         """,
         # self-trained unigram LM with add-one smoothing; avg of -ln(p)
         # floor-quantized at 1e6 (sum-order FP drift << the quantum; see

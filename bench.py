@@ -73,6 +73,7 @@ EXTENDED = [
     "perplexity",
     "anchor_stats",
     "blocklist",
+    "crawl_diff",
 ]
 
 

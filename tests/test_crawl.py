@@ -1,0 +1,52 @@
+"""Crawl-snapshot diff + incremental-extract selection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from htmlcleanup_spark.operators.crawl import changed_pages, crawl_diff
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_crawl_diff_statuses(spark):
+    old = _snap(spark, [("a", "1"), ("b", "2"), ("c", "3")])
+    new = _snap(spark, [("b", "2"), ("c", "CHANGED"), ("d", "4")])
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+    assert got == {
+        "a": "removed",
+        "b": "unchanged",
+        "c": "changed",
+        "d": "added",
+    }
+
+
+def test_crawl_diff_digest_column_passthrough(spark):
+    old = spark.createDataFrame([("a", "h1")], "url string, dg string")
+    new = spark.createDataFrame([("a", "h2")], "url string, dg string")
+    got = crawl_diff(old, new, digest_col="dg").collect()
+    assert got[0]["status"] == "changed"
+    assert (got[0]["old_digest"], got[0]["new_digest"]) == ("h1", "h2")
+
+
+def test_changed_pages_selects_added_and_changed(spark):
+    old = _snap(spark, [("a", "1"), ("c", "3")])
+    new = _snap(spark, [("a", "1"), ("c", "X"), ("d", "4")])
+    diff = crawl_diff(old, new)
+    got = {r["url"] for r in changed_pages(new, diff).collect()}
+    assert got == {"c", "d"}
+
+
+def test_diff_shuffles_digests_not_bodies(spark):
+    """The exchange moves (key, digest) projections — the text column must
+    be pruned out before the join."""
+    old = _snap(spark, [("a", "x" * 1000)])
+    new = _snap(spark, [("a", "y" * 1000)])
+    plan = crawl_diff(old, new)._jdf.queryExecution().optimizedPlan().toString()
+    # text appears only inside md5() projections, never as a join output
+    assert "md5(" in plan
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "text" not in line
