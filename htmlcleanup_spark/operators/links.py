@@ -259,9 +259,6 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 5,
     localCheckpoint (fast, executor-local, no fault tolerance), or true
     reliable checkpoint() to the given HDFS/S3 path for cluster runs.
     """
-    n_nodes = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("_od"))
-    teleport = (1.0 - damping) / n_nodes
     if checkpoint_dir is not None:
         nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -270,6 +267,16 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 5,
     else:
         def _cut(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
+
+    # nodes/edges/outdeg are read EVERY iteration — pin them once so the
+    # loop never recomputes the upstream plan (for a harvested graph that
+    # upstream is the whole page-parse chain: 3 reads/iter x k iters of
+    # re-extraction otherwise)
+    nodes = _cut(nodes.select("doc_id"))
+    edges = _cut(edges)
+    n_nodes = nodes.count()
+    outdeg = _cut(edges.groupBy("src").agg(F.count("*").alias("_od")))
+    teleport = (1.0 - damping) / n_nodes
 
     ranks = nodes.select(
         F.col("doc_id").alias("v"), F.lit(1.0 / n_nodes).alias("pr")
