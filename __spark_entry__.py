@@ -947,6 +947,23 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_diff(old, new)
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-crawl frontier: outlink targets not yet crawled, inlink count
+    as the priority signal.  Crawled set = pages of even doc_ids; the
+    oracle rebuilds both sides independently."""
+    from htmlcleanup_spark.operators.crawl import crawl_frontier
+    from htmlcleanup_spark.operators.links import extract_outlinks
+
+    links = extract_outlinks(_synth_linked_pages(spark, sf_dir))
+    crawled = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(
+            F.lit("http://host"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return crawl_frontier(links.select("url"), crawled)
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality bucketing: self-trained unigram LM, per-doc
     mean NLL (add-one smoothing), NTILE(3) head/middle/tail buckets.
@@ -1008,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": q_anchor_stats,
         "blocklist": q_blocklist,
         "crawl_diff": q_crawl_diff,
+        "crawl_frontier": q_crawl_frontier,
     }
 
 
@@ -2025,6 +2043,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE rk <= 5
         """,
+        # frontier re-derived over the recipe outlink table: aggregate by
+        # target url, drop urls of even (already-crawled) docs
+        "crawl_frontier": """
+            SELECT url, count(*) AS n_inlinks FROM (%s) ol
+            WHERE url NOT IN (
+              SELECT 'http://host' || (doc_id %% 50) || '.example.com/p/'
+                     || doc_id
+              FROM documents WHERE doc_id %% 2 = 0)
+            GROUP BY url
+        """ % _outlinks_oracle(),
         # both snapshots rebuilt from the same perturbation arithmetic,
         # then diffed with an independent FULL OUTER JOIN
         "crawl_diff": """

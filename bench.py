@@ -74,6 +74,7 @@ EXTENDED = [
     "anchor_stats",
     "blocklist",
     "crawl_diff",
+    "crawl_frontier",
 ]
 
 

@@ -66,3 +66,25 @@ def changed_pages(new: DataFrame, diff: DataFrame,
         key_col
     )
     return new.join(delta, key_col, "left_semi")
+
+
+def crawl_frontier(outlinks: DataFrame, crawled: DataFrame,
+                   url_col: str = "url") -> DataFrame:
+    """The next crawl frontier: distinct outlink targets not yet crawled,
+    with their inlink count as a crawl-priority signal (more inlinks =
+    crawl sooner — the classic frontier ordering).
+
+    Plan: ONE partially-combined shuffle on the target url (distinct +
+    count fused into a single groupBy), then an anti-join against the
+    crawled set — AQE broadcasts the smaller side; at web scale the
+    crawled set is the big side, so the frontier (post-aggregation, one
+    row per NEW url) is the one that moves."""
+    return (
+        outlinks.groupBy(F.col("url"))
+        .agg(F.count("*").alias("n_inlinks"))
+        .join(
+            crawled.select(F.col(url_col).alias("url")),
+            "url",
+            "left_anti",
+        )
+    )

@@ -82,6 +82,10 @@ def perplexity(df: DataFrame, model: DataFrame | None = None,
     """
     if model is None:
         model = unigram_model(df, text_col, id_col, vocab_size)
+    # the model feeds BOTH the totals aggregate and the broadcast join —
+    # pin it so the vocabulary shuffle is computed once, not re-derived
+    # per consumer (same single-job-pin tradeoff as operators/dedup._pin)
+    model = model.localCheckpoint(eager=False)
     totals = model.agg(
         F.sum("cnt").cast("double").alias("_t"),
         F.count("*").cast("double").alias("_v"),

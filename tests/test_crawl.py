@@ -50,3 +50,16 @@ def test_diff_shuffles_digests_not_bodies(spark):
     for line in plan.splitlines():
         if "Join" in line:
             assert "text" not in line
+
+
+def test_crawl_frontier(spark):
+    from htmlcleanup_spark.operators.crawl import crawl_frontier
+
+    outlinks = spark.createDataFrame(
+        [("u1", "a"), ("u2", "a"), ("u3", "b"), ("u1", "b"), ("u1", "c")],
+        "src string, url string",
+    ).select("url")
+    crawled = spark.createDataFrame([("a",), ("x",)], "url string")
+    got = {r["url"]: r["n_inlinks"]
+           for r in crawl_frontier(outlinks, crawled).collect()}
+    assert got == {"b": 2, "c": 1}

@@ -104,3 +104,34 @@ def test_domain_caps_tie_break_on_id(spark):
         (r["doc_id"], r["host_rank"]) for r in domain_caps(df, cap=2).collect()
     )
     assert kept == [(1, 1), (2, 2)]
+
+
+def test_perplexity_plan_shape(spark):
+    """Scale contract: the model join is a broadcast-HASH join and the
+    only hash shuffle in the scoring plan is the per-doc aggregation —
+    the vocabulary shuffle lives inside the pinned model, computed once
+    for both its consumers (totals + broadcast).  The NTILE
+    SinglePartition exchange is the documented test-scale bucketing path
+    — thresholds replace it at corpus scale."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, "a b c w%d" % (i % 5)) for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    plan = ppl_buckets(perplexity(df))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_domain_caps_single_shuffle(spark):
+    import re
+
+    df = spark.createDataFrame(
+        [(i, "h%d" % (i % 3), i) for i in range(30)],
+        "doc_id bigint, host string, n_chars int",
+    )
+    plan = domain_caps(df)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
