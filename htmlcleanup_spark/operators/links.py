@@ -96,7 +96,9 @@ def outlinks_of(html: str, base_url: str) -> list[tuple]:
         t for t in doc.find_all("a") if t.get("href") is not None
     ):
         href = a["href"]
-        url = resolve_url(base_url, href)
+        # WHATWG URL parsing strips leading/trailing C0-control/space from
+        # attribute urls before resolution; the raw href column keeps them
+        url = resolve_url(base_url, href.strip())
         out.append((seq, href, url, _anchor_text(a), host_of(url)))
     return out
 

@@ -239,3 +239,22 @@ def test_blocklist_filter_is_broadcast_antijoin(spark):
         df, hosts=["h1.ex", "h2.ex"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_outlinks_of_messy_markup():
+    """Pinned behavior on real-world messy anchors: case-insensitive tag
+    and attr names, unquoted values, WHATWG whitespace-stripped
+    resolution (raw href preserved), duplicate attr keeps the first,
+    empty href kept as a (filterable) empty-url row."""
+    base = "http://h.ex/p/1"
+    assert outlinks_of("<html><body><A HREF=/x>up</A></body></html>", base) \
+        == [(0, "/x", "http://h.ex/x", "up", "h.ex")]
+    assert outlinks_of(
+        '<html><body><a href=" /sp ">ws</a></body></html>', base
+    ) == [(0, " /sp ", "http://h.ex/sp", "ws", "h.ex")]
+    assert outlinks_of(
+        '<html><body><a href="/x" href="/y">dup</a></body></html>', base
+    ) == [(0, "/x", "http://h.ex/x", "dup", "h.ex")]
+    assert outlinks_of(
+        '<html><body><a href="">e</a></body></html>', base
+    ) == [(0, "", "", "e", "")]
