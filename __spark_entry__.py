@@ -947,6 +947,17 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_diff(old, new)
 
 
+def q_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021) at k=8 tokens: every token
+    covered by a k-gram occurring >= 2 times in the corpus is deleted.
+    The oracle recomputes coverage with a correlated EXISTS over raw gram
+    strings — independent of the Spark path's md5 keys and numpy
+    difference-array sweep."""
+    from htmlcleanup_spark.operators.dedup import remove_repeated_spans
+
+    return remove_repeated_spans(_docs(spark, sf_dir), k=8)
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-crawl frontier: outlink targets not yet crawled, inlink count
     as the priority signal.  Crawled set = pages of even doc_ids; the
@@ -1026,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,
         "crawl_diff": q_crawl_diff,
         "crawl_frontier": q_crawl_frontier,
+        "exactsubstr_dedup": q_exactsubstr,
     }
 
 
@@ -2042,6 +2054,36 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY n_chars DESC, doc_id ASC) AS rk
                   FROM documents)
             WHERE rk <= 5
+        """,
+        # independent coverage recomputation: raw-gram-string counts +
+        # correlated EXISTS per token (vs Spark's md5 keys + numpy sweep)
+        "exactsubstr_dedup": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id, i - 1 AS s,
+                         array_to_string(list_slice(ws, i, i + 7), ' ')
+                           AS gram
+                  FROM (SELECT doc_id, ws,
+                               unnest(generate_series(1, len(ws) - 7)) AS i
+                        FROM w WHERE len(ws) >= 8)),
+            rep AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(*) >= 2),
+            mk AS (SELECT g.doc_id, g.s FROM g JOIN rep USING (gram)),
+            tok AS (SELECT doc_id, i - 1 AS j, ws[i] AS word
+                    FROM (SELECT doc_id, ws,
+                                 unnest(generate_series(1, len(ws))) AS i
+                          FROM w)),
+            cov AS (SELECT t.doc_id, t.j, t.word,
+                           EXISTS (SELECT 1 FROM mk m
+                                   WHERE m.doc_id = t.doc_id
+                                     AND m.s <= t.j
+                                     AND t.j < m.s + 8) AS c
+                    FROM tok t)
+            SELECT doc_id,
+                   coalesce(string_agg(word, ' ' ORDER BY j)
+                              FILTER (WHERE NOT c), '') AS clean_text,
+                   CAST(count(*) FILTER (WHERE c) AS INT) AS n_removed
+            FROM cov GROUP BY doc_id
         """,
         # frontier re-derived over the recipe outlink table: aggregate by
         # target url, drop urls of even (already-crawled) docs

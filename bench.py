@@ -75,6 +75,7 @@ EXTENDED = [
     "blocklist",
     "crawl_diff",
     "crawl_frontier",
+    "exactsubstr_dedup",
 ]
 
 

@@ -769,3 +769,91 @@ def decontaminate(df: DataFrame, eval_df: DataFrame,
             "contaminated", F.coalesce("contaminated", F.lit(False))
         )
     )
+
+
+def remove_repeated_spans(df: DataFrame, k: int = 8, min_count: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """EXACT repeated-substring removal (the ExactSubstr dedup of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"),
+    at token granularity: delete every token covered by a k-token span
+    whose text occurs >= ``min_count`` times in the corpus (across OR
+    within documents).  A maximal repeated substring of length >= k is
+    exactly the union of its repeated k-grams, so k-gram coverage removes
+    precisely the tokens ExactSubstr would — no suffix array needed; the
+    suffix array is an implementation device for single machines, not part
+    of the semantics.
+
+    Plan (3 shuffles total, each partially combined):
+      1. k-gram stream: posexplode of md5'd token windows — map-side.
+      2. occurrence count per gram  -> repeated-gram set (shuffle 1).
+      3. semi-join gram stream vs repeated set (shuffle 2, AQE may
+         broadcast the repeated side), collect start offsets per doc
+         (fused into the same shuffle's aggregation).
+      4. join offsets back to documents (shuffle 3) and cut tokens with
+         an Arrow-batched numpy difference-array sweep — O(n_tokens +
+         n_spans) per doc, never the O(n_tokens * n_spans) interpreted
+         EXISTS-per-token loop.
+
+    Returns (id, clean_text, n_removed).  Docs shorter than k tokens pass
+    through unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    # filter BEFORE the projection: sequence(0, n-k) must never see n < k
+    # (Spark would emit a DESCENDING sequence for a negative end)
+    grams = df.filter(n >= k).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(ws, i + 1, k))
+                ),
+            )
+        ).alias("s", "g"),
+    )
+    repeated = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("g")
+    )
+    starts = (
+        grams.join(repeated, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("s")).alias("_starts"))
+    )
+    withs = df.select(id_col, text_col).join(starts, id_col, "left")
+
+    out_ddl = "{} {}, clean_text string, n_removed int".format(
+        id_col, df.schema[id_col].dataType.simpleString()
+    )
+
+    def cut(batches):
+        for pdf in batches:
+            rows = []
+            for did, text, st in zip(
+                pdf[id_col], pdf[text_col], pdf["_starts"]
+            ):
+                if st is None or len(st) == 0:
+                    rows.append((did, text, 0))
+                    continue
+                toks = text.split(" ")
+                cover = np.zeros(len(toks) + 1, dtype=np.int32)
+                for s in st:
+                    cover[s] += 1
+                    cover[min(s + k, len(toks))] -= 1
+                covered = np.cumsum(cover[:-1]) > 0
+                kept = [t for t, c in zip(toks, covered) if not c]
+                rows.append(
+                    (did, " ".join(kept), int(covered.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "clean_text", "n_removed"]
+            )
+
+    return withs.mapInPandas(cut, out_ddl)

@@ -295,3 +295,78 @@ def test_ngram_jaccard_hash_key_matches_exact(spark):
         map(tuple, ngram_jaccard_pairs(docs, hash_key=True, **kw).collect())
     )
     assert exact == hashed and len(exact) > 0
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-span removal (ExactSubstr, Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+def _pure_exactsubstr(texts, k=8, min_count=2):
+    """Independent reference: brute-force k-gram coverage in pure Python."""
+    from collections import Counter
+
+    counts = Counter()
+    for t in texts.values():
+        toks = t.split(" ")
+        for i in range(len(toks) - k + 1):
+            counts[" ".join(toks[i:i + k])] += 1
+    out = {}
+    for did, t in texts.items():
+        toks = t.split(" ")
+        covered = [False] * len(toks)
+        for i in range(len(toks) - k + 1):
+            if counts[" ".join(toks[i:i + k])] >= min_count:
+                for j in range(i, i + k):
+                    covered[j] = True
+        out[did] = (
+            " ".join(tok for tok, c in zip(toks, covered) if not c),
+            sum(covered),
+        )
+    return out
+
+
+def test_remove_repeated_spans_matches_pure(spark):
+    from htmlcleanup_spark.operators.dedup import remove_repeated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    texts = {
+        0: "alpha beta " + shared + " gamma delta epsilon zeta eta theta",
+        1: "one two three " + shared + " four five six seven eight nine",
+        2: "no overlap here at all just unique words in this document text",
+        3: "short doc",  # < k tokens: must pass through
+        4: "rep rep rep rep rep rep rep rep rep rep rep rep",  # self-repeat
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_repeated_spans(df, k=8).collect()
+    }
+    want = _pure_exactsubstr(texts, k=8)
+    assert got == want
+    # sanity on the semantics themselves: the shared sentence vanished
+    assert shared not in got[0][0] and shared not in got[1][0]
+    assert got[2][1] == 0 and got[3] == ("short doc", 0)
+    assert got[4][0] == ""  # fully self-repetitive doc is deleted
+
+
+def test_remove_repeated_spans_exactness_boundary(spark):
+    """A repeat of exactly k tokens is removed; k-1 shared tokens are NOT
+    (no k-gram repeats) — the threshold is sharp."""
+    from htmlcleanup_spark.operators.dedup import remove_repeated_spans
+
+    seven = "a b c d e f g"            # 7 shared tokens, k=8 -> kept
+    eight = "a b c d e f g h"          # 8 shared tokens -> removed
+    df = spark.createDataFrame(
+        [
+            (0, "x0 " + eight + " y0"),
+            (1, "x1 " + eight + " y1"),
+            (2, "p0 " + seven + " q0r"),
+            (3, "p1 " + seven + " q1r"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["n_removed"]
+           for r in remove_repeated_spans(df, k=8).collect()}
+    assert got == {0: 8, 1: 8, 2: 0, 3: 0}
