@@ -804,7 +804,10 @@ def remove_repeated_spans(df: DataFrame, k: int = 8, min_count: int = 2,
     ws = F.split(F.col(text_col), " ")
     n = F.size(ws)
     # filter BEFORE the projection: sequence(0, n-k) must never see n < k
-    # (Spark would emit a DESCENDING sequence for a negative end)
+    # (Spark would emit a DESCENDING sequence for a negative end).
+    # The gram stream feeds BOTH the occurrence count and the semi-join
+    # probe side — pin it so the (interpreted-HOF) gram construction runs
+    # once, not once per consumer (measured 3x on the sf0.1 corpus).
     grams = df.filter(n >= k).select(
         F.col(id_col),
         F.posexplode(
@@ -815,7 +818,7 @@ def remove_repeated_spans(df: DataFrame, k: int = 8, min_count: int = 2,
                 ),
             )
         ).alias("s", "g"),
-    )
+    ).localCheckpoint(eager=False)
     repeated = (
         grams.groupBy("g")
         .agg(F.count("*").alias("_c"))
