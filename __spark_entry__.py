@@ -947,6 +947,19 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_diff(old, new)
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing budget cut: best documents first (n_chars DESC,
+    doc_id ASC) until the running token total would exceed the budget.
+    Prefix-inclusive running-sum window — deterministic and
+    retry-stable."""
+    from htmlcleanup_spark.operators.sample import token_budget_sample
+
+    return token_budget_sample(
+        _docs(spark, sf_dir).select("doc_id", "text", "n_chars"),
+        budget_tokens=10_000,
+    ).select("doc_id", "n_chars", "n_tokens", "cum_tokens")
+
+
 def q_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr dedup (Lee et al. 2021) at k=8 tokens: every token
     covered by a k-gram occurring >= 2 times in the corpus is deleted.
@@ -1038,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "crawl_frontier": q_crawl_frontier,
         "exactsubstr_dedup": q_exactsubstr,
+        "token_budget": q_token_budget,
     }
 
 
@@ -2054,6 +2068,17 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY n_chars DESC, doc_id ASC) AS rk
                   FROM documents)
             WHERE rk <= 5
+        """,
+        # prefix-inclusive running-sum cut over the same total order
+        "token_budget": """
+            SELECT doc_id, n_chars, n_tokens, cum_tokens FROM (
+              SELECT doc_id, n_chars,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                     CAST(sum(len(string_split(text, ' '))) OVER (
+                       ORDER BY n_chars DESC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM documents)
+            WHERE cum_tokens <= 10000
         """,
         # independent coverage recomputation: raw-gram-string counts +
         # correlated EXISTS per token (vs Spark's md5 keys + numpy sweep)

@@ -76,6 +76,7 @@ EXTENDED = [
     "crawl_diff",
     "crawl_frontier",
     "exactsubstr_dedup",
+    "token_budget",
 ]
 
 

@@ -87,3 +87,41 @@ def domain_caps(df: DataFrame, host_col: str = "host", cap: int = 5,
         df.withColumn("host_rank", F.row_number().over(w))
         .filter(F.col("host_rank") <= cap)
     )
+
+
+def token_budget_sample(df: DataFrame, budget_tokens: int,
+                        priority_col: str = "n_chars",
+                        id_col: str = "doc_id",
+                        token_col: str | None = None,
+                        text_col: str = "text") -> DataFrame:
+    """Select documents to fill a token budget: order by (priority DESC,
+    id ASC) and keep the prefix whose RUNNING token total stays within
+    ``budget_tokens`` (the data-mixing step "give me the best N-billion
+    tokens of this source").
+
+    The cut is prefix-inclusive: a doc is kept iff the running sum UP TO
+    AND INCLUDING it is <= budget, so the selection is a deterministic
+    function of the total order — retry-stable and engine-independent.
+
+    One global window at this granularity (fine to ~10^8 docs).  At
+    corpus scale, run per-stratum (partitionBy source) or pre-cut with a
+    priority threshold from approxQuantile and budget only the boundary
+    stratum — the operator composes unchanged.
+
+    Returns the input plus ``n_tokens`` and ``cum_tokens``.
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = (
+        F.col(token_col)
+        if token_col is not None
+        else F.size(F.split(F.col(text_col), " "))
+    )
+    w = Window.orderBy(
+        F.col(priority_col).desc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

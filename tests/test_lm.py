@@ -135,3 +135,30 @@ def test_domain_caps_single_shuffle(spark):
     )
     plan = domain_caps(df)._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_token_budget_sample(spark):
+    from htmlcleanup_spark.operators.sample import token_budget_sample
+
+    # priority = doc_id here (higher id = higher priority), 5 tokens each
+    df = spark.createDataFrame(
+        [(i, "w " * 4 + "w", i) for i in range(10)],
+        "doc_id bigint, text string, prio int",
+    )
+    kept = token_budget_sample(df, 17, priority_col="prio").collect()
+    # best-first: docs 9, 8, 7 (15 tokens); doc 6 would hit 20 > 17
+    assert sorted(r["doc_id"] for r in kept) == [7, 8, 9]
+    assert {r["n_tokens"] for r in kept} == {5}
+    assert max(r["cum_tokens"] for r in kept) == 15
+
+
+def test_token_budget_sample_tie_break_and_exact_fit(spark):
+    from htmlcleanup_spark.operators.sample import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(3, "a b"), (1, "c d"), (2, "e f")],
+        "doc_id bigint, text string",
+    ).withColumn("p", F.lit(1))
+    kept = token_budget_sample(df, 4, priority_col="p").collect()
+    # equal priority -> id ASC: docs 1, 2 fill exactly 4 tokens
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]
