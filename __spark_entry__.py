@@ -947,6 +947,18 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_diff(old, new)
 
 
+def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregate via Spark's NATIVE session_window (one
+    shuffle, sessions merged in aggregation buffers; identical code runs
+    streaming — parity-tested).  The oracle derives the same sessions
+    from the lag/running-sum construction, so the native operator's merge
+    semantics (exact-gap merges) are value-checked against the relational
+    definition."""
+    from htmlcleanup_spark.operators.sessions import session_rollup
+
+    return session_rollup(spark.read.parquet(_t(sf_dir, "events")))
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing budget cut: best documents first (n_chars DESC,
     doc_id ASC) until the running token total would exceed the budget.
@@ -1052,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "exactsubstr_dedup": q_exactsubstr,
         "token_budget": q_token_budget,
+        "session_rollup": q_session_rollup,
     }
 
 
@@ -2068,6 +2081,30 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY n_chars DESC, doc_id ASC) AS rk
                   FROM documents)
             WHERE rk <= 5
+        """,
+        # session_window's merge semantics re-derived relationally:
+        # break iff gap > 1800s, end = last event + gap
+        "session_rollup": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN CAST(epoch(ts) AS BIGINT)
+                               - lag(CAST(epoch(ts) AS BIGINT)) OVER
+                                 (PARTITION BY user_id
+                                  ORDER BY ts, event_id) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (SELECT user_id, ts, value,
+                         sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS seq
+                  FROM e)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts) + INTERVAL 1800 SECOND,
+                            '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, seq
         """,
         # prefix-inclusive running-sum cut over the same total order
         "token_budget": """

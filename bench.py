@@ -77,6 +77,7 @@ EXTENDED = [
     "crawl_frontier",
     "exactsubstr_dedup",
     "token_budget",
+    "session_rollup",
 ]
 
 

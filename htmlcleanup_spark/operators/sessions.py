@@ -39,3 +39,44 @@ def sessionize(df: DataFrame, user_col: str = "user_id",
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn("session_seq", seq)
+
+
+def session_rollup(df: DataFrame, user_col: str = "user_id",
+                   ts_col: str = "ts",
+                   gap: str = "30 minutes") -> DataFrame:
+    """Per-session aggregate via Spark's NATIVE session window
+    (``F.session_window``): one row per (user, session) with start/end
+    and event stats.  Merge semantics: events whose gap is <= the window
+    gap share a session (verified against the gap-based ``sessionize``:
+    a diff of exactly ``gap`` merges; strictly greater splits) — so this
+    is the aggregate twin of ``sessionize`` and the SQL oracle derives it
+    from the same lag/running-sum construction.
+
+    Why the native operator matters at scale: session_window is a
+    first-class aggregation — one shuffle on the user key, sessions
+    merged inside the aggregation buffers (no per-user sort + two window
+    passes), and IDENTICAL code runs under Structured Streaming with a
+    watermark bounding state (see streaming/extract_stream.py's
+    sessions_stream) — the batch/stream parity test holds it to this
+    batch result.
+    """
+    events = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -63,3 +63,30 @@ def test_crawl_frontier(spark):
     got = {r["url"]: r["n_inlinks"]
            for r in crawl_frontier(outlinks, crawled).collect()}
     assert got == {"b": 2, "c": 1}
+
+
+def test_crawl_diff_on_bucketed_snapshots_no_exchange(spark, tmp_path):
+    """Snapshot tables bucketed by url diff with ZERO Exchange nodes —
+    the incremental-recrawl plan at 10^12 rows reads co-located buckets
+    (broadcast disabled so the test can't pass via a broadcast plan)."""
+    from htmlcleanup_spark.sources.pages import write_bucketed
+
+    rows_old = [("u%d" % i, "text %d" % i) for i in range(40)]
+    rows_new = [("u%d" % i, "text %d" % (i if i % 3 else -i))
+                for i in range(1, 44)]
+    old = spark.createDataFrame(rows_old, "url string, text string")
+    new = spark.createDataFrame(rows_new, "url string, text string")
+    write_bucketed(old, "t_snap_old", str(tmp_path / "so"), buckets=4)
+    write_bucketed(new, "t_snap_new", str(tmp_path / "sn"), buckets=4)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        diff = crawl_diff(spark.table("t_snap_old"), spark.table("t_snap_new"))
+        plan = diff._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {r["status"] for r in diff.collect()}
+        assert got == {"added", "removed", "changed", "unchanged"}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS t_snap_old")
+        spark.sql("DROP TABLE IF EXISTS t_snap_new")

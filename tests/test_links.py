@@ -258,3 +258,32 @@ def test_outlinks_of_messy_markup():
     assert outlinks_of(
         '<html><body><a href="">e</a></body></html>', base
     ) == [(0, "", "", "e", "")]
+
+
+def test_outlinks_of_never_raises_fuzz():
+    """Total on arbitrary input: any byte soup parses (the engine DOM is
+    lenient), seq is dense 0..m-1, and resolved absolute urls always give
+    a host."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    chunks = st.lists(
+        st.sampled_from(
+            ["<a", " href=", '"', "'", "/x", ">", "</a>", "<p>", "text",
+             "http://h.ex", "//s", "&amp;", "<", ">", '<a href="/y">z</a>',
+             "é", " ", "=", "<div>", "</div>", "<a name=n>t</a>"]
+        ),
+        max_size=30,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(chunks)
+    def run(parts):
+        html = "<html><body>" + "".join(parts) + "</body></html>"
+        rows = outlinks_of(html, "http://base.ex/p/0")
+        assert [r[0] for r in rows] == list(range(len(rows)))
+        for _, _, url, _, host in rows:
+            if "://" in url:
+                assert host == url.split("://", 1)[1].split("/", 1)[0]
+
+    run()

@@ -351,3 +351,48 @@ def test_sessionize_single_shuffle_and_values(spark):
     assert n_exchanges(plan_of(out)) == 1, plan_of(out)
     got = {r.event_id: r.session_seq for r in out.collect()}
     assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_session_rollup_agrees_with_sessionize(spark):
+    """The native session_window aggregate and the lag/running-sum
+    sessionize must induce identical session partitions (incl. the
+    exact-gap boundary: a diff of EXACTLY the gap merges in both)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from htmlcleanup_spark.operators.sessions import (
+        session_rollup,
+        sessionize,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u, offs in [
+        (1, [0, 1800, 3600, 9000]),      # exact-gap chain then a break
+        (2, [0, 1801]),                  # just over the gap: two sessions
+        (3, [0]),                        # singleton
+    ]:
+        for o in offs:
+            rows.append((eid, u, base + dt.timedelta(seconds=o), 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id int, ts timestamp, value double"
+    )
+    roll = session_rollup(ev).collect()
+    ses = (
+        sessionize(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("st"),
+        )
+        .collect()
+    )
+    got = sorted((r["user_id"], r["session_start"], r["n_events"])
+                 for r in roll)
+    want = sorted((r["user_id"], r["st"], r["n_events"]) for r in ses)
+    assert got == want
+    assert (1, "2024-01-01 00:00:00", 3) in got  # exact-gap events merged
+    assert sum(1 for g in got if g[0] == 2) == 2

@@ -129,3 +129,35 @@ def test_stream_drains_backlog_and_resumes(spark, tmp_path):
         .count()
     )
     assert dups == 0
+
+
+def test_sessions_stream_matches_batch_rollup(spark, tmp_path):
+    """Native session_window under Structured Streaming == the batch
+    session_rollup over the same drained input (complete mode so every
+    session is visible at stream end)."""
+    from htmlcleanup_spark.operators.sessions import session_rollup
+    from htmlcleanup_spark.streaming.extract_stream import sessions_stream
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev_sessions")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        sessions_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ev_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r.user_id, r.session_start)  # noqa: E731
+    got = {
+        key(r): (r.session_end, r.n_events, float(r.sum_value))
+        for r in spark.sql("SELECT * FROM ev_sessions").collect()
+    }
+    expected = {
+        key(r): (r.session_end, r.n_events, float(r.sum_value))
+        for r in session_rollup(batch).collect()
+    }
+    assert got == expected and len(got) > 20
