@@ -947,6 +947,30 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_diff(old, new)
 
 
+def q_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 corpus recipe composed end-to-end in ONE lazy plan:
+    ExactSubstr span removal -> self-trained perplexity over the CLEANED
+    text -> keep head+middle buckets -> best-first token-budget cut.
+    The oracle chains the same four stages as CTEs — every intermediate
+    is the already-oracle-checked construction, so this checks the
+    COMPOSITION (column contracts, ordering, the budget boundary), not
+    just the pieces."""
+    from htmlcleanup_spark.operators.dedup import remove_repeated_spans
+    from htmlcleanup_spark.operators.lm import perplexity, ppl_buckets
+    from htmlcleanup_spark.operators.sample import token_budget_sample
+
+    cleaned = remove_repeated_spans(_docs(spark, sf_dir), k=8).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    scored = ppl_buckets(perplexity(cleaned), 3)
+    kept = scored.filter(F.col("ppl_bucket") <= 2).join(cleaned, "doc_id")
+    return token_budget_sample(
+        kept.withColumn("prio", -F.col("nll_e6")),
+        budget_tokens=8000,
+        priority_col="prio",
+    ).select("doc_id", "nll_e6", "n_tokens", "cum_tokens")
+
+
 def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session aggregate via Spark's NATIVE session_window (one
     shuffle, sessions merged in aggregation buffers; identical code runs
@@ -1065,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_dedup": q_exactsubstr,
         "token_budget": q_token_budget,
         "session_rollup": q_session_rollup,
+        "training_corpus_v2": q_training_corpus_v2,
     }
 
 
@@ -2081,6 +2106,66 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY n_chars DESC, doc_id ASC) AS rk
                   FROM documents)
             WHERE rk <= 5
+        """,
+        # the four already-green stages chained as CTEs; checks the
+        # composition (column contracts, ordering, budget boundary)
+        "training_corpus_v2": """
+            WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+                        FROM documents),
+            g AS (SELECT doc_id, i - 1 AS s,
+                         array_to_string(list_slice(ws, i, i + 7), ' ')
+                           AS gram
+                  FROM (SELECT doc_id, ws,
+                               unnest(generate_series(1, len(ws) - 7)) AS i
+                        FROM w0 WHERE len(ws) >= 8)),
+            rep AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(*) >= 2),
+            mk AS (SELECT g.doc_id, g.s FROM g JOIN rep USING (gram)),
+            tok AS (SELECT doc_id, i - 1 AS j, ws[i] AS word
+                    FROM (SELECT doc_id, ws,
+                                 unnest(generate_series(1, len(ws))) AS i
+                          FROM w0)),
+            cov AS (SELECT t.doc_id, t.j, t.word,
+                           EXISTS (SELECT 1 FROM mk m
+                                   WHERE m.doc_id = t.doc_id
+                                     AND m.s <= t.j
+                                     AND t.j < m.s + 8) AS c
+                    FROM tok t),
+            cleaned AS (SELECT doc_id,
+                               coalesce(string_agg(word, ' ' ORDER BY j)
+                                          FILTER (WHERE NOT c), '')
+                                 AS text
+                        FROM cov GROUP BY doc_id),
+            w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+                  FROM cleaned),
+            cnt AS (SELECT wd, CAST(count(*) AS DOUBLE) AS cn
+                    FROM w GROUP BY wd),
+            tot AS (SELECT sum(cn) AS t, CAST(count(*) AS DOUBLE) AS v
+                    FROM cnt),
+            nl AS (SELECT doc_id,
+                          avg(-ln((cn + 1.0)
+                                  / ((SELECT t FROM tot)
+                                     + (SELECT v FROM tot) + 1.0))) AS m
+                   FROM w JOIN cnt USING (wd) GROUP BY doc_id),
+            sc AS (SELECT doc_id,
+                          CAST(floor(m * 1e6) AS BIGINT) AS nll_e6
+                   FROM nl),
+            bk AS (SELECT doc_id, nll_e6,
+                          NTILE(3) OVER (ORDER BY nll_e6, doc_id) AS b
+                   FROM sc),
+            kept AS (SELECT bk.doc_id, bk.nll_e6, cl.text
+                     FROM bk JOIN cleaned cl ON bk.doc_id = cl.doc_id
+                     WHERE bk.b <= 2),
+            bud AS (SELECT doc_id, nll_e6,
+                           CAST(len(string_split(text, ' ')) AS INT)
+                             AS n_tokens,
+                           CAST(sum(len(string_split(text, ' '))) OVER (
+                             ORDER BY nll_e6 ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_tokens
+                    FROM kept)
+            SELECT doc_id, nll_e6, n_tokens, cum_tokens FROM bud
+            WHERE cum_tokens <= 8000
         """,
         # session_window's merge semantics re-derived relationally:
         # break iff gap > 1800s, end = last event + gap

@@ -78,6 +78,7 @@ EXTENDED = [
     "exactsubstr_dedup",
     "token_budget",
     "session_rollup",
+    "training_corpus_v2",
 ]
 
 
