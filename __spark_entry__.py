@@ -959,9 +959,13 @@ def q_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from htmlcleanup_spark.operators.lm import perplexity, ppl_buckets
     from htmlcleanup_spark.operators.sample import token_budget_sample
 
+    # cleaned feeds the LM words stream, the model, and the join back —
+    # materialize it once (eager) so the span-removal stage never re-runs
+    # per consumer; at corpus scale this is the stage you'd write to
+    # parquet between pipeline phases
     cleaned = remove_repeated_spans(_docs(spark, sf_dir), k=8).select(
         "doc_id", F.col("clean_text").alias("text")
-    )
+    ).localCheckpoint(eager=True)
     scored = ppl_buckets(perplexity(cleaned), 3)
     kept = scored.filter(F.col("ppl_bucket") <= 2).join(cleaned, "doc_id")
     return token_budget_sample(
