@@ -434,6 +434,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_cosine_topk(emb, queries, k=10, n_centroids=16, nprobe=8)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + ADC top-k: corpus compressed to 8 codes/vector (64x), each
+    query scores rows by m lookup-table gathers.  Fully SQL-expressible:
+    codebooks are the md5-smallest-16 rows' subvectors (the ivf_centroids
+    sampling trick per subspace), encoding is argmin L2 with a stable
+    code tie-break, ADC is a sum of sliced dot products."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ann.pq_topk(emb, queries, k=10, m=8, n_codes=16)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     return ann.embedding_near_dup_pairs(emb, threshold=0.35)
@@ -1062,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
@@ -1919,6 +1934,59 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, neighbor_id, cosine, rank FROM ranked
+            WHERE rank <= 10
+        """,
+        # PQ-ADC end-to-end in SQL: md5-sampled codebooks per subspace,
+        # argmin-L2 encoding (||a-b||^2 = |a|^2+|b|^2-2ab over slices,
+        # ties to the lower code), score = sum of sliced dot products
+        "ann_pq_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            en AS (SELECT vec_id,
+                          list_transform(v, x ->
+                            x / sqrt(list_dot_product(v, v))) AS nv
+                   FROM e),
+            cb AS (SELECT code, cv FROM (
+                     SELECT row_number() OVER
+                              (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+                              AS code,
+                            nv AS cv
+                     FROM en) WHERE code < 16),
+            sub AS (SELECT unnest(generate_series(0, 7)) AS j),
+            d2 AS (SELECT en.vec_id, s.j, cb.code,
+                          list_dot_product(
+                            list_slice(en.nv, s.j*8+1, s.j*8+8),
+                            list_slice(en.nv, s.j*8+1, s.j*8+8))
+                        + list_dot_product(
+                            list_slice(cb.cv, s.j*8+1, s.j*8+8),
+                            list_slice(cb.cv, s.j*8+1, s.j*8+8))
+                        - 2 * list_dot_product(
+                            list_slice(en.nv, s.j*8+1, s.j*8+8),
+                            list_slice(cb.cv, s.j*8+1, s.j*8+8)) AS dist
+                   FROM en CROSS JOIN sub s CROSS JOIN cb),
+            enc AS (SELECT vec_id, j, code FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY vec_id, j
+                        ORDER BY dist ASC, code ASC) AS rk
+                      FROM d2) WHERE rk = 1),
+            q AS (SELECT vec_id AS query_id, nv AS qn FROM en
+                  WHERE vec_id % 50 = 0),
+            parts AS (SELECT q.query_id, enc.vec_id AS neighbor_id,
+                             list_dot_product(
+                               list_slice(q.qn, enc.j*8+1, enc.j*8+8),
+                               list_slice(cb.cv, enc.j*8+1, enc.j*8+8))
+                               AS p
+                      FROM q CROSS JOIN enc
+                      JOIN cb ON enc.code = cb.code
+                      WHERE enc.vec_id <> q.query_id),
+            scored AS (SELECT query_id, neighbor_id,
+                              round(sum(p), 4) AS score
+                       FROM parts GROUP BY query_id, neighbor_id),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY score DESC, neighbor_id ASC) AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, score, rank FROM ranked
             WHERE rank <= 10
         """,
         "multimodal_meta": """

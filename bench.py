@@ -58,6 +58,7 @@ EXTENDED = [
     "image_meta",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "quality_signals",
     "source_stats",
     "line_dedup",

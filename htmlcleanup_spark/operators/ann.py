@@ -554,3 +554,145 @@ def ivf_search_index(spark: SparkSession, path: str, queries: DataFrame,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic PQ codebooks: split the (L2-normalized) vector into
+    ``m`` contiguous subspaces; subspace j's codebook is the j-th
+    subvector of the ``n_codes`` corpus rows with smallest
+    md5(cast(id as string)) — the same seedless portable sample as
+    :func:`ivf_centroids`, so the whole PQ path is SQL-oracle-expressible
+    (codebooks embed as literals).  Returns numpy [m, n_codes, dim/m].
+
+    At 10^12 rows you'd train per-subspace KMeans on a sample instead
+    (same upgrade path as ivf_centroids_kmeans); everything downstream is
+    unchanged — a codebook is just a [m, C, d/m] array.
+    """
+    rows = (
+        embeddings.select(
+            F.col(vec_col).alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_codes)
+        .collect()
+    )
+    V = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
+    dim = V.shape[1]
+    if dim % m:
+        raise ValueError("dim %d not divisible by m=%d" % (dim, m))
+    d_sub = dim // m
+    return np.stack(
+        [V[:, j * d_sub:(j + 1) * d_sub] for j in range(m)]
+    )  # [m, n_codes, d_sub]
+
+
+def pq_encode(embeddings: DataFrame, codebooks,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>): per subspace, the codeword minimizing the
+    L2 distance to the row's (normalized) subvector, ties to the LOWER
+    codeword id — one batched numpy pass per Arrow batch; the codebook
+    rides in the closure (one copy per executor).
+
+    This is the 64x memory compression that lets 10^12 embeddings sit in
+    RAM: 8 bytes of codes instead of 256 bytes of floats per vector."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.ascontiguousarray(codebooks)      # [m, C, d_sub]
+    m, n_codes, d_sub = cb.shape
+
+    @pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
+        S = V.reshape(len(V), m, d_sub)
+        # ||x - c||^2 per (row, subspace, codeword); argmin is stable ->
+        # ties take the lower codeword id, matching the SQL oracle's
+        # ORDER BY dist ASC, code ASC
+        d2 = (
+            (S[:, :, None, :] - cb[None, :, :, :]) ** 2
+        ).sum(axis=3)
+        return pd.Series(list(np.argmin(d2, axis=2).astype("int32")))
+
+    return embeddings.select(
+        F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+            m: int = 8, n_codes: int = 16,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            round_to: int = 4) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation: corpus rows
+    are PQ codes; each query builds its [m, C] lookup table of subvector
+    dot products ONCE, and a row's score is m table gathers + a sum —
+    never a full-dimension dot product against raw corpus floats.
+
+    Plan: encode is a stateless Arrow map over the corpus (zero
+    shuffles); scoring gathers per Arrow batch with the LUTs in the
+    closure; only the final per-query top-k window shuffles (scored
+    rows, not vectors).  Exactly the cosine ranking when vectors equal
+    their codewords; otherwise approximate — recall floor asserted in
+    tests.
+    """
+    import pandas as pd
+
+    cb = pq_codebooks(embeddings, m, n_codes, id_col, vec_col)
+    codes = pq_encode(embeddings, cb, id_col, vec_col)
+
+    qrows = queries.select("query_id", "query_vec").collect()
+    qids = np.array([r["query_id"] for r in qrows])
+    Qm = np.stack(
+        [np.asarray(r["query_vec"], dtype=np.float64) for r in qrows]
+    )
+    Qn = Qm / (np.linalg.norm(Qm, axis=1, keepdims=True) + 1e-12)
+    d_sub = Qn.shape[1] // m
+    # LUT[q, j, c] = dot(q_subvec_j, codebook[j][c])
+    lut = np.einsum(
+        "qjd,jcd->qjc", Qn.reshape(len(Qn), m, d_sub), cb
+    )
+    qid_t = queries.schema["query_id"].dataType.simpleString()
+    nid_t = embeddings.schema[id_col].dataType.simpleString()
+
+    def score(batches, qids=qids, lut=lut):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            C = np.stack(pdf["codes"].to_numpy())          # [n, m]
+            # gather: g[q, n, j] = lut[q, j, C[n, j]] (advanced indices
+            # [1, m] and [n, m] broadcast to [n, m]); sum over subspaces
+            g = lut[:, np.arange(m)[None, :], C]           # [Q, n, m]
+            S = g.sum(axis=2).T                            # [n, Q]
+            rows, cols = np.nonzero(ids[:, None] != qids[None, :])
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[cols],
+                    "neighbor_id": ids[rows],
+                    "score": S[rows, cols],
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, "query_id %s, neighbor_id %s, score double" % (qid_t, nid_t)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id", "neighbor_id",
+            F.round(F.col("score"), round_to).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -235,3 +235,123 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     a = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in got.collect()}
     b = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in mem.collect()}
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + ADC
+# ---------------------------------------------------------------------------
+
+def _pure_pq_topk(vecs, queries, m=8, n_codes=16, k=10):
+    """Independent reference: brute-force PQ encode + LUT scoring in
+    numpy, mirroring the definition (not the implementation)."""
+    import hashlib
+
+    import numpy as np
+
+    ids = sorted(vecs, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    V = np.stack([np.asarray(vecs[i], dtype=np.float64)
+                  for i in ids[:n_codes]])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    d_sub = V.shape[1] // m
+    cb = np.stack([V[:, j * d_sub:(j + 1) * d_sub] for j in range(m)])
+    out = {}
+    for qid, qv in queries.items():
+        qn = np.asarray(qv, np.float64)
+        qn = qn / np.linalg.norm(qn)
+        lut = np.stack(
+            [cb[j] @ qn[j * d_sub:(j + 1) * d_sub] for j in range(m)]
+        )  # [m, C]
+        scored = []
+        for vid, vv in vecs.items():
+            if vid == qid:
+                continue
+            vn = np.asarray(vv, np.float64)
+            vn = vn / np.linalg.norm(vn)
+            s = 0.0
+            for j in range(m):
+                d2 = ((cb[j] - vn[j * d_sub:(j + 1) * d_sub]) ** 2).sum(1)
+                s += lut[j][int(np.argmin(d2))]
+            scored.append((round(s, 4), vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        out[qid] = scored[:k]
+    return out
+
+
+def test_pq_topk_matches_pure_reference(spark):
+    import numpy as np
+
+    from htmlcleanup_spark.operators.ann import pq_topk
+
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.randn(64).tolist() for i in range(80)}
+    queries = {1000 + i: rng.randn(64).tolist() for i in range(5)}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id bigint, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(i, v) for i, v in queries.items()],
+        "query_id bigint, query_vec array<double>",
+    )
+    got = {}
+    for r in pq_topk(emb, q, k=5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["score"], r["neighbor_id"])
+        )
+    want = _pure_pq_topk(vecs, queries, k=5)
+    for qid in queries:
+        w = [(i + 1, s, v) for i, (s, v) in enumerate(want[qid])]
+        assert sorted(got[qid]) == w, qid
+
+
+def test_pq_exact_when_vectors_are_codewords(spark):
+    """Vectors that ARE codewords reconstruct losslessly, so ADC == exact
+    cosine and PQ top-k == cosine_topk on such a corpus."""
+    import numpy as np
+
+    from htmlcleanup_spark.operators.ann import cosine_topk, pq_topk
+
+    import hashlib
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(16, 64)
+    # assign by md5 RANK so the 16 md5-smallest ids carry the 16 DISTINCT
+    # base vectors (the codebook sample sees them all); every later rank
+    # repeats one -> every corpus vector equals some codeword
+    order = sorted(range(48),
+                   key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    vecs = {i: base[order.index(i) % 16].tolist() for i in range(48)}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id bigint, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(900, base[0].tolist())], "query_id bigint, query_vec array<double>"
+    )
+    pq = {(r["neighbor_id"], r["score"])
+          for r in pq_topk(emb, q, k=8).collect()}
+    ex = {(r["neighbor_id"], r["cosine"])
+          for r in cosine_topk(emb, q, k=8).collect()}
+    assert pq == ex
+
+
+def test_pq_recall_floor_planted(spark):
+    """Planted near-duplicates of the query must surface in the PQ top-k
+    (codes of near-identical vectors coincide)."""
+    import numpy as np
+
+    from htmlcleanup_spark.operators.ann import pq_topk
+
+    rng = np.random.RandomState(11)
+    qv = rng.randn(64)
+    vecs = {}
+    for i in range(60):
+        vecs[i] = rng.randn(64).tolist()
+    for i in range(60, 65):  # planted: tiny perturbations of the query
+        vecs[i] = (qv + 0.01 * rng.randn(64)).tolist()
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id bigint, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(777, qv.tolist())], "query_id bigint, query_vec array<double>"
+    )
+    top = {r["neighbor_id"] for r in pq_topk(emb, q, k=5).collect()}
+    assert len(top & {60, 61, 62, 63, 64}) >= 4
