@@ -355,3 +355,35 @@ def test_pq_recall_floor_planted(spark):
     )
     top = {r["neighbor_id"] for r in pq_topk(emb, q, k=5).collect()}
     assert len(top & {60, 61, 62, 63, 64}) >= 4
+
+
+def test_pq_index_search_matches_in_memory(spark, tmp_path):
+    """pq_search_index over the on-disk codes parquet == pq_topk on the
+    raw embeddings (same codebooks by construction), and the search scan
+    reads ONLY the codes table (no embedding column anywhere)."""
+    import numpy as np
+
+    from htmlcleanup_spark.operators.ann import (
+        pq_build_index,
+        pq_search_index,
+        pq_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    emb = spark.createDataFrame(
+        [(i, rng.randn(64).tolist()) for i in range(70)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(i + 500, rng.randn(64).tolist()) for i in range(4)],
+        "query_id bigint, query_vec array<double>",
+    )
+    path = str(tmp_path / "pq_index")
+    pq_build_index(emb, path)
+    from_index = pq_search_index(spark, path, q, k=6)
+    in_memory = pq_topk(emb, q, k=6)
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan  # the raw vectors are never scanned
