@@ -146,6 +146,35 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at PARAGRAPH granularity (FineWeb/RefinedWeb
+    practice): MinHash+LSH candidate pairs over paragraph units with
+    (doc_id, pos) backrefs.  The synthetic corpus is single-line, so
+    documents are paragraph-ized deterministically into 12-word chunks
+    first; the oracle re-derives the same chunks by list slicing, then
+    runs the identical shingle->minhash->band construction per
+    (doc_id, pos).  Scale note: paragraph explosion multiplies rows, not
+    shingle bytes; hot boilerplate paragraphs are capped by
+    max_bucket_size (operator docstring) — not needed at this sf."""
+    from htmlcleanup_spark.operators.dedup import paragraph_minhash_pairs
+
+    d = _docs(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    chunked = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(0), ((F.size(ws) - F.lit(1)) / 12).cast("int")
+                ),
+                lambda i: F.concat_ws(" ", F.slice(ws, i * 12 + 1, 12)),
+            ),
+        ).alias("text"),
+    )
+    return paragraph_minhash_pairs(chunked)
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bare mode carries the document-frequency cap: a shingle present in
     # more than 50 docs is dropped from the Jaccard universe BEFORE the
@@ -1059,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "paragraph_dedup": q_paragraph_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -1440,7 +1470,8 @@ def _outlinks_oracle() -> str:
                   FROM documents),
         hdr AS (
           SELECT s.doc_id AS src_doc, c.seq, c.href,
-                 'http://' || s.h || c.href AS url, c.anchor, s.h AS host
+                 'http://' || s.h || c.href AS url, c.anchor, s.h AS host,
+                 s.h AS src_host
           FROM shost s CROSS JOIN (VALUES (0, '/', 'Home'),
                                           (1, '/a', 'About'),
                                           (2, '/b', 'Archive'))
@@ -1472,22 +1503,24 @@ def _outlinks_oracle() -> str:
                  CASE l.form
                    WHEN 1 THEN s.h
                    ELSE 'host' || (l.t % 50) || '.example.com'
-                 END AS host
+                 END AS host,
+                 s.h AS src_host
           FROM links l JOIN shost s ON l.doc_id = s.doc_id
         ),
         ftr AS (
           SELECT s.doc_id AS src_doc,
                  CAST(4 + (s.doc_id % 4) + c.j AS INT) AS seq, c.href,
-                 'http://' || s.h || c.href AS url, c.anchor, s.h AS host
+                 'http://' || s.h || c.href AS url, c.anchor, s.h AS host,
+                 s.h AS src_host
           FROM shost s CROSS JOIN (VALUES (0, '/c', 'Contact'),
                                           (1, '/t', 'Terms'))
                                           c(j, href, anchor)
         )
-        SELECT src_doc, seq, href, url, anchor, host FROM hdr
+        SELECT src_doc, seq, href, url, anchor, host, src_host FROM hdr
         UNION ALL
-        SELECT src_doc, seq, href, url, anchor, host FROM content
+        SELECT src_doc, seq, href, url, anchor, host, src_host FROM content
         UNION ALL
-        SELECT src_doc, seq, href, url, anchor, host FROM ftr
+        SELECT src_doc, seq, href, url, anchor, host, src_host FROM ftr
     """
 
 
@@ -1587,6 +1620,45 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _MINHASH_CTE + "SELECT doc_id, hash_id, minhash FROM sig",
         "lsh_candidate_pairs": _LSH_PAIRS_CTE
         + "SELECT id_a, id_b FROM cpairs",
+        # paragraph-granularity twin of the LSH construction: 12-word
+        # chunks via list slicing, shingle/minhash/band per (doc_id, pos),
+        # canonical pair order on the same 'id:pos' composite string the
+        # Spark side compares
+        "paragraph_dedup": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            par AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                           array_to_string(ws[i*12+1 : i*12+12], ' ')
+                             AS para
+                    FROM (SELECT doc_id, ws,
+                                 unnest(generate_series(0,
+                                        (len(ws)-1)//12)) AS i
+                          FROM w)),
+            pw AS (SELECT doc_id, pos, string_split(para, ' ') AS pws
+                   FROM par),
+            pidx AS (SELECT doc_id, pos, pws,
+                            unnest(generate_series(1, len(pws)-2)) AS i
+                     FROM pw),
+            psh AS (SELECT DISTINCT doc_id, pos,
+                           pws[i] || ' ' || pws[i+1] || ' ' || pws[i+2]
+                             AS shingle
+                    FROM pidx),
+            hx AS (SELECT doc_id, pos, j.hash_id,
+                          md5(CAST(j.hash_id AS VARCHAR) || ':' || shingle)
+                            AS h
+                   FROM psh,
+                        (SELECT unnest(generate_series(0, 7)) AS hash_id) j),
+            sig AS (SELECT doc_id, pos, hash_id, min(h) AS minhash
+                    FROM hx GROUP BY doc_id, pos, hash_id),
+            banded AS (SELECT doc_id, pos, hash_id // 2 AS band,
+                              md5(string_agg(minhash, '|'
+                                             ORDER BY minhash)) AS band_key
+                       FROM sig GROUP BY doc_id, pos, hash_id // 2)
+            SELECT DISTINCT a.doc_id AS id_a, a.pos AS pos_a,
+                            b.doc_id AS id_b, b.pos AS pos_b
+            FROM banded a JOIN banded b USING (band, band_key)
+            WHERE (a.doc_id || ':' || a.pos) < (b.doc_id || ':' || b.pos)
+        """,
         "ngram_jaccard_pairs": _SHINGLE_CTE + """,
             rare AS (SELECT shingle FROM sh GROUP BY shingle
                      HAVING count(*) <= 50),
@@ -2135,9 +2207,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_id,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-                   sum(brk) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+                   CAST(sum(brk) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_seq
             FROM e
         """,
         "outlinks": _outlinks_oracle(),
@@ -2146,7 +2219,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_stats": """
             SELECT url AS target_url,
                    count(*) AS n_inlinks,
-                   count(DISTINCT host) AS n_src_hosts,
+                   count(DISTINCT src_host) AS n_src_hosts,
                    min(anchor) AS first_anchor
             FROM (%s) GROUP BY url
         """ % _outlinks_oracle(),
@@ -2371,7 +2444,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT source, count(*) AS n_docs,
                    count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
-                   sum(n_tokens) AS total_tokens,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    CAST(floor(avg({_QUALITY_SQL})) AS BIGINT)
                      AS mean_quality_e6
             FROM t GROUP BY source

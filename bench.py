@@ -80,6 +80,7 @@ EXTENDED = [
     "token_budget",
     "session_rollup",
     "training_corpus_v2",
+    "paragraph_dedup",
 ]
 
 
@@ -220,7 +221,8 @@ def measure_scaling_window(small_cores: int, big_cores: int,
     }
 
 
-def run_headline(sf_dir: str, repeats: int = 2, names=None) -> dict:
+def run_headline(sf_dir: str, repeats: int = 2, names=None,
+                 samples_out: dict | None = None) -> dict:
     import __spark_entry__ as entrymod
 
     spark = make_session(CPUS)
@@ -231,6 +233,8 @@ def run_headline(sf_dir: str, repeats: int = 2, names=None) -> dict:
         # best-of-N per query: this shared VM has noisy-neighbor windows
         # (the same query sequence measured 34s vs 8.6s minutes apart), and
         # the minimum is the least-contended estimate of the plan's cost.
+        # Every sample is recorded (samples_out) so a cross-round delta can
+        # be read against the spread, not just the min.
         for _ in range(repeats):
             for name in (names or HEADLINE):
                 t0 = time.time()
@@ -238,6 +242,8 @@ def run_headline(sf_dir: str, repeats: int = 2, names=None) -> dict:
                     "overwrite"
                 ).save()
                 w = round(time.time() - t0, 3)
+                if samples_out is not None:
+                    samples_out.setdefault(name, []).append(w)
                 if name not in timings or w < timings[name]:
                     timings[name] = w
     finally:
@@ -299,7 +305,8 @@ def main():
                                  repeats=2)
     efficiency = primary["scaling_efficiency"]
 
-    timings = run_headline(SF_DIR)
+    headline_samples: dict = {}
+    timings = run_headline(SF_DIR, repeats=3, samples_out=headline_samples)
     total = round(sum(timings.values()), 3)
     extended = run_headline(SF_DIR, names=EXTENDED)
     data_scaling = data_scale_probe(SF_DIR, timings)
@@ -324,10 +331,26 @@ def main():
         },
     }
     result["extended_queries"] = extended
+    result["headline_samples"] = headline_samples
     if data_scaling is not None:
         result["data_scaling"] = data_scaling
     _write_bench_md(result)
-    print(json.dumps(result))
+    # Full dump goes to files (BENCH/BASELINE.md + BENCH/full_result.json);
+    # stdout's LAST line is a compact headline the driver's tail-capture can
+    # always parse (round 3's full dump outgrew the capture window ->
+    # BENCH_r03.json "parsed": null).
+    with open(os.path.join(REPO, "BENCH", "full_result.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    compact = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "scaling_efficiency": efficiency,
+        "extract_mb_per_sec": primary["local_4n"]["mb_per_sec"],
+    }
+    print(json.dumps(compact))
 
 
 def _spin(n):

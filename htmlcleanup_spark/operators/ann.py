@@ -50,6 +50,33 @@ def _cosine_np_udf():
     return cos
 
 
+def _local_topk_frame(ids, S, qids, k: int, slack: float,
+                      score_name: str = "_raw"):
+    """Partition-local top-k cut over a dense [n, Q] score block.
+
+    Masks self-matches to -inf, finds the k-th best raw score per query,
+    and keeps only rows within ``slack`` below it — the bounded candidate
+    set whose final round + (score desc, id asc) window provably selects
+    the identical rows the full cross product would (see cosine_topk's
+    docstring for the slack argument).  Returns a pandas DataFrame
+    (query_id, neighbor_id, score_name) with only finite scores.
+    """
+    S = S.copy()
+    S[ids[:, None] == qids[None, :]] = -np.inf
+    keep_n = min(k, S.shape[0])
+    kth = -np.partition(-S, keep_n - 1, axis=0)[keep_n - 1, :]
+    mask = S >= (kth - slack)[None, :]
+    rows, cols = np.nonzero(mask)
+    out = pd.DataFrame(
+        {
+            "query_id": qids[cols],
+            "neighbor_id": ids[rows],
+            score_name: S[rows, cols],
+        }
+    )
+    return out[np.isfinite(out[score_name].to_numpy())]
+
+
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_to: int = 4, max_queries: int = 65536) -> DataFrame:
@@ -106,20 +133,7 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                 V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 Vn = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-300)
                 S = Vn @ Qn.T                          # [n, Q] raw cosines
-                S[ids[:, None] == qids[None, :]] = -np.inf  # self-matches
-                keep_n = min(k, S.shape[0])
-                # k-th best raw score per query, minus the rounding slack
-                kth = -np.partition(-S, keep_n - 1, axis=0)[keep_n - 1, :]
-                mask = S >= (kth - slack)[None, :]
-                rows, cols = np.nonzero(mask)
-                out = pd.DataFrame(
-                    {
-                        "query_id": qids[cols],
-                        "neighbor_id": ids[rows],
-                        "_raw": S[rows, cols],
-                    }
-                )
-                yield out[np.isfinite(out["_raw"].to_numpy())]
+                yield _local_topk_frame(ids, S, qids, k, slack)
 
         part = corpus.mapInPandas(score_partition, scored_ddl)
         scored = part if scored is None else scored.unionByName(part)
@@ -237,7 +251,6 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         ),
         probe_bits=bits,
     )
-    cos = _cosine_np_udf()
     cands = (
         q.join(corp, ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -245,20 +258,13 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         # tables/probes is scored exactly once
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cos(F.col("query_vec"), F.col("_v")), round_to)
-        .alias("cosine"),
+    scored = _pair_scored_cut(
+        cands, k, 1.5 / (10 ** round_to),
+        queries.schema["query_id"].dataType.simpleString(),
+        embeddings.schema[id_col].dataType.simpleString(),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_scored(scored, k, round_to, score_col="cosine",
+                        in_col="_raw")
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
@@ -427,25 +433,16 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     q = queries.withColumn(
         "list_id", F.explode(_assign_udf(cents, nprobe)(F.col("query_vec")))
     )
-    cos = _cosine_np_udf()
-    scored = (
-        q.join(corp, "list_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cos(F.col("query_vec"), F.col("_v")), round_to)
-            .alias("cosine"),
-        )
+    cands = q.join(corp, "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    scored = _pair_scored_cut(
+        cands, k, 1.5 / (10 ** round_to),
+        queries.schema["query_id"].dataType.simpleString(),
+        embeddings.schema[id_col].dataType.simpleString(),
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_scored(scored, k, round_to, score_col="cosine",
+                        in_col="_raw")
 
 
 # ---------------------------------------------------------------------------
@@ -535,25 +532,16 @@ def ivf_search_index(spark: SparkSession, path: str, queries: DataFrame,
         F.col(vec_col).alias("_v"),
         "list_id",
     )
-    cos = _cosine_np_udf()
-    scored = (
-        q.join(corp, "list_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cos(F.col("query_vec"), F.col("_v")), round_to)
-            .alias("cosine"),
-        )
+    cands = q.join(corp, "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    scored = _pair_scored_cut(
+        cands, k, 1.5 / (10 ** round_to),
+        queries.schema["query_id"].dataType.simpleString(),
+        corp.schema["neighbor_id"].dataType.simpleString(),
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_scored(scored, k, round_to, score_col="cosine",
+                        in_col="_raw")
 
 
 # ---------------------------------------------------------------------------
@@ -627,27 +615,51 @@ def pq_encode(embeddings: DataFrame, codebooks,
     )
 
 
-def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
-            m: int = 8, n_codes: int = 16,
-            id_col: str = "vec_id", vec_col: str = "embedding",
-            round_to: int = 4) -> DataFrame:
-    """Approximate top-k by asymmetric distance computation: corpus rows
-    are PQ codes; each query builds its [m, C] lookup table of subvector
-    dot products ONCE, and a row's score is m table gathers + a sum —
-    never a full-dimension dot product against raw corpus floats.
+def _pair_scored_cut(cands: DataFrame, k: int, slack: float,
+                     qid_t: str, nid_t: str) -> DataFrame:
+    """Score (query, neighbor) candidate pairs — columns (query_id,
+    query_vec, neighbor_id, _v) — with one batched numpy cosine per Arrow
+    batch, keeping only each query's LOCAL top-k candidates plus the
+    rounding slack.
 
-    Plan: encode is a stateless Arrow map over the corpus (zero
-    shuffles); scoring gathers per Arrow batch with the LUTs in the
-    closure; only the final per-query top-k window shuffles (scored
-    rows, not vectors).  Exactly the cosine ranking when vectors equal
-    their codewords; otherwise approximate — recall floor asserted in
-    tests.
+    This bounds the pre-window shuffle at ~batches * Q * k rows instead of
+    every scored candidate (for IVF that is nprobe/n_centroids of the
+    corpus PER QUERY — the N * Q-shaped volume cosine_topk's local cut
+    already eliminates).  Raw cosine arithmetic is byte-identical to the
+    previous _cosine_np_udf path (same einsum, same division), so rounded
+    values — and therefore the oracle hash — are unchanged.
     """
-    import pandas as pd
 
-    cb = pq_codebooks(embeddings, m, n_codes, id_col, vec_col)
-    codes = pq_encode(embeddings, cb, id_col, vec_col)
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qa = np.stack(pdf["query_vec"].to_numpy()).astype(np.float64)
+            va = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", qa, va)
+            den = np.linalg.norm(qa, axis=1) * np.linalg.norm(va, axis=1)
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "_raw": num / den,
+                }
+            )
+            grp = out.groupby("query_id", sort=False)["_raw"]
+            kth = grp.transform(lambda s: s.nlargest(min(k, len(s))).min())
+            yield out[out["_raw"].to_numpy() >= (kth.to_numpy() - slack)]
 
+    return cands.select(
+        "query_id", "query_vec", "neighbor_id", "_v"
+    ).mapInPandas(
+        score, "query_id %s, neighbor_id %s, _raw double" % (qid_t, nid_t)
+    )
+
+
+def _pq_query_luts(queries: DataFrame, cb):
+    """Collect the (small) query side and build the per-query ADC lookup
+    tables driver-side: LUT[q, j, c] = dot(q_subvec_j, codebook[j][c])."""
+    m = cb.shape[0]
     qrows = queries.select("query_id", "query_vec").collect()
     qids = np.array([r["query_id"] for r in qrows])
     Qm = np.stack(
@@ -655,12 +667,22 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
     Qn = Qm / (np.linalg.norm(Qm, axis=1, keepdims=True) + 1e-12)
     d_sub = Qn.shape[1] // m
-    # LUT[q, j, c] = dot(q_subvec_j, codebook[j][c])
-    lut = np.einsum(
-        "qjd,jcd->qjc", Qn.reshape(len(Qn), m, d_sub), cb
-    )
-    qid_t = queries.schema["query_id"].dataType.simpleString()
-    nid_t = embeddings.schema[id_col].dataType.simpleString()
+    lut = np.einsum("qjd,jcd->qjc", Qn.reshape(len(Qn), m, d_sub), cb)
+    return qids, lut
+
+
+def _pq_scored(codes: DataFrame, qids, lut, k: int, slack: float,
+               qid_t: str, nid_t: str) -> DataFrame:
+    """ADC scoring of a codes table with the partition-local top-k cut.
+
+    Each Arrow batch computes its dense [n, Q] ADC score block (m LUT
+    gathers + a sum per cell) and emits only each query's LOCAL top-k
+    candidates (plus the rounding slack), so the pre-window shuffle
+    carries ~batches * Q * k rows instead of the N * Q scored cross
+    product — the same bounded-candidate argument as cosine_topk; ADC
+    scores are plain float sums, so the identical slack proof applies.
+    """
+    m = lut.shape[1]
 
     def score(batches, qids=qids, lut=lut):
         for pdf in batches:
@@ -672,30 +694,59 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             # [1, m] and [n, m] broadcast to [n, m]); sum over subspaces
             g = lut[:, np.arange(m)[None, :], C]           # [Q, n, m]
             S = g.sum(axis=2).T                            # [n, Q]
-            rows, cols = np.nonzero(ids[:, None] != qids[None, :])
-            yield pd.DataFrame(
-                {
-                    "query_id": qids[cols],
-                    "neighbor_id": ids[rows],
-                    "score": S[rows, cols],
-                }
-            )
+            yield _local_topk_frame(ids, S, qids, k, slack,
+                                    score_name="score")
 
-    scored = codes.mapInPandas(
+    return codes.mapInPandas(
         score, "query_id %s, neighbor_id %s, score double" % (qid_t, nid_t)
     )
+
+
+def _rank_scored(scored: DataFrame, k: int, round_to: int,
+                 score_col: str = "score",
+                 in_col: str | None = None) -> DataFrame:
+    """Round-then-rank window shared by every ANN scorer: score DESC,
+    neighbor ASC, keep rank <= k.  ``in_col`` names the raw-score input
+    column when it differs from the output name (e.g. _raw -> cosine)."""
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
+        F.col(score_col).desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.select(
             "query_id", "neighbor_id",
-            F.round(F.col("score"), round_to).alias("score"),
+            F.round(F.col(in_col or score_col), round_to).alias(score_col),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+        .select("query_id", "neighbor_id", score_col, "rank")
     )
+
+
+def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+            m: int = 8, n_codes: int = 16,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            round_to: int = 4) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation: corpus rows
+    are PQ codes; each query builds its [m, C] lookup table of subvector
+    dot products ONCE, and a row's score is m table gathers + a sum —
+    never a full-dimension dot product against raw corpus floats.
+
+    Plan: encode is a stateless Arrow map over the corpus (zero
+    shuffles); scoring gathers per Arrow batch with the LUTs in the
+    closure and keeps only LOCAL top-k candidates (plus rounding slack),
+    so the final per-query window shuffles ~batches * Q * k rows — never
+    the N * Q cross product.  Exactly the cosine ranking when vectors
+    equal their codewords; otherwise approximate — recall floor asserted
+    in tests.
+    """
+    cb = pq_codebooks(embeddings, m, n_codes, id_col, vec_col)
+    codes = pq_encode(embeddings, cb, id_col, vec_col)
+    qids, lut = _pq_query_luts(queries, cb)
+    qid_t = queries.schema["query_id"].dataType.simpleString()
+    nid_t = embeddings.schema[id_col].dataType.simpleString()
+    scored = _pq_scored(codes, qids, lut, k, 1.5 / (10 ** round_to),
+                        qid_t, nid_t)
+    return _rank_scored(scored, k, round_to)
 
 
 def pq_build_index(embeddings: DataFrame, path: str, m: int = 8,
@@ -737,9 +788,10 @@ def pq_search_index(spark: SparkSession, path: str, queries: DataFrame,
     """ADC top-k over a pq_build_index layout: loads the stored codebooks
     (tiny), builds per-query LUTs driver-side, and scores the CODES
     parquet — the raw embedding table is never touched.  Same ranking
-    contract as pq_topk (score DESC, neighbor ASC, round-then-rank)."""
-    import pandas as pd
-
+    contract as pq_topk (score DESC, neighbor ASC, round-then-rank).
+    Scoring keeps only LOCAL top-k candidates per Arrow batch (the
+    cosine_topk cut), so the pre-window shuffle is ~batches * Q * k rows,
+    never N * Q."""
     rows = spark.read.parquet(path.rstrip("/") + "/_codebooks").collect()
     m = 1 + max(r["j"] for r in rows)
     n_codes = 1 + max(r["code"] for r in rows)
@@ -748,48 +800,12 @@ def pq_search_index(spark: SparkSession, path: str, queries: DataFrame,
     for r in rows:
         cb[r["j"], r["code"]] = np.asarray(r["subvec"], dtype=np.float64)
 
-    qrows = queries.select("query_id", "query_vec").collect()
-    qids = np.array([r["query_id"] for r in qrows])
-    Qm = np.stack(
-        [np.asarray(r["query_vec"], dtype=np.float64) for r in qrows]
-    )
-    Qn = Qm / (np.linalg.norm(Qm, axis=1, keepdims=True) + 1e-12)
-    lut = np.einsum("qjd,jcd->qjc", Qn.reshape(len(Qn), m, d_sub), cb)
+    qids, lut = _pq_query_luts(queries, cb)
     qid_t = queries.schema["query_id"].dataType.simpleString()
     codes = spark.read.parquet(path).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
     nid_t = codes.schema["neighbor_id"].dataType.simpleString()
-
-    def score(batches, qids=qids, lut=lut):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["neighbor_id"].to_numpy()
-            C = np.stack(pdf["codes"].to_numpy())
-            g = lut[:, np.arange(m)[None, :], C]
-            S = g.sum(axis=2).T
-            rws, cols = np.nonzero(ids[:, None] != qids[None, :])
-            yield pd.DataFrame(
-                {
-                    "query_id": qids[cols],
-                    "neighbor_id": ids[rws],
-                    "score": S[rws, cols],
-                }
-            )
-
-    scored = codes.mapInPandas(
-        score, "query_id %s, neighbor_id %s, score double" % (qid_t, nid_t)
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.select(
-            "query_id", "neighbor_id",
-            F.round(F.col("score"), round_to).alias("score"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    scored = _pq_scored(codes, qids, lut, k, 1.5 / (10 ** round_to),
+                        qid_t, nid_t)
+    return _rank_scored(scored, k, round_to)

@@ -860,3 +860,56 @@ def remove_repeated_spans(df: DataFrame, k: int = 8, min_count: int = 2,
             )
 
     return withs.mapInPandas(cut, out_ddl)
+
+
+def paragraph_minhash_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            para_sep: str = "\n", k: int = 3,
+                            bands: int = 4, rows_per_band: int = 2,
+                            max_bucket_size: int | None = None
+                            ) -> DataFrame:
+    """Sub-document near-dup candidates: MinHash+LSH at PARAGRAPH
+    granularity (the FineWeb/RefinedWeb refinement over doc-level
+    MinHash — syndicated boilerplate and copied sections hide inside
+    otherwise-unique documents).
+
+    Each document splits on ``para_sep`` into (pos, paragraph) units;
+    paragraphs with < k words yield no shingles and drop out (matching
+    :func:`shingles`).  Returns (id_a, pos_a, id_b, pos_b) — cross- AND
+    intra-document pairs — canonically ordered by the composite string
+    key ``id:pos`` (id_a:pos_a < id_b:pos_b), both engines compare the
+    same strings.  Ids must not contain ':' (true for numeric ids).
+
+    Scale shape: identical to :func:`minhash_lsh_pairs` — the paragraph
+    explosion multiplies ROWS by paras/doc but total shingle volume is
+    ~unchanged (every word still contributes ~1 shingle), so the two
+    shuffles carry the same bytes as doc-level.  The new hazard is hot
+    boilerplate paragraphs ("click here to subscribe") forming
+    near-cartesian LSH buckets: cap them with ``max_bucket_size``
+    exactly as at doc level, and/or run :func:`line_dedup` first — CCNet
+    line removal deletes the Zipf head before it can bucket.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), para_sep))
+        .alias("_pos", "_para"),
+    ).select(
+        F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            F.col("_pos").cast("string"),
+        ).alias("_pid"),
+        "_para",
+    )
+    pairs = minhash_lsh_pairs(
+        paras, text_col="_para", id_col="_pid", k=k, bands=bands,
+        rows_per_band=rows_per_band, max_bucket_size=max_bucket_size,
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    sa, sb = F.split(F.col("id_a"), ":"), F.split(F.col("id_b"), ":")
+    return pairs.select(
+        sa.getItem(0).cast(id_type).alias("id_a"),
+        sa.getItem(1).cast("int").alias("pos_a"),
+        sb.getItem(0).cast(id_type).alias("id_b"),
+        sb.getItem(1).cast("int").alias("pos_b"),
+    )

@@ -35,10 +35,13 @@ from pyspark.sql import functions as F
 
 OUTLINKS_DDL = (
     "src_doc bigint, seq int, href string, url string, anchor string, "
-    "host string"
+    "host string, src_host string"
 )
 
 _FILLER = "and some surrounding prose to keep the block textual"
+
+# the exact WHATWG pre-parse trim set: C0 controls U+0000..U+001F plus space
+_C0_AND_SPACE = "".join(chr(c) for c in range(0x21))
 
 
 def resolve_url(base: str, href: str) -> str:
@@ -96,9 +99,12 @@ def outlinks_of(html: str, base_url: str) -> list[tuple]:
         t for t in doc.find_all("a") if t.get("href") is not None
     ):
         href = a["href"]
-        # WHATWG URL parsing strips leading/trailing C0-control/space from
-        # attribute urls before resolution; the raw href column keeps them
-        url = resolve_url(base_url, href.strip())
+        # WHATWG URL parsing strips leading/trailing C0-control (U+0000..1F)
+        # and space from attribute urls before resolution; the raw href
+        # column keeps them.  str.strip() alone is wrong both ways: it
+        # misses C0 controls like \x01 and over-strips non-WHATWG Unicode
+        # whitespace (\xa0).
+        url = resolve_url(base_url, href.strip(_C0_AND_SPACE))
         out.append((seq, href, url, _anchor_text(a), host_of(url)))
     return out
 
@@ -111,7 +117,9 @@ def extract_outlinks(df: DataFrame, html_col: str = "html",
 
     Stateless Arrow-batched map — zero shuffles; the engine DOM parse is
     the same one the cleanup cascade uses, so pages that parse for
-    extraction parse identically here.
+    extraction parse identically here.  ``src_host`` is the SOURCE page's
+    host (from its base url) — the column distinct-host inlink signals
+    aggregate (``host`` is the resolved TARGET's host).
     """
     import pandas as pd
 
@@ -121,13 +129,16 @@ def extract_outlinks(df: DataFrame, html_col: str = "html",
             for doc_id, html, base in zip(
                 pdf[id_col], pdf[html_col], pdf[base_url_col]
             ):
+                src_host = host_of(base)
                 for seq, href, url, anchor, host in outlinks_of(html, base):
                     rows.append(
-                        (int(doc_id), seq, href, url, anchor, host)
+                        (int(doc_id), seq, href, url, anchor, host,
+                         src_host)
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["src_doc", "seq", "href", "url", "anchor", "host"],
+                columns=["src_doc", "seq", "href", "url", "anchor", "host",
+                         "src_host"],
             )
 
     return df.select(id_col, html_col, base_url_col).mapInPandas(
@@ -189,9 +200,9 @@ def expected_outlinks(doc_id: int, n_docs: int) -> list[tuple]:
     src_host = "host%d.example.com" % (doc_id % 50)
     base_abs = "http://" + src_host
     rows = [
-        (doc_id, 0, "/", base_abs + "/", "Home", src_host),
-        (doc_id, 1, "/a", base_abs + "/a", "About", src_host),
-        (doc_id, 2, "/b", base_abs + "/b", "Archive", src_host),
+        (doc_id, 0, "/", base_abs + "/", "Home", src_host, src_host),
+        (doc_id, 1, "/a", base_abs + "/a", "About", src_host, src_host),
+        (doc_id, 2, "/b", base_abs + "/b", "Archive", src_host, src_host),
     ]
     k = 1 + doc_id % 4
     for i in range(k):
@@ -207,12 +218,16 @@ def expected_outlinks(doc_id: int, n_docs: int) -> list[tuple]:
         else:
             href = "//%s/p/%d" % (t_host, t)
             url, hst = "http:" + href, t_host
-        rows.append((doc_id, 3 + i, href, url, "link %d" % t, hst))
+        rows.append(
+            (doc_id, 3 + i, href, url, "link %d" % t, hst, src_host)
+        )
     rows.append(
-        (doc_id, 3 + k, "/c", base_abs + "/c", "Contact", src_host)
+        (doc_id, 3 + k, "/c", base_abs + "/c", "Contact", src_host,
+         src_host)
     )
     rows.append(
-        (doc_id, 4 + k, "/t", base_abs + "/t", "Terms", src_host)
+        (doc_id, 4 + k, "/t", base_abs + "/t", "Terms", src_host,
+         src_host)
     )
     return rows
 
@@ -339,12 +354,16 @@ def anchor_stats(outlinks: DataFrame) -> DataFrame:
     count/count_distinct/min all combine; distinct-host counting uses an
     exact count(distinct) here (per-url host fan-in is bounded); switch to
     approx_count_distinct at web scale where a url can have 10^8 inlinks.
+
+    ``n_src_hosts`` counts distinct SOURCE-page hosts (src_host), not the
+    target's own host column — grouping by url makes the latter a constant
+    1 per group (the round-3 advisory bug).
     """
     return (
         outlinks.groupBy(F.col("url").alias("target_url"))
         .agg(
             F.count("*").alias("n_inlinks"),
-            F.countDistinct(F.col("host")).alias("n_src_hosts"),
+            F.countDistinct(F.col("src_host")).alias("n_src_hosts"),
             F.min("anchor").alias("first_anchor"),
         )
     )

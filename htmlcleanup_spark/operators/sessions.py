@@ -43,7 +43,8 @@ def sessionize(df: DataFrame, user_col: str = "user_id",
 
 def session_rollup(df: DataFrame, user_col: str = "user_id",
                    ts_col: str = "ts",
-                   gap: str = "30 minutes") -> DataFrame:
+                   gap: str = "30 minutes",
+                   value_col: str | None = "value") -> DataFrame:
     """Per-session aggregate via Spark's NATIVE session window
     (``F.session_window``): one row per (user, session) with start/end
     and event stats.  Merge semantics: events whose gap is <= the window
@@ -59,24 +60,28 @@ def session_rollup(df: DataFrame, user_col: str = "user_id",
     watermark bounding state (see streaming/extract_stream.py's
     sessions_stream) — the batch/stream parity test holds it to this
     batch result.
+
+    ``value_col`` names the measure to sum per session (emitted as
+    ``sum_value``); pass None — or a column the frame lacks — to roll up
+    counts only, instead of raising on frames without a ``value`` column.
     """
     events = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None and value_col in df.columns:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    out_cols = [
+        user_col,
+        F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_end"),
+        "n_events",
+    ] + (["sum_value"] if len(aggs) > 1 else [])
     return (
         events.groupBy(
             F.session_window(F.col(ts_col), gap).alias("sw"),
             F.col(user_col),
         )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .select(
-            user_col,
-            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss")
-            .alias("session_start"),
-            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss")
-            .alias("session_end"),
-            "n_events",
-            "sum_value",
-        )
+        .agg(*aggs)
+        .select(*out_cols)
     )

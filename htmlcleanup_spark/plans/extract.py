@@ -277,6 +277,45 @@ def merge_parquet(spark: SparkSession, result: DataFrame,
     )
 
 
+def expire_snapshots(spark: SparkSession, output_path: str,
+                     keep_last: int = 2) -> list[str]:
+    """Iceberg ``expire_snapshots`` equivalent for the merge-sink layout:
+    delete all but the newest ``keep_last`` COMMITTED snapshot dirs.
+
+    Every :func:`merge_parquet` run leaves a full table copy behind; this
+    is the bounded-retention pass that reclaims them.  Safety rules:
+
+    - the current snapshot (newest committed) is NEVER deleted, so
+      ``keep_last`` is clamped to >= 1;
+    - in-flight dirs (no ``_SUCCESS`` marker — a writer may be mid-commit)
+      are NEVER touched;
+    - deletion order is oldest-first, so a crash mid-expire leaves a
+      contiguous suffix of history, never a hole below the current
+      snapshot.
+
+    Uses the Hadoop FileSystem API (any storage, not just POSIX).
+    Returns the deleted snapshot names.
+    """
+    keep_last = max(int(keep_last), 1)
+    committed = [
+        n
+        for n in sorted(
+            n for n in _hadoop_ls(spark, output_path)
+            if n.startswith("snap-")
+        )
+        if "_SUCCESS" in _hadoop_ls(spark, output_path + "/" + n)
+    ]
+    doomed = committed[:-keep_last] if len(committed) > keep_last else []
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(output_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for name in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            output_path + "/" + name), True)
+    return doomed
+
+
 def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
     """Read back an extract output under either sink layout, duplicate-free:
     merge layout -> the current snapshot (unique urls by construction);

@@ -143,33 +143,35 @@ def run_extract_stream(spark: SparkSession, source_dir: str, output_dir: str,
 
 
 def sessions_stream(events: DataFrame, gap: str = "30 minutes",
-                    watermark: str = "1 day") -> DataFrame:
+                    watermark: str = "1 day",
+                    value_col: str | None = "value") -> DataFrame:
     """Streaming per-session rollup: the SAME session_window aggregation
     as the batch operators/sessions.session_rollup, with a watermark so
     session state finalizes (append mode emits a session once, when no
     more events can merge into it).  State is O(open sessions), not
     O(stream) — the session closes ``gap`` after its last event, plus the
-    watermark delay for stragglers."""
+    watermark delay for stragglers.  ``value_col`` mirrors session_rollup:
+    None (or an absent column) rolls up counts only."""
     from pyspark.sql import functions as F
 
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None and value_col in events.columns:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    out_cols = [
+        "user_id",
+        F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_end"),
+        "n_events",
+    ] + (["sum_value"] if len(aggs) > 1 else [])
     return (
         events.withWatermark("ts", watermark)
         .groupBy(
             F.session_window(F.col("ts"), gap).alias("sw"),
             F.col("user_id"),
         )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss")
-            .alias("session_start"),
-            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss")
-            .alias("session_end"),
-            "n_events",
-            "sum_value",
-        )
+        .agg(*aggs)
+        .select(*out_cols)
     )

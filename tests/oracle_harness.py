@@ -44,6 +44,23 @@ def compare(name, spark_pdf, duck_pdf) -> list[str]:
         return problems
     if len(spark_pdf) != len(duck_pdf):
         problems.append("rows: spark=%d duck=%d" % (len(spark_pdf), len(duck_pdf)))
+    # Dtype-strict on the RENDERED class: the driver hashes rendered values,
+    # so int64 15 vs float64 15.0 (DuckDB HUGEINT sums land as float64)
+    # hash-differ even when element-wise == passes — the round-3 blind spot.
+    # Width-only differences (int32 vs int64) render identically and were
+    # driver-green, so compare pandas dtype *kind* classes, folding the
+    # same-rendering kinds (i/u ints, M/m datetimes) together.
+    fold = {"u": "i", "m": "M"}
+    for c in sorted(spark_pdf.columns):
+        ka = fold.get(spark_pdf[c].dtype.kind, spark_pdf[c].dtype.kind)
+        kb = fold.get(duck_pdf[c].dtype.kind, duck_pdf[c].dtype.kind)
+        if ka != kb:
+            problems.append(
+                "dtype col=%s: spark=%s duck=%s"
+                % (c, spark_pdf[c].dtype, duck_pdf[c].dtype)
+            )
+    if problems:
+        return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if len(a) == len(b) and not a.equals(b):
         neq = (a != b) & ~(a.isna() & b.isna())

@@ -387,3 +387,60 @@ def test_pq_index_search_matches_in_memory(spark, tmp_path):
     )
     plan = from_index._jdf.queryExecution().executedPlan().toString()
     assert "embedding" not in plan  # the raw vectors are never scanned
+
+
+# ---------------------------------------------------------------------------
+# Pre-window volume bounds: the partition-local top-k cut must hold
+# ---------------------------------------------------------------------------
+
+def test_pq_scored_volume_bounded(spark):
+    """pq_topk's scoring stage may emit only each query's LOCAL top-k
+    candidates (plus rounding-slack ties) per Arrow batch — never the
+    N * Q scored cross product (the round-3 scale gap)."""
+    from htmlcleanup_spark.operators import ann
+
+    emb, qs = _emb_queries(spark)
+    k = 10
+    cb = ann.pq_codebooks(emb, 8, 16)
+    codes = ann.pq_encode(emb, cb)
+    qids, lut = ann._pq_query_luts(qs, cb)
+    scored = ann._pq_scored(codes, qids, lut, k, 1.5e-4,
+                            "bigint", "bigint")
+    n = scored.count()
+    N, Q = emb.count(), qs.count()
+    batches = max(codes.rdd.getNumPartitions(), 1)
+    assert n <= batches * Q * (k + 40), (n, batches, Q)
+    assert n < N * Q / 10, (n, N * Q)
+
+
+def test_ivf_scored_volume_bounded(spark):
+    """ivf_cosine_topk's scoring stage may emit only local top-k
+    candidates per batch — strictly fewer rows than the probed candidate
+    set it scores (previously every probed candidate hit the window
+    exchange)."""    
+    from htmlcleanup_spark.operators import ann
+    from pyspark.sql import functions as F
+
+    emb, qs = _emb_queries(spark)
+    k, n_centroids, nprobe = 10, 16, 4
+    cents = ann.ivf_centroids(emb, n_centroids)
+    corp = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_v"),
+        F.element_at(ann._assign_udf(cents, 1)(F.col("embedding")), 1)
+        .alias("list_id"),
+    )
+    q = qs.withColumn(
+        "list_id",
+        F.explode(ann._assign_udf(cents, nprobe)(F.col("query_vec"))),
+    )
+    cands = q.join(corp, "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    n_cands = cands.count()
+    scored = ann._pair_scored_cut(cands, k, 1.5e-4, "bigint", "bigint")
+    n = scored.count()
+    Q = qs.count()
+    parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    assert n <= parts * Q * (k + 40), (n, parts, Q)
+    assert n < n_cands / 2, (n, n_cands)

@@ -370,3 +370,44 @@ def test_remove_repeated_spans_exactness_boundary(spark):
     got = {r["doc_id"]: r["n_removed"]
            for r in remove_repeated_spans(df, k=8).collect()}
     assert got == {0: 8, 1: 8, 2: 0, 3: 0}
+
+
+def test_paragraph_minhash_pairs_planted(spark):
+    """A paragraph copied across two documents (and repeated inside one)
+    must surface as candidate pairs with correct (doc, pos) backrefs;
+    unique paragraphs must not pair.  Pairs are canonically ordered by
+    the composite 'id:pos' string key."""
+    from htmlcleanup_spark.operators.dedup import paragraph_minhash_pairs
+
+    dup = "the quick brown fox jumps over the lazy sleeping dog again"
+    uniq1 = "completely different words about spark shuffles and skew"
+    uniq2 = "another unrelated paragraph mentioning parquet row groups"
+    df = spark.createDataFrame(
+        [
+            (1, uniq1 + "\n" + dup),
+            (2, dup + "\n" + uniq2),
+            (3, dup + "\n" + dup),        # intra-doc repeat
+            (4, "short one"),             # < k words: no shingles
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        ((r.id_a, r.pos_a), (r.id_b, r.pos_b))
+        for r in paragraph_minhash_pairs(df).collect()
+    }
+    units = [(1, 1), (2, 0), (3, 0), (3, 1)]
+    want = {
+        (a, b)
+        for i, a in enumerate(units)
+        for b in units[i + 1:]
+        if "%d:%d" % a < "%d:%d" % b
+    } | {
+        (b, a)
+        for i, a in enumerate(units)
+        for b in units[i + 1:]
+        if "%d:%d" % b < "%d:%d" % a
+    }
+    assert got == want
+    assert all(
+        "%d:%d" % a < "%d:%d" % b for a, b in got
+    ), "canonical composite ordering violated"

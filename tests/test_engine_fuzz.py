@@ -75,6 +75,34 @@ def test_never_raises_and_converges(html):
     raise AssertionError(f"no fixed point within 6 passes: {cur!r}")
 
 
+def test_multipass_convergence_pinned_minimal_case():
+    """The deterministic counterexample justifying the >2-pass bound in
+    test_never_raises_and_converges: an unclosed ``<p><o:p>`` takes FOUR
+    passes to settle — pass 1 closes the soup (``</o:p></p>`` inserted),
+    pass 2's o:p-strip orphan removal empties the body, pass 3 collapses
+    the now-whitespace-only body, pass 4 is the fixed point.  So "pass 2
+    is a fixed point of pass 3" (the old property) is genuinely false,
+    not a loosened invariant.
+
+    Output size is NOT asserted non-increasing: on malformed soup the
+    serializer can legally re-close unparseable ``<word`` text into
+    longer markup for a pass or two (measured: 58/20k random soups grow
+    once before settling) — convergence, not monotonicity, is the
+    invariant.
+    """
+    html = ("<html>\n<head><title>t</title></head>\n<body>\n"
+            "<p><o:p>\n</body>\n</html>\n")
+    texts = [html]
+    for _ in range(6):
+        r = clean_html(texts[-1])
+        assert r.error is None
+        texts.append(r.text)
+    assert texts[1] != texts[2] != texts[3], "case must need > 2 passes"
+    assert texts[3] == texts[4] == texts[5], "fixed point by pass 4"
+    assert texts[3] == ("<html>\n<head><title>t</title></head>\n"
+                        "<body></body>\n</html>\n")
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.binary(max_size=200))
 def test_arbitrary_bytes_never_raise(payload):

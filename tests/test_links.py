@@ -74,8 +74,9 @@ def test_synth_parity_pure():
     """Extractor output == recipe-derived expectation for every doc."""
     n = 97
     for d in range(n):
+        sh = "host%d.example.com" % (d % 50)
         got = [
-            (d,) + r
+            (d,) + r + (sh,)
             for r in outlinks_of(synth_linked_html(d, n), synth_base_url(d))
         ]
         assert got == expected_outlinks(d, n), "doc %d" % d
@@ -190,17 +191,25 @@ def test_anchor_stats(spark, link_corpus):
     assert h0["first_anchor"] == "Home"
     # a content url's inlink count equals its arithmetic indegree; NB the
     # root-relative form resolves against the SOURCE host, so the url host
-    # is d%50 for form 1 and t%50 otherwise
+    # is d%50 for form 1 and t%50 otherwise.  n_src_hosts counts distinct
+    # SOURCE hosts (d%50 of the linking docs), so it can exceed 1 — the
+    # round-3 advisory bug counted the target's own host (constant 1).
     expected = {}
+    src_hosts = {}
     for d in range(n):
         for i in range(1 + d % 4):
             t = (d * 7 + 13 * (i + 1)) % n
             h = (d if (d + i) % 3 == 1 else t) % 50
             u = "http://host%d.example.com/p/%d" % (h, t)
             expected[u] = expected.get(u, 0) + 1
+            src_hosts.setdefault(u, set()).add(d % 50)
     for u, cnt in list(expected.items())[:10]:
         assert stats[u]["n_inlinks"] == cnt, u
         assert stats[u]["first_anchor"].startswith("link ")
+    for u, hs in src_hosts.items():
+        assert stats[u]["n_src_hosts"] == len(hs), u
+    assert any(len(hs) > 1 for hs in src_hosts.values()), \
+        "corpus must exercise the multi-source-host case"
 
 
 def test_blocklist_filter(spark):
@@ -258,6 +267,16 @@ def test_outlinks_of_messy_markup():
     assert outlinks_of(
         '<html><body><a href="">e</a></body></html>', base
     ) == [(0, "", "", "e", "")]
+    # WHATWG trims C0 controls (not just whitespace) before resolution —
+    # \x01 is not Unicode whitespace, so str.strip() alone misses it
+    assert outlinks_of(
+        '<html><body><a href="\x01/c0\x1f ">c</a></body></html>', base
+    ) == [(0, "\x01/c0\x1f ", "http://h.ex/c0", "c", "h.ex")]
+    # ...and does NOT trim non-WHATWG Unicode whitespace like \xa0: the
+    # href stays unresolvable (no leading '/'), returned unchanged
+    assert outlinks_of(
+        '<html><body><a href="\xa0/nb">n</a></body></html>', base
+    ) == [(0, "\xa0/nb", "\xa0/nb", "n", "")]
 
 
 def test_outlinks_of_never_raises_fuzz():

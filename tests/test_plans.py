@@ -225,6 +225,46 @@ def test_merge_sink_ignores_uncommitted_snapshot(spark, tmp_path):
     assert read_extracted(spark, out).count() == 6
 
 
+def test_expire_snapshots_keeps_current_and_inflight(spark, tmp_path):
+    """After 3 merges, expire keep_last=1 must delete the two oldest
+    committed snapshots, keep the current one readable and correct, and
+    never touch an in-flight (_SUCCESS-less) dir."""
+    import os
+    import shutil
+
+    from htmlcleanup_spark.plans.extract import (
+        _current_snapshot,
+        expire_snapshots,
+        read_extracted,
+        run_extract,
+    )
+    from htmlcleanup_spark.sources.pages import synth_pages
+
+    out = str(tmp_path / "out")
+    for seed in (1, 2, 3):
+        run_extract(spark, synth_pages(spark, 6, seed=seed,
+                                       num_partitions=1),
+                    output_path=out, num_partitions=2, resume=False,
+                    sink="merge")
+    cur = _current_snapshot(spark, out)
+    assert cur.endswith("snap-000002")
+    # simulate an in-flight writer above the current snapshot
+    orphan = os.path.join(out, "snap-000003")
+    shutil.copytree(cur, orphan)
+    os.remove(os.path.join(orphan, "_SUCCESS"))
+
+    deleted = expire_snapshots(spark, out, keep_last=1)
+    assert deleted == ["snap-000000", "snap-000001"]
+    names = sorted(n for n in os.listdir(out) if n.startswith("snap-"))
+    assert names == ["snap-000002", "snap-000003"]  # in-flight untouched
+    assert _current_snapshot(spark, out) == cur
+    got = read_extracted(spark, out)
+    assert got.count() == 6 and got.select("url").distinct().count() == 6
+    # keep_last < 1 clamps: the current snapshot is never deletable
+    assert expire_snapshots(spark, out, keep_last=0) == []
+    assert _current_snapshot(spark, out) == cur
+
+
 def test_append_sink_attempt_ts_distinguishes_retries(spark, tmp_path):
     """The append fallback stamps attempt_ts: two attempts for one url are
     distinguishable and read_latest_attempts picks the newest."""
@@ -396,3 +436,14 @@ def test_session_rollup_agrees_with_sessionize(spark):
     assert got == want
     assert (1, "2024-01-01 00:00:00", 3) in got  # exact-gap events merged
     assert sum(1 for g in got if g[0] == 2) == 2
+    # value-less frames roll up counts only instead of raising (the
+    # round-3 advisory: F.sum("value") was hardcoded)
+    no_val = session_rollup(ev.drop("value"))
+    assert "sum_value" not in no_val.columns
+    got2 = sorted((r["user_id"], r["session_start"], r["n_events"])
+                  for r in no_val.collect())
+    assert got2 == got
+    # and an alternate measure column works
+    alt = session_rollup(ev.withColumnRenamed("value", "amt"),
+                         value_col="amt")
+    assert "sum_value" in alt.columns
