@@ -482,6 +482,17 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.embedding_near_dup_pairs(emb, threshold=0.35)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): md5-sample cluster assignment, then
+    within-cluster cosine — a row is dropped when a LOWER-id clustermate
+    clears the threshold.  Fully SQL-expressible through the same
+    quantizer CTE the IVF oracle uses; pair volume is bounded by the
+    cluster structure (sum over clusters of |c|^2, n_clusters scales
+    with the corpus)."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return ann.semdedup(emb, threshold=0.35, n_clusters=16)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from htmlcleanup_spark.functions.text import bpe_token_count
 
@@ -1108,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "semdedup": q_semdedup,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "tpch_q1": q_tpch_q1,
@@ -1964,6 +1976,44 @@ def oracle_sql() -> dict[str, str]:
         # the IVF path's SQL twin: same md5-sampled centroids, same
         # argmax-cosine assignment (ties -> lower cid, matching the stable
         # argsort in ann._assign_udf), same probe-join and ranking
+        # SemDeDup: the IVF oracle's quantizer/assignment CTEs + a
+        # within-cluster lower-id-witness join; keep = no witness
+        "semdedup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            cents AS (
+              SELECT cid, cv FROM (
+                SELECT row_number() OVER
+                         (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+                       v AS cv
+                FROM e
+              ) WHERE cid < 16
+            ),
+            sims AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     list_dot_product(e.v, c.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(c.cv, c.cv))) AS sim
+              FROM e CROSS JOIN cents c
+            ),
+            asg AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
+              FROM sims
+            ),
+            corp AS (SELECT vec_id, v, cid AS list_id
+                     FROM asg WHERE rk = 1),
+            dup AS (
+              SELECT DISTINCT b.vec_id
+              FROM corp a JOIN corp b USING (list_id)
+              WHERE a.vec_id < b.vec_id
+                AND round(list_dot_product(a.v, b.v) /
+                          (sqrt(list_dot_product(a.v, a.v)) *
+                           sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+            )
+            SELECT c.vec_id, c.list_id, (d.vec_id IS NULL) AS keep
+            FROM corp c LEFT JOIN dup d ON c.vec_id = d.vec_id
+        """,
         "ann_ivf_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),

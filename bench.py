@@ -81,6 +81,7 @@ EXTENDED = [
     "session_rollup",
     "training_corpus_v2",
     "paragraph_dedup",
+    "semdedup",
 ]
 
 

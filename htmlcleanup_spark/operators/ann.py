@@ -656,6 +656,43 @@ def _pair_scored_cut(cands: DataFrame, k: int, slack: float,
     )
 
 
+def _pair_threshold_cut(cands: DataFrame, min_raw: float,
+                        qid_t: str, nid_t: str) -> DataFrame:
+    """Score (query, neighbor) candidate pairs — columns (query_id,
+    query_vec, neighbor_id, _v) — with one batched numpy cosine per Arrow
+    batch, emitting only pairs whose RAW cosine is >= ``min_raw``.
+
+    The volume cut for threshold semantics (near-dup detection): the
+    surviving set is the near-dup pairs themselves, so the post-score
+    shuffle carries ~nothing even when the candidate join is large.
+    Same einsum/division arithmetic as _pair_scored_cut.
+    """
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qa = np.stack(pdf["query_vec"].to_numpy()).astype(np.float64)
+            va = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", qa, va)
+            den = np.linalg.norm(qa, axis=1) * np.linalg.norm(va, axis=1)
+            raw = num / den
+            keep = raw >= min_raw
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy()[keep],
+                    "neighbor_id": pdf["neighbor_id"].to_numpy()[keep],
+                    "_raw": raw[keep],
+                }
+            )
+
+    return cands.select(
+        "query_id", "query_vec", "neighbor_id", "_v"
+    ).mapInPandas(
+        score, "query_id %s, neighbor_id %s, _raw double" % (qid_t, nid_t)
+    )
+
+
 def _pq_query_luts(queries: DataFrame, cb):
     """Collect the (small) query side and build the per-query ADC lookup
     tables driver-side: LUT[q, j, c] = dot(q_subvec_j, codebook[j][c])."""
@@ -809,3 +846,80 @@ def pq_search_index(spark: SparkSession, path: str, queries: DataFrame,
     scored = _pq_scored(codes, qids, lut, k, 1.5 / (10 ** round_to),
                         qid_t, nid_t)
     return _rank_scored(scored, k, round_to)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+def semdedup(embeddings: DataFrame, threshold: float = 0.80,
+             n_clusters: int = 16, id_col: str = "vec_id",
+             vec_col: str = "embedding", round_to: int = 4,
+             quantizer: str = "sample") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space, compare pairs ONLY within a cluster, and drop every row that
+    has a LOWER-id clustermate with cosine >= ``threshold`` (the paper
+    keeps one representative per semantic-duplicate group; lowest id is
+    the deterministic choice).
+
+    Returns (id, list_id, keep) for every input row.
+
+    Plan: one cluster-assignment Arrow map (zero shuffles), one
+    within-cluster self-join keyed on list_id, batched-numpy pair
+    scoring with an early threshold cut, then an anti-join marks
+    survivors.  The cluster structure is exactly what bounds the
+    quadratic: pair volume is sum_c |c|^2, so at 10^12 rows you scale
+    ``n_clusters`` with the corpus (the paper uses ~10^5 clusters for
+    LAION-scale) to hold |c| ~ constant — and train the quantizer with
+    :func:`ivf_centroids_kmeans` for balance; the md5-sample quantizer
+    here keeps the whole path SQL-oracle-expressible.
+
+    The assigned frame is pinned (localCheckpoint) because BOTH sides of
+    the self-join read it — unpinned, Spark re-runs the assignment UDF
+    per side.
+    """
+    cents = _quantizer(embeddings, quantizer, n_clusters, id_col, vec_col)
+    assigned = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        F.element_at(_assign_udf(cents, 1)(F.col(vec_col)), 1)
+        .alias("list_id"),
+    ).localCheckpoint(eager=False)
+    a = assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        "list_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        "list_id",
+    )
+    # keep only (lower-id -> higher-id) comparisons: a row is a duplicate
+    # iff SOME lower-id clustermate clears the threshold, so each
+    # unordered pair is scored once
+    cands = a.join(b, "list_id").filter(
+        F.col("query_id") < F.col("neighbor_id")
+    )
+    qid_t = embeddings.schema[id_col].dataType.simpleString()
+    # threshold cut, NOT the top-k cut: a higher-id row is a duplicate if
+    # ANY lower-id witness clears the threshold, so every above-threshold
+    # pair matters (a per-query top-k would drop witnesses).  The batch
+    # emits only pairs with raw >= threshold - slack — near-dup pairs are
+    # tiny by definition, so the shuffle after the join carries almost
+    # nothing; the final rounded comparison uses the same slack argument
+    # as the top-k cut.
+    slack = 1.5 / (10 ** round_to)
+    scored = _pair_threshold_cut(cands, threshold - slack, qid_t, qid_t)
+    dupes = (
+        scored.filter(F.round(F.col("_raw"), round_to) >= threshold)
+        .select(F.col("neighbor_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dupes.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col, "list_id",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

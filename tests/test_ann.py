@@ -444,3 +444,30 @@ def test_ivf_scored_volume_bounded(spark):
     parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
     assert n <= parts * Q * (k + 40), (n, parts, Q)
     assert n < n_cands / 2, (n, n_cands)
+
+
+def test_semdedup_planted_duplicates(spark):
+    """Planted semantic duplicates (same vector + tiny noise, hence
+    same cluster and cosine ~1) must keep only the lowest id; distant
+    vectors must all survive."""
+    import numpy as np
+
+    from htmlcleanup_spark.operators.ann import semdedup
+
+    rng_base = np.eye(8)                     # 8 well-separated directions
+    rows = []
+    vid = 0
+    for d in range(8):
+        copies = 3 if d < 2 else 1           # dirs 0,1 planted in triplicate
+        for c in range(copies):
+            v = rng_base[d] + 0.001 * c      # near-identical copies
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r.keep for r in
+           semdedup(df, threshold=0.99, n_clusters=4).collect()}
+    assert len(out) == len(rows)
+    # ids 0..2 are copies of dir 0 -> keep only 0; 3..5 copies of dir 1
+    assert out[0] is True and out[1] is False and out[2] is False
+    assert out[3] is True and out[4] is False and out[5] is False
+    assert all(out[i] for i in range(6, vid))
