@@ -791,6 +791,14 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_signals(_docs(spark, sf_dir))
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition-filter family: top-{2,3,4}-gram char
+    fraction and dup-{5,10}-gram word coverage + keep verdict."""
+    from htmlcleanup_spark.functions.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
 def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source crawl accounting: volume, exact-dup rate, tokens, mean
     quality — the rollup behind domain blocklists."""
@@ -1134,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_decode": q_charset_decode,
         "warc_ingest": q_warc_ingest,
         "quality_signals": q_quality_signals,
+        "repetition_signals": q_repetition_signals,
         "source_stats": q_source_stats,
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
@@ -1307,6 +1316,73 @@ def _lang_id_oracle() -> str:
                  AS confidence,
                tagged_lang
         FROM s
+    """
+
+
+def _repetition_signals_oracle() -> str:
+    """DuckDB twin of functions.text.repetition_signals — identical float
+    op order (cnt·len(gram)/chars·1e6, cov/words·1e6, floor-quantized),
+    the same max(struct(cnt, gram)) tie-break rendered as ORDER BY
+    cnt DESC, gram DESC, and the same once-per-occurrence union coverage
+    for the dup-n-gram family (DuckDB list_slice is 1-based inclusive =
+    Spark F.slice(start, length))."""
+    return """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                          CAST(length(text) AS DOUBLE) AS n_chars
+                   FROM documents),
+        ns(n) AS (VALUES (2), (3), (4), (5), (10)),
+        g AS (SELECT doc_id, n_chars, len(ws) AS n_words, ns.n AS n,
+                     unnest(generate_series(0, len(ws) - ns.n)) AS pos, ws
+              FROM w, ns WHERE len(ws) >= ns.n),
+        g2 AS (SELECT doc_id, n_chars, n_words, n, pos,
+                      array_to_string(list_slice(ws, pos + 1, pos + n), ' ')
+                        AS gram
+               FROM g),
+        cnt AS (SELECT doc_id, any_value(n_chars) AS n_chars, n, gram,
+                       count(*) AS cnt
+                FROM g2 GROUP BY doc_id, n, gram),
+        top AS (SELECT doc_id, n,
+                       CAST(floor(CAST(cnt AS DOUBLE)
+                            * CAST(length(gram) AS DOUBLE) / n_chars
+                            * 1000000.0) AS BIGINT) AS frac
+                FROM cnt WHERE n IN (2, 3, 4)
+                QUALIFY row_number() OVER (PARTITION BY doc_id, n
+                         ORDER BY cnt DESC, gram DESC) = 1),
+        dupg AS (SELECT doc_id, n, gram FROM cnt
+                 WHERE n IN (5, 10) AND cnt >= 2),
+        cove AS (SELECT g2.doc_id, g2.n, g2.n_words,
+                        unnest(generate_series(g2.pos, g2.pos + g2.n - 1))
+                          AS wi
+                 FROM g2 JOIN dupg USING (doc_id, n, gram)),
+        cov AS (SELECT doc_id, n, any_value(n_words) AS n_words,
+                       count(DISTINCT wi) AS cov
+                FROM cove GROUP BY doc_id, n),
+        covf AS (SELECT doc_id, n,
+                        CAST(floor(CAST(cov AS DOUBLE)
+                             / CAST(n_words AS DOUBLE) * 1000000.0)
+                          AS BIGINT) AS frac
+                 FROM cov),
+        pt AS (SELECT doc_id,
+                      max(CASE WHEN n = 2 THEN frac END) AS top2,
+                      max(CASE WHEN n = 3 THEN frac END) AS top3,
+                      max(CASE WHEN n = 4 THEN frac END) AS top4
+               FROM top GROUP BY doc_id),
+        pc AS (SELECT doc_id,
+                      max(CASE WHEN n = 5 THEN frac END) AS dup5,
+                      max(CASE WHEN n = 10 THEN frac END) AS dup10
+               FROM covf GROUP BY doc_id)
+        SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
+               coalesce(pt.top2, 0) AS top2_frac_e6,
+               coalesce(pt.top3, 0) AS top3_frac_e6,
+               coalesce(pt.top4, 0) AS top4_frac_e6,
+               coalesce(pc.dup5, 0) AS dup5_frac_e6,
+               coalesce(pc.dup10, 0) AS dup10_frac_e6,
+               (coalesce(pt.top2, 0) <= 200000
+                AND coalesce(pt.top3, 0) <= 180000
+                AND coalesce(pt.top4, 0) <= 160000
+                AND coalesce(pc.dup5, 0) <= 150000
+                AND coalesce(pc.dup10, 0) <= 100000) AS keep
+        FROM w LEFT JOIN pt USING (doc_id) LEFT JOIN pc USING (doc_id)
     """
 
 
@@ -2226,6 +2302,7 @@ def oracle_sql() -> dict[str, str]:
             FROM idx
         """,
         "quality_signals": _quality_signals_oracle(),
+        "repetition_signals": _repetition_signals_oracle(),
         "line_dedup": _line_dedup_oracle(),
         "decontaminate": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

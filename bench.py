@@ -60,6 +60,7 @@ EXTENDED = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "quality_signals",
+    "repetition_signals",
     "source_stats",
     "line_dedup",
     "decontaminate",

@@ -340,3 +340,150 @@ def corpus_stats(df, text_col: str = "text", group_col: str = "lang",
         F.sum(F.length(text_col)).alias("total_chars"),
         F.sum(token_count(text_col)).alias("total_tokens"),
     )
+
+
+def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
+                       top_ns: tuple = (2, 3, 4),
+                       dup_ns: tuple = (5, 10),
+                       max_top_frac: dict | None = None,
+                       max_dup_frac: dict | None = None):
+    """The FULL Gopher repetition-filter family (Rae et al. 2021 §A1.1;
+    also the FineWeb/Dolma filter set) — :func:`quality_signals` carries
+    only the top-bigram member:
+
+    - ``top{n}_frac_e6`` (n in ``top_ns``): chars attributable to the
+      single most frequent word n-gram (count * gram chars / doc chars),
+      tie-break max(struct(cnt, gram)) == ORDER BY cnt DESC, gram DESC.
+    - ``dup{n}_frac_e6`` (n in ``dup_ns``): fraction of WORDS covered by
+      any n-gram occurring >= 2 times in the document (union of
+      overlapping occurrences — counted once, Gopher's semantics; we
+      measure in words where the paper measures chars, the cheaper
+      variant several open implementations use).
+    - ``keep``: thresholds default to the paper's (top: 0.20/0.18/0.16
+      for n=2/3/4; dup: 0.15 for n=5, 0.10 for n=10).
+
+    Plan: ONE exploded (n, pos, gram) stream serves every n — pinned
+    (localCheckpoint) because both the count aggregation and the
+    coverage semi-join read it (the round-3 lesson: multi-consumer
+    subplans recompute per consumer otherwise).  Counts aggregate with
+    map-side combine on (id, n, gram); coverage is a semi-join of the
+    stream against the duplicated-gram set, then a countDistinct of
+    covered word indices per (id, n); both pivot back to one row per
+    doc.  Every shuffle key includes the doc id, so skew follows the
+    biggest document, not the corpus.
+    """
+    max_top_frac = max_top_frac or {2: 0.20, 3: 0.18, 4: 0.16}
+    max_dup_frac = max_dup_frac or {5: 0.15, 10: 0.10}
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    ws = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.size(ws).alias("n_words"),
+        F.length(text_col).alias("_n_chars"),
+        ws.alias("_ws"),
+    )
+
+    def gram_structs(n):
+        return F.when(
+            F.size("_ws") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("_ws", i + 1, n)).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<n:int,pos:int,gram:string>>"
+        ))
+
+    grams = base.select(
+        id_col, "n_words", "_n_chars",
+        F.explode(
+            F.flatten(F.array(*[gram_structs(n) for n in all_ns]))
+        ).alias("g"),
+    ).select(
+        id_col, "n_words", "_n_chars", "g.n", "g.pos", "g.gram"
+    ).localCheckpoint(eager=False)
+
+    counts = grams.groupBy(id_col, "_n_chars", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+
+    top = (
+        counts.filter(F.col("n").isin(list(top_ns)))
+        .groupBy(id_col, "_n_chars", "n")
+        .agg(F.max(F.struct("cnt", "gram")).alias("_top"))
+        .groupBy(id_col)
+        .pivot("n", list(top_ns))
+        .agg(
+            F.first(
+                F.floor(
+                    F.col("_top.cnt")
+                    * F.length("_top.gram").cast("double")
+                    / F.col("_n_chars").cast("double")
+                    * 1e6
+                ).cast("long")
+            )
+        )
+    )
+    for n in top_ns:
+        top = top.withColumnRenamed(str(n), "top%d_frac_e6" % n)
+
+    dup_set = (
+        counts.filter(F.col("n").isin(list(dup_ns)) & (F.col("cnt") >= 2))
+        .select(id_col, "n", "gram")
+    )
+    covered = (
+        grams.filter(F.col("n").isin(list(dup_ns)))
+        .join(dup_set, [id_col, "n", "gram"], "left_semi")
+        .select(
+            id_col, "n_words", "n",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+            ).alias("wi"),
+        )
+        .groupBy(id_col, "n_words", "n")
+        .agg(F.countDistinct("wi").alias("_cov"))
+        .groupBy(id_col)
+        .pivot("n", list(dup_ns))
+        .agg(
+            F.first(
+                F.floor(
+                    F.col("_cov").cast("double")
+                    / F.col("n_words").cast("double")
+                    * 1e6
+                ).cast("long")
+            )
+        )
+    )
+    for n in dup_ns:
+        covered = covered.withColumnRenamed(str(n), "dup%d_frac_e6" % n)
+
+    out = (
+        base.select(id_col, "n_words")
+        .join(top, id_col, "left")
+        .join(covered, id_col, "left")
+    )
+    for n in top_ns:
+        out = out.withColumn(
+            "top%d_frac_e6" % n,
+            F.coalesce("top%d_frac_e6" % n, F.lit(0)),
+        )
+    for n in dup_ns:
+        out = out.withColumn(
+            "dup%d_frac_e6" % n,
+            F.coalesce("dup%d_frac_e6" % n, F.lit(0)),
+        )
+    keep = F.lit(True)
+    for n in top_ns:
+        keep = keep & (
+            F.col("top%d_frac_e6" % n) <= int(max_top_frac[n] * 1e6)
+        )
+    for n in dup_ns:
+        keep = keep & (
+            F.col("dup%d_frac_e6" % n) <= int(max_dup_frac[n] * 1e6)
+        )
+    return out.withColumn("keep", keep)

@@ -170,3 +170,40 @@ def test_source_stats_dup_rate(spark):
     assert rows["s0"].n_docs == 3 and rows["s0"].n_exact_dups == 1
     assert rows["s1"].n_docs == 1 and rows["s1"].n_exact_dups == 0
     assert rows["s0"].total_tokens == 9
+
+
+def test_repetition_signals_values(spark):
+    """Hand-computable Gopher repetition fractions on crafted docs."""
+    from htmlcleanup_spark.functions.text import repetition_signals
+
+    docs = [
+        # 0: "a b a b a b" — top2 = 3·3/11, top3 tie-break picks the
+        # lexicographically larger "b a b" (2·5/11), top4 = 2·7/11
+        # (overlapping chars push it past 1.0 — Gopher's own semantics)
+        (0, "a b a b a b"),
+        # 1: period-5 word stream — every 5-gram AND the 0/5 10-gram pair
+        # repeat, so the dup-coverage union is the whole doc (1.0 each)
+        (1, " ".join(["v w x y z"] * 3)),
+        # 2: 25 distinct words -> all counts 1, dup coverage 0, kept
+        (2, " ".join("w%03d" % i for i in range(25))),
+        # 3: one word -> no grams at all, every frac 0, kept
+        (3, "tiny"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+
+    assert rows[0].top2_frac_e6 == int(3 * 3 / 11 * 1e6)
+    assert rows[0].top3_frac_e6 == int(2 * 5 / 11 * 1e6)
+    assert rows[0].top4_frac_e6 == int(2 * 7 / 11 * 1e6)
+    assert rows[0].dup5_frac_e6 == 0 and not rows[0].keep
+
+    assert rows[1].dup5_frac_e6 == 1000000
+    assert rows[1].dup10_frac_e6 == 1000000
+    assert not rows[1].keep
+
+    assert rows[2].n_words == 25
+    assert rows[2].dup5_frac_e6 == 0 and rows[2].dup10_frac_e6 == 0
+    assert rows[2].keep
+
+    assert rows[3].n_words == 1
+    assert rows[3].top2_frac_e6 == 0 and rows[3].keep
