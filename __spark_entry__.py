@@ -836,6 +836,33 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.75, "zh": 1.0}
 
 
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-host template-line removal over a synthetic multi-host corpus:
+    every page of a host carries that host's NAV line (template -> dropped
+    everywhere), a third carry a below-threshold PROMO line (kept), and
+    the body text rides through.  Hosts and lines derive arithmetically
+    from doc_id so the oracle re-derives them independently."""
+    from htmlcleanup_spark.operators.dedup import host_line_dedup
+
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.com"))
+    url = F.concat(F.lit("http://"), host, F.lit("/p/"),
+                   F.col("doc_id").cast("string"))
+    text_in = F.concat_ws(
+        "\n",
+        F.concat(F.lit("NAV "), host),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("PROMO "), host))
+         .otherwise(F.concat(F.lit("tail "),
+                             F.col("doc_id").cast("string"))),
+    )
+    return host_line_dedup(
+        d.select(url.alias("url"), text_in.alias("text"))
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination verdict: docs sharing any 8-gram with the
     deterministic eval slice (doc_id % 97 == 0) are flagged."""
@@ -1145,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "source_stats": q_source_stats,
         "line_dedup": q_line_dedup,
+        "host_boilerplate": q_host_boilerplate,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "events_sessionized": q_events_sessionized,
@@ -2304,6 +2332,52 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": _quality_signals_oracle(),
         "repetition_signals": _repetition_signals_oracle(),
         "line_dedup": _line_dedup_oracle(),
+        # intra-host template removal: hosts/lines re-derived from doc_id
+        "host_boilerplate": """
+            WITH d AS (SELECT
+                'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+                  AS host,
+                'NAV h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+                  || chr(10) || text || chr(10) ||
+                  CASE WHEN doc_id % 3 = 0
+                       THEN 'PROMO h' || CAST(doc_id % 20 AS VARCHAR)
+                            || '.example.com'
+                       ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS text
+              FROM documents),
+            w AS (SELECT url, host, string_split(text, chr(10)) AS ls
+                  FROM d),
+            idx AS (SELECT url, host, ls,
+                           unnest(generate_series(1, len(ls))) AS i
+                    FROM w),
+            lines AS (SELECT url, host, i, ls[i] AS line,
+                             md5(trim(ls[i])) AS line_key
+                      FROM idx),
+            hp AS (SELECT host, CAST(count(*) AS DOUBLE) AS n_pages
+                   FROM d GROUP BY host),
+            ldf AS (SELECT host, line_key, count(DISTINCT url) AS df
+                    FROM lines GROUP BY host, line_key),
+            boiler AS (SELECT host, line_key FROM ldf JOIN hp USING (host)
+                       WHERE df >= 2 AND df >= n_pages * 0.5),
+            kept AS (SELECT l.* FROM lines l
+                     WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                        WHERE b.host = l.host
+                          AND b.line_key = l.line_key)),
+            dropped AS (SELECT url, count(*) AS n_lines_dropped
+                        FROM lines l
+                        WHERE EXISTS (SELECT 1 FROM boiler b
+                           WHERE b.host = l.host
+                             AND b.line_key = l.line_key)
+                        GROUP BY url),
+            agg AS (SELECT url, any_value(host) AS host,
+                           string_agg(line, chr(10) ORDER BY i) AS text,
+                           count(*) AS n_lines_kept
+                    FROM kept GROUP BY url)
+            SELECT a.url, a.host, a.text, a.n_lines_kept,
+                   coalesce(dr.n_lines_dropped, 0) AS n_lines_dropped
+            FROM agg a LEFT JOIN dropped dr USING (url)
+        """,
         "decontaminate": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                        FROM documents),

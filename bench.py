@@ -63,6 +63,7 @@ EXTENDED = [
     "repetition_signals",
     "source_stats",
     "line_dedup",
+    "host_boilerplate",
     "decontaminate",
     "stratified_sample",
     "events_sessionized",

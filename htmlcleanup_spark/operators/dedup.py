@@ -913,3 +913,93 @@ def paragraph_minhash_pairs(df: DataFrame, text_col: str = "text",
         sb.getItem(0).cast(id_type).alias("id_b"),
         sb.getItem(1).cast("int").alias("pos_b"),
     )
+
+
+def host_line_dedup(df: DataFrame, id_col: str = "url",
+                    text_col: str = "text", host_col: str | None = None,
+                    min_df: int = 2,
+                    max_page_frac: float = 0.5) -> DataFrame:
+    """Intra-host boilerplate removal — the per-site complement of the
+    corpus-global :func:`line_dedup` (CCNet) pass: a line appearing on at
+    least ``max_page_frac`` of a HOST's pages (and on >= ``min_df`` of
+    them) is that site's template — nav bar, footer, cookie banner — and
+    is stripped from every page of the host, while the same line on a
+    different host is untouched.  This is the trafilatura/jusText
+    "site-level template" signal expressed relationally.
+
+    Returns (id, host, text, n_lines_kept, n_lines_dropped); a page whose
+    every line is template yields no row.  ``host_col`` names an existing
+    host column; when None the host is derived from the url
+    (functions.url.url_host).
+
+    Scale shape (10^12 pages):
+    - unlike the global pass, the template set is per-host and therefore
+      NOT broadcastable (it grows with host count); but every bulk
+      shuffle keys on (host, line_key) — the template-set join, the
+      removal anti-join, the drop-count semi-join — so a mega-host's
+      lines still spread across ALL partitions by line;
+    - the only host-keyed exchange is the per-host page count (map-side
+      combined counts, one row per host) and its join onto the per-
+      (host, line) DF table; that join's build side is one row per host
+      — AQE's skew split covers the Zipf-head host there;
+    - reassembly is one shuffle keyed by page id (sort_array over
+      collect_list — deterministic, no window over hosts).
+    """
+    from htmlcleanup_spark.functions.url import url_host
+
+    host = F.col(host_col) if host_col else url_host(id_col)
+    base = _pin(df.select(
+        F.col(id_col), host.alias("_host"), F.col(text_col)
+    ))  # consumed by the page count and (via lines) three more branches
+
+    lines = base.select(
+        F.col(id_col).alias("_id"), "_host",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_key", F.md5(F.trim(F.col("line"))))
+
+    host_pages = base.groupBy("_host").agg(
+        F.count("*").cast("double").alias("_n_pages")
+    )
+    line_df = (
+        lines.groupBy("_id", "_host", "line_key")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("_host", "line_key")
+        .agg(F.count("*").alias("_df"))
+    )
+    template = (
+        line_df.join(host_pages, "_host")
+        .filter(
+            (F.col("_df") >= min_df)
+            & (F.col("_df") >= F.col("_n_pages") * max_page_frac)
+        )
+        .select("_host", "line_key")
+    )
+    kept = lines.join(template, ["_host", "line_key"], "left_anti")
+    dropped = (
+        lines.join(template, ["_host", "line_key"], "left_semi")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_lines_dropped"))
+    )
+    out = (
+        kept.groupBy("_id")
+        .agg(
+            F.any_value(F.col("_host")).alias("host"),
+            F.sort_array(
+                F.collect_list(F.struct("pos", "line"))
+            ).alias("_pl"),
+            F.count("*").alias("n_lines_kept"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "host",
+            F.concat_ws(
+                "\n", F.transform("_pl", lambda s: s["line"])
+            ).alias(text_col),
+            "n_lines_kept",
+        )
+    )
+    return (
+        out.join(dropped.withColumnRenamed("_id", id_col), id_col, "left")
+        .withColumn(
+            "n_lines_dropped", F.coalesce("n_lines_dropped", F.lit(0))
+        )
+    )

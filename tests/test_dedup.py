@@ -411,3 +411,31 @@ def test_paragraph_minhash_pairs_planted(spark):
     assert all(
         "%d:%d" % a < "%d:%d" % b for a, b in got
     ), "canonical composite ordering violated"
+
+
+def test_host_line_dedup_per_host_independence(spark):
+    """The SAME literal line is template on one host (dropped) and rare on
+    another (kept); per-page order survives; all-template pages vanish."""
+    from htmlcleanup_spark.operators.dedup import host_line_dedup
+
+    rows = [
+        # host a: NAV on all 4 pages (df 4 >= 2, >= 0.5*4) -> dropped
+        ("http://a.com/1", "NAV\nalpha one"),
+        ("http://a.com/2", "NAV\nbeta two"),
+        ("http://a.com/3", "NAV\ngamma three"),
+        ("http://a.com/4", "NAV"),              # all-template -> no row
+        # host b: identical NAV line but on 1 of 3 pages -> kept (df < 2)
+        ("http://b.com/1", "NAV\ndelta"),
+        ("http://b.com/2", "epsilon\nzeta"),
+        ("http://b.com/3", "eta"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r.url: r for r in host_line_dedup(df).collect()}
+
+    assert "http://a.com/4" not in out          # fully-template page
+    assert out["http://a.com/1"].text == "alpha one"
+    assert out["http://a.com/1"].n_lines_dropped == 1
+    assert out["http://a.com/1"].host == "a.com"
+    assert out["http://b.com/1"].text == "NAV\ndelta"   # same line, kept
+    assert out["http://b.com/1"].n_lines_dropped == 0
+    assert out["http://b.com/2"].text == "epsilon\nzeta"  # order kept
