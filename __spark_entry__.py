@@ -863,6 +863,26 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest Bloom dedup: history = docs with doc_id % 5 != 0
+    (digest = md5(text)), probe = the whole corpus.  History docs are
+    always maybe_seen (no false negatives); doc_id % 5 == 0 docs are seen
+    only via an exact-dup text or a (deterministic) false positive — the
+    small m below leaves the FP band visible so the oracle checks Bloom
+    semantics bit for bit, not just the happy path."""
+    from htmlcleanup_spark.operators.bloom import bloom_dedup
+
+    d = _docs(spark, sf_dir)
+    hist = d.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5("text").alias("digest")
+    )
+    probe = d.select("doc_id", F.md5("text").alias("digest"))
+    return bloom_dedup(
+        probe, hist, key_col="digest", id_col="doc_id",
+        m_bits=2048, k=4,
+    ).select("doc_id", "maybe_seen")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination verdict: docs sharing any 8-gram with the
     deterministic eval slice (doc_id % 97 == 0) are flagged."""
@@ -1173,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "line_dedup": q_line_dedup,
         "host_boilerplate": q_host_boilerplate,
+        "bloom_dedup": q_bloom_dedup,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "events_sessionized": q_events_sessionized,
@@ -2332,6 +2353,39 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": _quality_signals_oracle(),
         "repetition_signals": _repetition_signals_oracle(),
         "line_dedup": _line_dedup_oracle(),
+        # Bloom incremental dedup: identical md5->60-bit->mod-m position
+        # family and 32-bit-word bit_or sketch, so false positives match
+        # bit for bit, not just the no-FN guarantee
+        "bloom_dedup": """
+            WITH hist AS (SELECT md5(text) AS digest FROM documents
+                          WHERE doc_id % 5 <> 0),
+            hk AS (SELECT digest, unnest(generate_series(0, 3)) AS i
+                   FROM hist),
+            hpos AS (SELECT CAST('0x' || substr(md5('v1:'
+                        || CAST(i AS VARCHAR) || ':' || digest), 1, 15)
+                        AS BIGINT) % 2048 AS pos
+                     FROM hk),
+            words AS (SELECT pos // 32 AS word_idx,
+                             bit_or(CAST(1 AS BIGINT) << (pos % 32))
+                               AS word
+                      FROM hpos GROUP BY pos // 32),
+            probe AS (SELECT doc_id, md5(text) AS digest FROM documents),
+            pk AS (SELECT doc_id, digest,
+                          unnest(generate_series(0, 3)) AS i
+                   FROM probe),
+            ppos AS (SELECT doc_id, CAST('0x' || substr(md5('v1:'
+                        || CAST(i AS VARCHAR) || ':' || digest), 1, 15)
+                        AS BIGINT) % 2048 AS pos
+                     FROM pk),
+            pj AS (SELECT p.doc_id,
+                          coalesce((w.word
+                            & (CAST(1 AS BIGINT) << (p.pos % 32))) <> 0,
+                            false) AS bit
+                   FROM ppos p LEFT JOIN words w
+                     ON w.word_idx = p.pos // 32)
+            SELECT doc_id, bool_and(bit) AS maybe_seen
+            FROM pj GROUP BY doc_id
+        """,
         # intra-host template removal: hosts/lines re-derived from doc_id
         "host_boilerplate": """
             WITH d AS (SELECT

@@ -64,6 +64,7 @@ EXTENDED = [
     "source_stats",
     "line_dedup",
     "host_boilerplate",
+    "bloom_dedup",
     "decontaminate",
     "stratified_sample",
     "events_sessionized",
