@@ -863,6 +863,31 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: target = every 7th doc (stand-in curated
+    corpus), raw = the rest; hashed unigram+bigram buckets, integer
+    quantized log-ratio dot product, top-25% selection flag over the
+    (logw DESC, doc_id) total order."""
+    from htmlcleanup_spark.operators.dsir import dsir_weights
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    raw = d.filter(F.col("doc_id") % 7 != 0)
+    tgt = d.filter(F.col("doc_id") % 7 == 0)
+    w = dsir_weights(raw, tgt, n_buckets=4096)
+    n = w.agg(F.count("*").alias("_n"))
+    rk = Window.orderBy(F.col("logw_e6").desc(), F.col("doc_id").asc())
+    return (
+        w.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "logw_e6",
+            (F.row_number().over(rk)
+             <= F.floor(F.col("_n").cast("double") * 0.25).cast("long")
+             ).alias("selected"),
+        )
+    )
+
+
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest Bloom dedup: history = docs with doc_id % 5 != 0
     (digest = md5(text)), probe = the whole corpus.  History docs are
@@ -1194,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "host_boilerplate": q_host_boilerplate,
         "bloom_dedup": q_bloom_dedup,
+        "dsir_weights": q_dsir_weights,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "events_sessionized": q_events_sessionized,
@@ -2353,6 +2379,67 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": _quality_signals_oracle(),
         "repetition_signals": _repetition_signals_oracle(),
         "line_dedup": _line_dedup_oracle(),
+        # DSIR: same md5 bucket family, ONE ln call with pinned op order
+        # quantized to e6 BEFORE the per-doc integer dot product
+        "dsir_weights": """
+            WITH raw AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id % 7 <> 0),
+            tgt AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 7 = 0),
+            rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM raw),
+            rg AS (
+              SELECT doc_id, ws[i] AS gram
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws))) AS i
+                    FROM rw)
+              UNION ALL
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM rw WHERE len(ws) >= 2)
+            ),
+            rb AS (SELECT doc_id, CAST('0x' || substr(md5('dsir:'
+                      || gram), 1, 15) AS BIGINT) % 4096 AS bucket
+                   FROM rg),
+            tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM tgt),
+            tg AS (
+              SELECT doc_id, ws[i] AS gram
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws))) AS i
+                    FROM tw)
+              UNION ALL
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM tw WHERE len(ws) >= 2)
+            ),
+            tb AS (SELECT CAST('0x' || substr(md5('dsir:'
+                      || gram), 1, 15) AS BIGINT) % 4096 AS bucket
+                   FROM tg),
+            cq AS (SELECT bucket, count(*) AS cq FROM rb GROUP BY bucket),
+            ct AS (SELECT bucket, count(*) AS ct FROM tb GROUP BY bucket),
+            lr AS (SELECT cq.bucket,
+                      CAST(floor(ln(
+                        ((coalesce(ct.ct, 0) + 1.0)
+                         * ((SELECT CAST(count(*) AS DOUBLE) FROM rb)
+                            + 4096.0))
+                        / ((cq.cq + 1.0)
+                           * ((SELECT CAST(count(*) AS DOUBLE) FROM tb)
+                              + 4096.0))
+                      ) * 1000000.0) AS BIGINT) AS lr_e6
+                   FROM cq LEFT JOIN ct USING (bucket)),
+            dc AS (SELECT doc_id, bucket, count(*) AS cnt
+                   FROM rb GROUP BY doc_id, bucket),
+            wgt AS (SELECT doc_id,
+                           CAST(sum(cnt * lr_e6) AS BIGINT) AS logw_e6
+                    FROM dc JOIN lr USING (bucket) GROUP BY doc_id)
+            SELECT doc_id, logw_e6,
+                   row_number() OVER (ORDER BY logw_e6 DESC, doc_id ASC)
+                     <= CAST(floor((SELECT CAST(count(*) AS DOUBLE)
+                                    FROM wgt) * 0.25) AS BIGINT)
+                     AS selected
+            FROM wgt
+        """,
         # Bloom incremental dedup: identical md5->60-bit->mod-m position
         # family and 32-bit-word bit_or sketch, so false positives match
         # bit for bit, not just the no-FN guarantee

@@ -65,6 +65,7 @@ EXTENDED = [
     "line_dedup",
     "host_boilerplate",
     "bloom_dedup",
+    "dsir_weights",
     "decontaminate",
     "stratified_sample",
     "events_sessionized",

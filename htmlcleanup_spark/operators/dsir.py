@@ -1,0 +1,180 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): score every raw web document by how target-like its
+hashed-n-gram distribution is, then keep the top of the raw pool.
+
+The published recipe: featurize documents as counts over B hashed
+unigram+bigram buckets, fit bag-of-words distributions p (target corpus)
+and q (raw corpus) over the buckets, and weight each raw document by
+
+    log w(doc) = sum over buckets b of  c_doc(b) * ( ln p_b - ln q_b )
+
+with add-one smoothing.  Selection takes the highest-weight documents
+(the paper adds Gumbel noise for sampling; the deterministic top-k
+variant is what Dolma/DataComp-LM style pipelines run, and is what a
+SQL oracle can pin).
+
+Engine-portability design (the repo's oracle conventions):
+- bucket ids come from the md5 -> first-15-hex -> BIGINT -> mod B family
+  (identical in Spark and DuckDB);
+- the per-bucket log ratio is computed with ONE ln call over a pinned
+  expression order and floor-quantized to e6 BIGINT *first*; the per-doc
+  weight is then an INTEGER dot product c_doc(b) * lr_e6(b) — exact,
+  associative, immune to float accumulation order across partitions
+  (the avg-of-ln in operators/lm.perplexity relies on per-doc row
+  locality; a grouped dot product has no such order guarantee, so it
+  must not sum raw doubles).
+
+Scale shape (10^12 raw docs, 10^7 target docs):
+- two gram-count aggregations (target, raw), both map-side combined onto
+  at most B distinct keys — with B = 10^4..10^6 the reduce side is tiny
+  regardless of corpus size, and md5 bucketing makes the key uniform;
+- the (bucket, lr_e6) table has <= B rows — broadcast;
+- per-doc scoring is one explode + broadcast join + one doc-keyed sum
+  with partial combine: a single full shuffle of one row per doc;
+- selection by threshold is a pushed-down filter (no global order); the
+  exact top-frac variant uses one window over a total order and is for
+  validation scale, like operators/sample.token_budget_sample.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["hashed_gram_counts", "dsir_logratio", "dsir_weights",
+           "dsir_select"]
+
+
+def _gram_array(text_col: str):
+    """Unigrams + space-joined bigrams of the whitespace token stream."""
+    ws = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.flatten(F.array(ws, bigrams))
+
+
+def _bucket(gram_col, n_buckets: int, salt: str):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), gram_col)), 1, 15
+        ),
+        16, 10,
+    ).cast("long") % n_buckets
+
+
+def hashed_gram_counts(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_buckets: int = 1 << 13,
+                       salt: str = "dsir") -> DataFrame:
+    """(id, bucket, cnt) hashed unigram+bigram counts per document."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(_gram_array(text_col)).alias("_g"),
+        )
+        .select(id_col, _bucket(F.col("_g"), n_buckets, salt).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _corpus_buckets(df: DataFrame, text_col: str, n_buckets: int,
+                    salt: str) -> DataFrame:
+    """(bucket, cnt) over a whole corpus — map-side combines onto <= B
+    keys, so the shuffle carries ~partitions * B rows however large the
+    corpus."""
+    return (
+        df.select(F.explode(_gram_array(text_col)).alias("_g"))
+        .select(_bucket(F.col("_g"), n_buckets, salt).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_logratio(raw_df: DataFrame, target_df: DataFrame,
+                  text_col: str = "text", n_buckets: int = 1 << 13,
+                  salt: str = "dsir") -> DataFrame:
+    """The broadcastable (bucket, lr_e6) table:
+
+        lr_e6 = floor( ln( ((ct+1)*(Tq+B)) / ((cq+1)*(Tp+B)) ) * 1e6 )
+
+    i.e. ln p_b - ln q_b under add-one smoothing, folded into ONE ln call
+    with a pinned multiply/divide order so Spark and the SQL oracle see
+    bit-identical doubles.  Buckets the raw corpus never populates are
+    irrelevant downstream (raw docs cannot hit them), so the raw count
+    table is the base of the join."""
+    # each count table feeds BOTH its total aggregate and the ratio join —
+    # pin them (<= B rows) so the corpus gram scan runs once per corpus,
+    # not once per consumer (the repo-wide multi-consumer-subplan rule)
+    traw = _corpus_buckets(raw_df, text_col, n_buckets, salt) \
+        .localCheckpoint(eager=False)
+    ttgt = _corpus_buckets(target_df, text_col, n_buckets, salt) \
+        .localCheckpoint(eager=False)
+    tot_raw = traw.agg(F.sum("cnt").cast("double").alias("_tq"))
+    tot_tgt = ttgt.agg(F.sum("cnt").cast("double").alias("_tp"))
+    b = float(n_buckets)
+    return (
+        traw.withColumnRenamed("cnt", "cq")
+        .join(ttgt.withColumnRenamed("cnt", "ct"), "bucket", "left")
+        .crossJoin(F.broadcast(tot_raw))
+        .crossJoin(F.broadcast(tot_tgt))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)).cast("double")
+                         + 1.0)
+                        * (F.col("_tq") + b)
+                    )
+                    / (
+                        (F.col("cq").cast("double") + 1.0)
+                        * (F.col("_tp") + b)
+                    )
+                )
+                * 1e6
+            ).cast("long").alias("lr_e6"),
+        )
+    )
+
+
+def dsir_weights(raw_df: DataFrame, target_df: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 1 << 13,
+                 salt: str = "dsir") -> DataFrame:
+    """(id, logw_e6): the integer dot product of the document's bucket
+    counts with the quantized log-ratio table.  Higher = more
+    target-like.  One explode + broadcast join + one doc-keyed sum."""
+    lr = F.broadcast(dsir_logratio(
+        raw_df, target_df, text_col, n_buckets, salt
+    ))
+    return (
+        hashed_gram_counts(raw_df, text_col, id_col, n_buckets, salt)
+        .join(lr, "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("lr_e6")).alias("logw_e6"))
+    )
+
+
+def dsir_select(weights: DataFrame, top_frac: float | None = None,
+                threshold: int | None = None,
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the most target-like raw documents.  ``threshold`` (a
+    logw_e6 cut, e.g. from approxQuantile on a sample) is the corpus-
+    scale path: a pushed-down filter with no global order.  ``top_frac``
+    is the exact validation-scale variant: one window over the
+    (logw_e6 DESC, id) total order."""
+    if threshold is not None:
+        return weights.filter(F.col("logw_e6") >= threshold)
+    n = weights.count()
+    keep = int(n * (top_frac if top_frac is not None else 0.25))
+    w = Window.orderBy(F.col("logw_e6").desc(), F.col(id_col).asc())
+    return (
+        weights.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= keep)
+        .drop("_rk")
+    )
