@@ -863,6 +863,34 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pass: cp1252 mojibake repair (generic byte
+    round-trip) -> Unicode NFC -> C0-control strip.  Each doc gets one
+    of three deterministic corruptions appended; the oracle states the
+    expected FINAL text directly (independent answer derivation)."""
+    from htmlcleanup_spark.functions.charset import (
+        fix_mojibake, nfc_normalize_text, strip_control_chars,
+    )
+
+    moji = " café — naïve «quote»".encode("utf-8").decode("cp1252")
+    nfd = " café naïve"
+    ctl = " bad\x01ctl\x07here"
+    d = _docs(spark, sf_dir)
+    inp = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(moji))
+             .when(F.col("doc_id") % 3 == 1, F.lit(nfd))
+             .otherwise(F.lit(ctl)),
+        ).alias("text"),
+    )
+    fixed = inp.select("doc_id", fix_mojibake().alias("text"))
+    return nfc_normalize_text(fixed).select(
+        "doc_id", strip_control_chars().alias("text")
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights: target = every 7th doc (stand-in curated
     corpus), raw = the rest; hashed unigram+bigram buckets, integer
@@ -1220,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": q_host_boilerplate,
         "bloom_dedup": q_bloom_dedup,
         "dsir_weights": q_dsir_weights,
+        "normalize_text": q_normalize_text,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "events_sessionized": q_events_sessionized,
@@ -2379,6 +2408,15 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": _quality_signals_oracle(),
         "repetition_signals": _repetition_signals_oracle(),
         "line_dedup": _line_dedup_oracle(),
+        # normalize_text: the oracle states the expected FINAL text per
+        # corruption band — an independent answer, not a re-run pipeline
+        "normalize_text": """
+            SELECT doc_id, CASE
+              WHEN doc_id % 3 = 0 THEN text || ' café — naïve «quote»'
+              WHEN doc_id % 3 = 1 THEN text || ' café naïve'
+              ELSE text || ' badctlhere' END AS text
+            FROM documents
+        """,
         # DSIR: same md5 bucket family, ONE ln call with pinned op order
         # quantized to e6 BEFORE the per-doc integer dot product
         "dsir_weights": """

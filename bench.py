@@ -66,6 +66,7 @@ EXTENDED = [
     "host_boilerplate",
     "bloom_dedup",
     "dsir_weights",
+    "normalize_text",
     "decontaminate",
     "stratified_sample",
     "events_sessionized",

@@ -110,3 +110,42 @@ def test_spark_operator(spark):
         i = int(row["doc_id"])
         assert row["text"] == expected_decoded_text(i)
         assert row["charset"] == expected_charset(i)
+
+
+def test_fix_mojibake_generic_roundtrip(spark):
+    """cp1252 mojibake repairs via the byte round-trip; legitimate
+    Latin-script text with telltale chars survives; idempotent."""
+    from pyspark.sql import functions as F
+    from htmlcleanup_spark.functions.charset import fix_mojibake
+
+    clean = "café — naïve «quote» …"
+    moji = clean.encode("utf-8").decode("cp1252")
+    rows = [(0, moji), (1, "château legit â text"), (2, "plain"),
+            (3, clean)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in df.select("doc_id",
+                              fix_mojibake().alias("text")).collect()}
+    assert out[0] == clean
+    assert out[1] == "château legit â text"   # invalid-UTF8 guard
+    assert out[2] == "plain"
+    assert out[3] == clean                     # already clean: untouched
+    # idempotence: repairing the repair is a no-op
+    df2 = spark.createDataFrame([(0, out[0])], "doc_id long, text string")
+    assert df2.select(fix_mojibake().alias("t")).collect()[0].t == clean
+
+
+def test_nfc_and_control_strip(spark):
+    from htmlcleanup_spark.functions.charset import (
+        nfc_normalize_text, strip_control_chars,
+    )
+
+    nfd = "café naïve"
+    df = spark.createDataFrame(
+        [(0, nfd), (1, "a\x01b\x07c ok\ttab\nline")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in nfc_normalize_text(df).select(
+        "doc_id", strip_control_chars().alias("text")).collect()}
+    assert out[0] == "café naïve" and len(out[0]) == 10
+    assert out[1] == "abc ok\ttab\nline"      # tab/newline survive
