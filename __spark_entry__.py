@@ -863,6 +863,39 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta / canonical-link extraction over synthetic page heads:
+    four directive bands (noindex+nofollow, bare NOFOLLOW with unquoted
+    name, index+follow, no meta) x optional canonical link, all derived
+    from doc_id so the oracle states the expected flags directly."""
+    from htmlcleanup_spark.functions.robots import with_robots_flags
+
+    d = _docs(spark, sf_dir)
+    meta = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(F.col("doc_id") % 4 == 1,
+              F.lit("<meta name=robots content=\"NOFOLLOW\">"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit(""))
+    )
+    canon = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<link rel="canonical" href="https://example.com/c/'),
+                 F.expr("doc_id div 7").cast("string"), F.lit('">')),
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("<html><head><title>t</title>"), meta, canon,
+                 F.lit("</head><body>"), F.col("text"),
+                 F.lit("</body></html>")).alias("html"),
+    )
+    return with_robots_flags(pages).select(
+        "doc_id", "noindex", "nofollow", "canonical"
+    )
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization pass: cp1252 mojibake repair (generic byte
     round-trip) -> Unicode NFC -> C0-control strip.  Each doc gets one
@@ -1249,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "dsir_weights": q_dsir_weights,
         "normalize_text": q_normalize_text,
+        "robots_flags": q_robots_flags,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "events_sessionized": q_events_sessionized,
@@ -2408,6 +2442,17 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": _quality_signals_oracle(),
         "repetition_signals": _repetition_signals_oracle(),
         "line_dedup": _line_dedup_oracle(),
+        # robots flags: expected values stated per doc_id band
+        "robots_flags": """
+            SELECT doc_id,
+                   (doc_id % 4 = 0) AS noindex,
+                   (doc_id % 4 IN (0, 1)) AS nofollow,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'https://example.com/c/'
+                             || CAST(doc_id // 7 AS VARCHAR)
+                        ELSE '' END AS canonical
+            FROM documents
+        """,
         # normalize_text: the oracle states the expected FINAL text per
         # corruption band — an independent answer, not a re-run pipeline
         "normalize_text": """

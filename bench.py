@@ -67,6 +67,7 @@ EXTENDED = [
     "bloom_dedup",
     "dsir_weights",
     "normalize_text",
+    "robots_flags",
     "decontaminate",
     "stratified_sample",
     "events_sessionized",

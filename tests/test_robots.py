@@ -1,0 +1,30 @@
+"""Robots-meta directive + canonical-link extraction."""
+from pyspark.sql import functions as F
+
+
+def test_robots_directives_and_canonical(spark):
+    from htmlcleanup_spark.functions.robots import with_robots_flags
+
+    rows = [
+        (0, '<head><meta name="robots" content="noindex, nofollow">'
+            '</head>'),
+        (1, "<head><meta name=robots content='NOINDEX'></head>"),
+        (2, '<head><meta name="robots" content="none"></head>'),
+        (3, '<head><meta name="robots" content="index, follow"></head>'),
+        (4, '<head><meta name="description" content="noindex"></head>'),
+        (5, '<head><LINK REL=canonical HREF="https://x.com/a"></head>'),
+        (6, '<head>no tags at all</head>'),
+        # noindexfoo must NOT match the noindex token
+        (7, '<head><meta name="robots" content="noindexfoo"></head>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r for r in with_robots_flags(df).collect()}
+
+    assert out[0].noindex and out[0].nofollow
+    assert out[1].noindex and not out[1].nofollow   # single directive
+    assert out[2].noindex and out[2].nofollow       # none == both
+    assert not out[3].noindex and not out[3].nofollow
+    assert not out[4].noindex                       # wrong meta name
+    assert out[5].canonical == "https://x.com/a"    # case + bare attrs
+    assert out[6].canonical == "" and not out[6].noindex
+    assert not out[7].noindex                       # token boundaries
