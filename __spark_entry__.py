@@ -1170,6 +1170,81 @@ def q_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "nll_e6", "n_tokens", "cum_tokens")
 
 
+def q_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 corpus recipe in ONE lazy plan over synthetic pages:
+    robots noindex filter -> text normalization (mojibake/NFC/controls)
+    -> intra-host template removal -> Gopher repetition filter -> Bloom
+    dedup against the already-crawled epoch.  Every stage is the
+    already-oracle-checked operator; the oracle chains their SQL twins
+    as CTEs, so this checks the COMPOSITION contracts."""
+    from htmlcleanup_spark.functions.charset import (
+        fix_mojibake, nfc_normalize_text, strip_control_chars,
+    )
+    from htmlcleanup_spark.functions.robots import robots_noindex
+    from htmlcleanup_spark.functions.text import repetition_signals
+    from htmlcleanup_spark.operators.bloom import bloom_build, bloom_probe
+    from htmlcleanup_spark.operators.dedup import host_line_dedup
+
+    moji = " café — naïve «quote»".encode("utf-8").decode("cp1252")
+    nfd = " café naïve"   # decomposed: base + combining marks
+    ctl = " bad\x01ctl\x07here"
+
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".example.com"))
+    meta = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit('<meta name="robots" content="noindex">'),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.when(F.col("doc_id") % 13 == 0,
+               F.trim(F.repeat(F.lit("spam "), 30)))
+         .otherwise(F.col("text")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(moji))
+         .when(F.col("doc_id") % 3 == 1, F.lit(nfd))
+         .otherwise(F.lit(ctl)),
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("<html><head><title>t</title>"), meta,
+                 F.lit("</head></html>")).alias("html"),
+        F.concat_ws("\n", F.concat(F.lit("NAV "), host), body)
+            .alias("text"),
+    )
+    s1 = pages.filter(~robots_noindex("html")).select("doc_id",
+                                                      fix_mojibake().alias("text"))
+    s2 = nfc_normalize_text(s1).select(
+        "doc_id", strip_control_chars().alias("text")
+    )
+    s3 = host_line_dedup(
+        s2.withColumn(
+            "host",
+            F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"),
+                     F.lit(".example.com")),
+        ),
+        id_col="doc_id", host_col="host",
+    ).select("doc_id", "text").localCheckpoint(eager=True)
+    # ^ template-stripped text feeds the repetition filter AND the
+    # surviving-doc join — the recipe's phase boundary, like v2's
+    kept = s3.join(
+        repetition_signals(s3).filter("keep").select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)  # feeds Bloom history AND probe
+    hist = kept.filter(F.col("doc_id") % 5 == 0).select(
+        F.md5("text").alias("digest")
+    )
+    new = kept.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "text", F.md5("text").alias("digest")
+    )
+    probed = bloom_probe(
+        new, bloom_build(hist, "digest", m_bits=4096, k=4),
+        "digest", "doc_id", m_bits=4096, k=4,
+    )
+    return probed.filter(~F.col("maybe_seen")).select(
+        "doc_id", "text",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+
 def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session aggregate via Spark's NATIVE session_window (one
     shuffle, sessions merged in aggregation buffers; identical code runs
@@ -1298,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "session_rollup": q_session_rollup,
         "training_corpus_v2": q_training_corpus_v2,
+        "training_corpus_v3": q_training_corpus_v3,
     }
 
 
@@ -1457,17 +1533,19 @@ def _lang_id_oracle() -> str:
     """
 
 
-def _repetition_signals_oracle() -> str:
+def _repetition_signals_oracle(src: str = "documents") -> str:
     """DuckDB twin of functions.text.repetition_signals — identical float
     op order (cnt·len(gram)/chars·1e6, cov/words·1e6, floor-quantized),
     the same max(struct(cnt, gram)) tie-break rendered as ORDER BY
     cnt DESC, gram DESC, and the same once-per-occurrence union coverage
     for the dup-n-gram family (DuckDB list_slice is 1-based inclusive =
-    Spark F.slice(start, length))."""
-    return """
+    Spark F.slice(start, length)).  ``src`` is any (doc_id, text)
+    relation — the composed-recipe oracle nests this over its own
+    upstream CTE."""
+    return f"""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
                           CAST(length(text) AS DOUBLE) AS n_chars
-                   FROM documents),
+                   FROM {src}),
         ns(n) AS (VALUES (2), (3), (4), (5), (10)),
         g AS (SELECT doc_id, n_chars, len(ws) AS n_words, ns.n AS n,
                      unnest(generate_series(0, len(ws) - ns.n)) AS pos, ws
@@ -1521,6 +1599,86 @@ def _repetition_signals_oracle() -> str:
                 AND coalesce(pc.dup5, 0) <= 150000
                 AND coalesce(pc.dup10, 0) <= 100000) AS keep
         FROM w LEFT JOIN pt USING (doc_id) LEFT JOIN pc USING (doc_id)
+    """
+
+
+def _training_corpus_v3_oracle() -> str:
+    """CTE chain of the round-4 stage twins: robots band filter ->
+    stated normalized text per corruption band -> real host-line-dedup
+    -> the full repetition-filter oracle nested over the template-
+    stripped relation -> the bit-exact Bloom dedup.  Checks composition
+    contracts, not just the already-green pieces."""
+    rep = _repetition_signals_oracle("hd")
+    return f"""
+        WITH r AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id % 11 <> 0),
+        p AS (SELECT doc_id,
+                 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com'
+                   AS host,
+                 'NAV h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com'
+                 || chr(10)
+                 || CASE WHEN doc_id % 13 = 0
+                         THEN trim(repeat('spam ', 30)) ELSE text END
+                 || CASE WHEN doc_id % 3 = 0 THEN ' café — naïve «quote»'
+                         WHEN doc_id % 3 = 1 THEN ' café naïve'
+                         ELSE ' badctlhere' END AS text
+              FROM r),
+        w2 AS (SELECT doc_id, host, string_split(text, chr(10)) AS ls
+               FROM p),
+        idx2 AS (SELECT doc_id, host, ls,
+                        unnest(generate_series(1, len(ls))) AS i
+                 FROM w2),
+        lines2 AS (SELECT doc_id, host, i, ls[i] AS line,
+                          md5(trim(ls[i])) AS line_key
+                   FROM idx2),
+        hp2 AS (SELECT host, CAST(count(*) AS DOUBLE) AS n_pages
+                FROM p GROUP BY host),
+        ldf2 AS (SELECT host, line_key, count(DISTINCT doc_id) AS df
+                 FROM lines2 GROUP BY host, line_key),
+        boiler2 AS (SELECT host, line_key FROM ldf2 JOIN hp2 USING (host)
+                    WHERE df >= 2 AND df >= n_pages * 0.5),
+        kept2 AS (SELECT l.* FROM lines2 l
+                  WHERE NOT EXISTS (SELECT 1 FROM boiler2 b
+                     WHERE b.host = l.host
+                       AND b.line_key = l.line_key)),
+        hd AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i)
+                        AS text
+               FROM kept2 GROUP BY doc_id),
+        keepset AS (SELECT doc_id FROM ({rep}) WHERE keep),
+        kept AS (SELECT hd.doc_id, hd.text FROM hd
+                 JOIN keepset USING (doc_id)),
+        hist AS (SELECT md5(text) AS digest FROM kept
+                 WHERE doc_id % 5 = 0),
+        hk AS (SELECT digest, unnest(generate_series(0, 3)) AS i
+               FROM hist),
+        hpos AS (SELECT CAST('0x' || substr(md5('v1:'
+                    || CAST(i AS VARCHAR) || ':' || digest), 1, 15)
+                    AS BIGINT) % 4096 AS pos
+                 FROM hk),
+        words4 AS (SELECT pos // 32 AS word_idx,
+                          bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS word
+                   FROM hpos GROUP BY pos // 32),
+        new AS (SELECT doc_id, text, md5(text) AS digest FROM kept
+                WHERE doc_id % 5 <> 0),
+        pk AS (SELECT doc_id, digest,
+                      unnest(generate_series(0, 3)) AS i
+               FROM new),
+        ppos AS (SELECT doc_id, CAST('0x' || substr(md5('v1:'
+                    || CAST(i AS VARCHAR) || ':' || digest), 1, 15)
+                    AS BIGINT) % 4096 AS pos
+                 FROM pk),
+        pj AS (SELECT p2.doc_id,
+                      coalesce((w4.word
+                        & (CAST(1 AS BIGINT) << (p2.pos % 32))) <> 0,
+                        false) AS bit
+               FROM ppos p2 LEFT JOIN words4 w4
+                 ON w4.word_idx = p2.pos // 32),
+        seen AS (SELECT doc_id, bool_and(bit) AS maybe_seen
+                 FROM pj GROUP BY doc_id)
+        SELECT n.doc_id, n.text,
+               CAST(len(string_split(n.text, ' ')) AS INT) AS n_tokens
+        FROM new n JOIN seen s ON s.doc_id = n.doc_id
+        WHERE NOT s.maybe_seen
     """
 
 
@@ -2679,6 +2837,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the four already-green stages chained as CTEs; checks the
         # composition (column contracts, ordering, budget boundary)
+        "training_corpus_v3": _training_corpus_v3_oracle(),
         "training_corpus_v2": """
             WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws
                         FROM documents),

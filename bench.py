@@ -86,6 +86,7 @@ EXTENDED = [
     "token_budget",
     "session_rollup",
     "training_corpus_v2",
+    "training_corpus_v3",
     "paragraph_dedup",
     "semdedup",
 ]
