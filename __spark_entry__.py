@@ -863,6 +863,14 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document, e6-quantized before the
+    (score DESC, term ASC) rank so ties break identically cross-engine."""
+    from htmlcleanup_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
 def q_robots_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots-meta / canonical-link extraction over synthetic page heads:
     four directive bands (noindex+nofollow, bare NOFOLLOW with unquoted
@@ -1358,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "normalize_text": q_normalize_text,
         "robots_flags": q_robots_flags,
+        "tfidf_terms": q_tfidf_terms,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "events_sessionized": q_events_sessionized,
@@ -2600,6 +2609,28 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": _quality_signals_oracle(),
         "repetition_signals": _repetition_signals_oracle(),
         "line_dedup": _line_dedup_oracle(),
+        # tf-idf: same smoothed idf, quantize-then-rank tie-break
+        "tfidf_terms": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))
+                         AS term
+                       FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM w GROUP BY doc_id, term),
+            dfx AS (SELECT term, count(DISTINCT doc_id) AS dfc
+                    FROM w GROUP BY term),
+            s AS (SELECT tf.doc_id, tf.term,
+                     CAST(floor(CAST(tf.tf AS DOUBLE)
+                          * ln(((SELECT CAST(count(*) AS DOUBLE)
+                                 FROM documents) + 1.0)
+                               / (CAST(dfc AS DOUBLE) + 1.0))
+                          * 1000000.0) AS BIGINT) AS score_e6
+                  FROM tf JOIN dfx USING (term)),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score_e6 DESC, term ASC) AS r
+                   FROM s)
+            SELECT doc_id, term, CAST(r AS INT) AS rank, score_e6
+            FROM rk WHERE r <= 5
+        """,
         # robots flags: expected values stated per doc_id band
         "robots_flags": """
             SELECT doc_id,

@@ -68,6 +68,7 @@ EXTENDED = [
     "dsir_weights",
     "normalize_text",
     "robots_flags",
+    "tfidf_terms",
     "decontaminate",
     "stratified_sample",
     "events_sessionized",

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Per-language stopword marker sets (top public stopwords) for the
 # stopword-count language heuristic.  Order within a set is irrelevant;
@@ -487,3 +488,53 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
             F.col("dup%d_frac_e6" % n) <= int(max_dup_frac[n] * 1e6)
         )
     return out.withColumn("keep", keep)
+
+
+def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 5):
+    """Top-k keywords per document by smoothed TF-IDF:
+
+        score = tf(term, doc) * ln((N + 1) / (df(term) + 1))
+
+    quantized to e6 BIGINT *before* ranking, so the (score DESC, term
+    ASC) tie-break is a deterministic total order per document and the
+    SQL twin ranks identically.  Returns (id, term, rank, score_e6).
+
+    Scale shape: the term-frequency agg keys on (doc, term) and the
+    document-frequency agg on term — both map-side combined; the DF
+    table is vocabulary-sized (broadcast); the corpus size is a 1-row
+    cross-joined scalar; the final top-k is a window keyed by doc id —
+    one doc-keyed shuffle, never a global sort.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+    )
+    tf = words.groupBy(id_col, "_w").agg(F.count("*").alias("_tf"))
+    dfx = (
+        words.groupBy("_w", id_col).agg(F.lit(1).alias("_one"))
+        .groupBy("_w").agg(F.count("*").alias("_df"))
+    )
+    n_docs = df.agg(F.count("*").cast("double").alias("_nd"))
+    scored = (
+        tf.join(F.broadcast(dfx), "_w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            F.col("_w").alias("term"),
+            F.floor(
+                F.col("_tf").cast("double")
+                * F.log((F.col("_nd") + 1.0)
+                        / (F.col("_df").cast("double") + 1.0))
+                * 1e6
+            ).cast("long").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "score_e6")
+    )

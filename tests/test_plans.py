@@ -447,3 +447,74 @@ def test_session_rollup_agrees_with_sessionize(spark):
     alt = session_rollup(ev.withColumnRenamed("value", "amt"),
                          value_col="amt")
     assert "sum_value" in alt.columns
+
+
+def test_robots_flags_zero_shuffle(spark):
+    """Robots/canonical extraction is a pure scan-local projection —
+    any Exchange would mean the regex scan got separated from the read."""
+    from htmlcleanup_spark.functions.robots import with_robots_flags
+
+    df = spark.range(0, 50).selectExpr(
+        "id AS doc_id",
+        "'<html><head><meta name=\"robots\" content=\"noindex\">"
+        "</head></html>' AS html",
+    )
+    plan = plan_of(with_robots_flags(df))
+    assert n_exchanges(plan) == 0, plan
+
+
+def test_bloom_probe_word_join_broadcasts(spark):
+    """The probe's word-table join must broadcast (the sketch is tiny by
+    design) and never degrade to a nested-loop join."""
+    from htmlcleanup_spark.operators.bloom import bloom_build, bloom_probe
+
+    hist = spark.range(0, 200).selectExpr(
+        "md5(cast(id AS string)) AS digest"
+    )
+    new = spark.range(500, 600).selectExpr(
+        "id AS doc_id", "md5(cast(id AS string)) AS digest"
+    )
+    plan = plan_of(bloom_probe(
+        new, bloom_build(hist, m_bits=1 << 16), m_bits=1 << 16
+    ))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """The (bucket, lr_e6) table is <= B rows — the per-doc scoring join
+    must broadcast it, never shuffle the exploded gram stream by
+    bucket."""
+    from htmlcleanup_spark.operators.dsir import dsir_weights
+
+    raw = spark.range(0, 80).selectExpr(
+        "id AS doc_id", "concat('w', cast(id % 7 AS string), ' x y') AS text"
+    )
+    tgt = spark.range(0, 20).selectExpr(
+        "id AS doc_id", "'x y z w1' AS text"
+    )
+    plan = plan_of(dsir_weights(raw, tgt, n_buckets=512))
+    assert "BroadcastHashJoin" in plan, plan
+    # the only nested-loop joins allowed are the 1-row scalar-total
+    # attaches (crossJoin(broadcast(agg)) — the line_dedup idiom); the
+    # bucket joins themselves must never shuffle or loop
+    assert "SortMergeJoin" not in plan, plan
+    import re as _re
+    assert all("Cross" in l for l in plan.split("\n")
+               if "BroadcastNestedLoopJoin" in l and _re.match(r"\s", l)), plan
+
+
+def test_host_line_dedup_no_nested_loop(spark):
+    """All host-dedup joins are equi-joins on (host, line_key) or host —
+    a BroadcastNestedLoopJoin anywhere means a join condition degraded."""
+    from htmlcleanup_spark.operators.dedup import host_line_dedup
+
+    df = spark.range(0, 60).selectExpr(
+        "concat('http://h', cast(id % 3 AS string), '.com/p/', "
+        "cast(id AS string)) AS url",
+        "concat('NAV', chr(10), 'body ', cast(id AS string)) AS text",
+    )
+    plan = plan_of(host_line_dedup(df))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

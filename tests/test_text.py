@@ -207,3 +207,22 @@ def test_repetition_signals_values(spark):
 
     assert rows[3].n_words == 1
     assert rows[3].top2_frac_e6 == 0 and rows[3].keep
+
+
+def test_tfidf_top_terms_values(spark):
+    """Rare term outranks common term; smoothed idf; ties break on term."""
+    import math
+    from htmlcleanup_spark.functions.text import tfidf_top_terms
+
+    docs = [
+        (0, "common rare common common"),
+        (1, "common common"),
+        (2, "common other"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2).collect()
+    d0 = sorted([r for r in out if r.doc_id == 0], key=lambda r: r.rank)
+    # rare: tf=1, df=1 -> 1 * ln(4/2); common: tf=3, df=3 -> 3 * ln(4/4)=0
+    assert d0[0].term == "rare"
+    assert d0[0].score_e6 == math.floor(1 * math.log(4 / 2) * 1e6)
+    assert d0[1].term == "common" and d0[1].score_e6 == 0
