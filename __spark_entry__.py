@@ -1067,6 +1067,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(pages.select("doc_id"), edges, iterations=5)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (4 L1-normalized iterations) over the same
+    harvested link graph as pagerank, against an unrolled-CTE oracle."""
+    from htmlcleanup_spark.operators.links import (
+        edges_from_outlinks,
+        extract_outlinks,
+        hits,
+    )
+
+    pages = _synth_linked_pages(spark, sf_dir)
+    edges = edges_from_outlinks(extract_outlinks(pages))
+    return hits(pages.select("doc_id"), edges, iterations=4)
+
+
 def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (RefinedWeb practice): keep the top-5 docs
     per host by (n_chars DESC, doc_id ASC).  One shuffle on host."""
@@ -1372,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": q_events_sessionized,
         "outlinks": q_outlinks,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "domain_caps": q_domain_caps,
         "perplexity": q_perplexity,
         "anchor_stats": q_anchor_stats,
@@ -1959,6 +1974,38 @@ r{k1} AS (
     parts.append(
         "\nSELECT v AS doc_id, CAST(floor(pr * 1e9) AS BIGINT) AS pr_e9 "
         "FROM r%d" % iterations
+    )
+    return "".join(parts)
+
+
+def _hits_oracle(iterations: int = 4) -> str:
+    """Unrolled HITS CTE stages over the same arithmetic edge recipe as
+    pagerank's oracle; L1 normalization keeps every stage sqrt-free.
+    Final authorities come from the last iteration's a-step (the Spark
+    loop updates a then h, so output = (h_N, a_{N-1}))."""
+    parts = [_PR_EDGES_CTE + ",\nh0 AS (SELECT v, pr AS h FROM r0)"]
+    for k in range(iterations):
+        # AS MATERIALIZED: every stage is referenced twice (join +
+        # normalization scalar); DuckDB's default inlining re-evaluates
+        # the whole prefix per reference -> exponential in iterations
+        parts.append(""",
+a{k}r AS MATERIALIZED (SELECT e.dst AS v, sum(h.h) AS ar
+          FROM edges e JOIN h{k} h ON e.src = h.v GROUP BY e.dst),
+a{k} AS MATERIALIZED (SELECT nv.v,
+                coalesce(r.ar, 0) / (SELECT sum(ar) FROM a{k}r) AS a
+         FROM (SELECT doc_id AS v FROM documents) nv
+         LEFT JOIN a{k}r r ON nv.v = r.v),
+h{k1}r AS MATERIALIZED (SELECT e.src AS v, sum(a.a) AS hr
+           FROM edges e JOIN a{k} a ON e.dst = a.v GROUP BY e.src),
+h{k1} AS MATERIALIZED (SELECT nv.v,
+                 coalesce(r.hr, 0) / (SELECT sum(hr) FROM h{k1}r) AS h
+          FROM (SELECT doc_id AS v FROM documents) nv
+          LEFT JOIN h{k1}r r ON nv.v = r.v)""".format(k=k, k1=k + 1))
+    parts.append(
+        "\nSELECT h.v AS doc_id,"
+        " CAST(floor(h.h * 1e9) AS BIGINT) AS hub_e9,"
+        " CAST(floor(a.a * 1e9) AS BIGINT) AS auth_e9"
+        " FROM h%d h JOIN a%d a ON h.v = a.v" % (iterations, iterations - 1)
     )
     return "".join(parts)
 
@@ -2829,6 +2876,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "outlinks": _outlinks_oracle(),
         "pagerank": _pagerank_oracle(iterations=5, damping=0.85),
+        "hits": _hits_oracle(iterations=4),
         # inlink aggregation over the same recipe-derived outlink table
         "anchor_stats": """
             SELECT url AS target_url,

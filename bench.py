@@ -77,6 +77,7 @@ EXTENDED = [
     "charset_decode",
     "outlinks",
     "pagerank",
+    "hits",
     "domain_caps",
     "perplexity",
     "anchor_stats",

@@ -367,3 +367,86 @@ def anchor_stats(outlinks: DataFrame) -> DataFrame:
             F.min("anchor").alias("first_anchor"),
         )
     )
+
+
+def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 4,
+         checkpoint_dir: str | None = None) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) after a FIXED number of
+    mutual-reinforcement iterations, L1-normalized (sum-to-one keeps the
+    update sqrt-free, so every stage is exact relational algebra and the
+    whole run unrolls into SQL-oracle CTE stages like pagerank's):
+
+        a'(v) = sum_{u->v} h(u), then a := a' / sum(a')
+        h'(u) = sum_{u->v} a(v), then h := h' / sum(h')
+
+    Returns (doc_id, hub_e9, auth_e9), floor-quantized.  Authorities
+    rank pages many good hubs point to (canonical sources); hubs rank
+    link pages — both are crawl-prioritization signals PageRank's single
+    score conflates.
+
+    Scale: per iteration one shuffle keyed on dst (authority sum) and
+    one on src (hub sum), both partial-combined; normalization is a
+    1-row broadcast aggregate; per-iteration eager checkpoint cuts the
+    lineage.  nodes/edges are pinned once before the loop (the repo's
+    multi-consumer rule).  ``checkpoint_dir`` has the pagerank /
+    connected_components contract: None -> localCheckpoint, path ->
+    reliable checkpoint() for cluster runs.
+    """
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    nodes = _cut(nodes.select("doc_id"))
+    edges = _cut(edges)
+    n_nodes = nodes.count()
+
+    h = nodes.select(
+        F.col("doc_id").alias("v"), F.lit(1.0 / n_nodes).alias("h")
+    )
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(h.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("_ar"))
+        )
+        s_a = a_raw.agg(F.sum("_ar").alias("_s"))
+        a = _cut(
+            nodes.select(F.col("doc_id").alias("v"))
+            .join(a_raw.withColumnRenamed("dst", "v"), "v", "left")
+            .crossJoin(F.broadcast(s_a))
+            .select(
+                "v",
+                (F.coalesce(F.col("_ar"), F.lit(0.0))
+                 / F.col("_s")).alias("a"),
+            )
+        )
+        h_raw = (
+            edges.join(a.withColumnRenamed("v", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("_hr"))
+        )
+        s_h = h_raw.agg(F.sum("_hr").alias("_s"))
+        h = _cut(
+            nodes.select(F.col("doc_id").alias("v"))
+            .join(h_raw.withColumnRenamed("src", "v"), "v", "left")
+            .crossJoin(F.broadcast(s_h))
+            .select(
+                "v",
+                (F.coalesce(F.col("_hr"), F.lit(0.0))
+                 / F.col("_s")).alias("h"),
+            )
+        )
+    return (
+        h.join(a, "v")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.floor(F.col("h") * 1e9).cast("long").alias("hub_e9"),
+            F.floor(F.col("a") * 1e9).cast("long").alias("auth_e9"),
+        )
+    )

@@ -306,3 +306,24 @@ def test_outlinks_of_never_raises_fuzz():
                 assert host == url.split("://", 1)[1].split("/", 1)[0]
 
     run()
+
+
+def test_hits_hub_authority_structure(spark):
+    """0 and 1 both point at 2 (authority); 0 also points at 3; nothing
+    points at 0/1 and they link out only -> pure hubs."""
+    from htmlcleanup_spark.operators.links import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)],
+                                  "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 2), (1, 2), (0, 3)], "src long, dst long"
+    )
+    out = {r.doc_id: r for r in hits(nodes, edges, iterations=4).collect()}
+
+    assert out[2].auth_e9 > out[3].auth_e9 > 0
+    assert out[0].auth_e9 == 0 and out[1].auth_e9 == 0
+    assert out[0].hub_e9 > out[1].hub_e9 > 0
+    assert out[2].hub_e9 == 0 and out[3].hub_e9 == 0
+    # L1 normalization: each vector sums to ~1 (floor slack <= 1e-9 * n)
+    assert sum(r.auth_e9 for r in out.values()) >= 10**9 - 4
+    assert sum(r.hub_e9 for r in out.values()) >= 10**9 - 4
