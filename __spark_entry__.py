@@ -863,6 +863,26 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining Gopher doc-level filters over banded corpus text:
+    bullet lines, ellipsis lines, symbol ratio + non-alpha words, or
+    unchanged — with quality_signals and repetition_signals this covers
+    the paper's full rule table."""
+    from htmlcleanup_spark.functions.text import gopher_rules
+
+    d = _docs(spark, sf_dir)
+    extra = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\n• promo line\n- item two"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("\nread more..."))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" # # # 12345 67890"))
+        .otherwise(F.lit(""))
+    )
+    return gopher_rules(
+        d.select("doc_id", F.concat(F.col("text"), extra).alias("text"))
+    )
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF keywords per document, e6-quantized before the
     (score DESC, term ASC) rank so ties break identically cross-engine."""
@@ -1381,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "robots_flags": q_robots_flags,
         "tfidf_terms": q_tfidf_terms,
+        "gopher_rules": q_gopher_rules,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "events_sessionized": q_events_sessionized,
@@ -1703,6 +1724,68 @@ def _training_corpus_v3_oracle() -> str:
                CAST(len(string_split(n.text, ' ')) AS INT) AS n_tokens
         FROM new n JOIN seen s ON s.doc_id = n.doc_id
         WHERE NOT s.maybe_seen
+    """
+
+
+def _gopher_rules_oracle() -> str:
+    """DuckDB twin of functions.text.gopher_rules: same split-based
+    occurrence counts, same regexes (Java∩RE2), same float op order,
+    stopword CASE chain generated from LANG_MARKERS."""
+    from htmlcleanup_spark.functions.text import LANG_MARKERS
+
+    stops = " + ".join(
+        "(CASE WHEN list_contains(ws, '%s') THEN 1 ELSE 0 END)" % w
+        for w in LANG_MARKERS["en"]
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || '• promo line' || chr(10) || '- item two'
+                 WHEN doc_id % 4 = 1 THEN chr(10) || 'read more...'
+                 WHEN doc_id % 4 = 2 THEN ' # # # 12345 67890'
+                 ELSE '' END AS text
+          FROM documents),
+        b AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+                     string_split(text, chr(10)) AS ls
+              FROM d),
+        m AS (SELECT doc_id,
+            CAST(len(ws) AS DOUBLE) AS nw,
+            CAST(len(ls) AS DOUBLE) AS nl,
+            len(string_split(text, '#')) - 1 AS nhash,
+            len(string_split(text, '…')) - 1
+              + len(string_split_regex(text, '\\.\\.\\.')) - 1 AS nell,
+            len(list_filter(ls,
+                x -> regexp_matches(x, '^\\s*[•*-]'))) AS nbul,
+            len(list_filter(ls,
+                x -> regexp_matches(x, '(…|\\.\\.\\.)\\s*$'))) AS nelin,
+            len(list_filter(ws,
+                x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+            {stops} AS n_stopwords
+          FROM b)
+        SELECT doc_id,
+          CAST(floor(CAST(nhash + nell AS DOUBLE)
+               / greatest(nw, 1.0) * 1000000.0) AS BIGINT)
+            AS symbol_ratio_e6,
+          CAST(floor(CAST(nbul AS DOUBLE)
+               / greatest(nl, 1.0) * 1000000.0) AS BIGINT)
+            AS bullet_frac_e6,
+          CAST(floor(CAST(nelin AS DOUBLE)
+               / greatest(nl, 1.0) * 1000000.0) AS BIGINT)
+            AS ellipsis_frac_e6,
+          CAST(floor(CAST(nalpha AS DOUBLE)
+               / greatest(nw, 1.0) * 1000000.0) AS BIGINT)
+            AS alpha_frac_e6,
+          n_stopwords,
+          (CAST(floor(CAST(nhash + nell AS DOUBLE)
+                / greatest(nw, 1.0) * 1000000.0) AS BIGINT) <= 100000
+           AND CAST(floor(CAST(nbul AS DOUBLE)
+                / greatest(nl, 1.0) * 1000000.0) AS BIGINT) <= 900000
+           AND CAST(floor(CAST(nelin AS DOUBLE)
+                / greatest(nl, 1.0) * 1000000.0) AS BIGINT) <= 300000
+           AND CAST(floor(CAST(nalpha AS DOUBLE)
+                / greatest(nw, 1.0) * 1000000.0) AS BIGINT) >= 800000
+           AND n_stopwords >= 2) AS keep
+        FROM m
     """
 
 
@@ -2657,6 +2740,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _repetition_signals_oracle(),
         "line_dedup": _line_dedup_oracle(),
         # tf-idf: same smoothed idf, quantize-then-rank tie-break
+        "gopher_rules": _gopher_rules_oracle(),
         "tfidf_terms": """
             WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))
                          AS term

@@ -69,6 +69,7 @@ EXTENDED = [
     "normalize_text",
     "robots_flags",
     "tfidf_terms",
+    "gopher_rules",
     "decontaminate",
     "stratified_sample",
     "events_sessionized",

@@ -538,3 +538,78 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "rank", "score_e6")
     )
+
+
+def gopher_rules(df, text_col: str = "text", id_col: str = "doc_id",
+                 max_symbol_ratio: float = 0.10,
+                 max_bullet_frac: float = 0.90,
+                 max_ellipsis_frac: float = 0.30,
+                 min_alpha_frac: float = 0.80,
+                 min_distinct_stopwords: int = 2):
+    """The REMAINING Gopher document-level filters (Rae et al. 2021
+    §A1.1) — :func:`quality_signals` carries word-count / word-length /
+    repetition, :func:`repetition_signals` the n-gram family; together
+    the three cover the paper's full rule table:
+
+    - ``symbol_ratio_e6``: (# + ellipsis occurrences) / words <= 0.10
+    - ``bullet_frac_e6``: fraction of LINES starting with a bullet
+      (•, -, *) <= 0.90
+    - ``ellipsis_frac_e6``: fraction of lines ending with … or ... <= 0.30
+    - ``alpha_frac_e6``: fraction of words containing at least one
+      alphabetic character >= 0.80
+    - ``n_stopwords``: DISTINCT English stopwords present, >= 2 (the
+      paper's "contains at least 2 of the, be, to, of, and, that, have,
+      with" rule — generated from the same marker list lang_id uses)
+    - ``keep``: the conjunction.
+
+    Everything is a pure column expression over the split arrays — zero
+    shuffles, whole-stage codegen, pipelined into the scan.
+    """
+    ws = F.split(F.col(text_col), " ")
+    lines = F.split(F.col(text_col), "\n")
+    n_words = F.size(ws).cast("double")
+    n_lines = F.size(lines).cast("double")
+
+    n_hash = F.size(F.split(F.col(text_col), "#", -1)) - 1
+    n_ell = (
+        F.size(F.split(F.col(text_col), "…", -1)) - 1
+        + F.size(F.split(F.col(text_col), "\\.\\.\\.", -1)) - 1
+    )
+    symbol_ratio = (
+        (n_hash + n_ell).cast("double") / F.greatest(n_words, F.lit(1.0))
+    )
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike("^\\s*[•*-]")))
+        .cast("double") / F.greatest(n_lines, F.lit(1.0))
+    )
+    ellipsis_frac = (
+        F.size(F.filter(
+            lines, lambda l: l.rlike("(…|\\.\\.\\.)\\s*$")
+        )).cast("double") / F.greatest(n_lines, F.lit(1.0))
+    )
+    alpha_frac = (
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+        .cast("double") / F.greatest(n_words, F.lit(1.0))
+    )
+    stops = [w for w in LANG_MARKERS["en"]]
+    n_stop = sum(
+        (F.array_contains(ws, w).cast("int") for w in stops), F.lit(0)
+    )
+
+    e6 = lambda c: F.floor(c * 1e6).cast("long")  # noqa: E731
+    out = df.select(
+        F.col(id_col),
+        e6(symbol_ratio).alias("symbol_ratio_e6"),
+        e6(bullet_frac).alias("bullet_frac_e6"),
+        e6(ellipsis_frac).alias("ellipsis_frac_e6"),
+        e6(alpha_frac).alias("alpha_frac_e6"),
+        n_stop.alias("n_stopwords"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("symbol_ratio_e6") <= int(max_symbol_ratio * 1e6))
+        & (F.col("bullet_frac_e6") <= int(max_bullet_frac * 1e6))
+        & (F.col("ellipsis_frac_e6") <= int(max_ellipsis_frac * 1e6))
+        & (F.col("alpha_frac_e6") >= int(min_alpha_frac * 1e6))
+        & (F.col("n_stopwords") >= min_distinct_stopwords),
+    )

@@ -226,3 +226,33 @@ def test_tfidf_top_terms_values(spark):
     assert d0[0].term == "rare"
     assert d0[0].score_e6 == math.floor(1 * math.log(4 / 2) * 1e6)
     assert d0[1].term == "common" and d0[1].score_e6 == 0
+
+
+def test_gopher_rules_values(spark):
+    """Hand-computable symbol/bullet/ellipsis/alpha/stopword rules."""
+    from htmlcleanup_spark.functions.text import gopher_rules
+
+    docs = [
+        # 4 lines, 2 bullets, 1 ellipsis-ending; stopwords the+and
+        (0, "the cat and dog likes fish\n• item one\n- item two\nread more..."),
+        # symbol-heavy, numeric words, no stopwords
+        (1, "# # # 12345 67890"),
+        # clean prose
+        (2, "the quick brown fox and its friends ran to the hill"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+
+    assert rows[0].bullet_frac_e6 == int(2 / 4 * 1e6)
+    assert rows[0].ellipsis_frac_e6 == int(1 / 4 * 1e6)
+    assert rows[0].n_stopwords == 2
+    # 11 space-split words (newlines stay inside words); one '...'
+    assert rows[0].symbol_ratio_e6 == int(1 / 11 * 1e6)
+    assert rows[0].keep                     # all under thresholds
+
+    assert rows[1].symbol_ratio_e6 == int(3 / 5 * 1e6)
+    assert rows[1].alpha_frac_e6 == 0
+    assert rows[1].n_stopwords == 0
+    assert not rows[1].keep
+
+    assert rows[2].keep and rows[2].alpha_frac_e6 == 1000000
