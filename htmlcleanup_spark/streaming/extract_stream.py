@@ -175,3 +175,26 @@ def sessions_stream(events: DataFrame, gap: str = "30 minutes",
         .agg(*aggs)
         .select(*out_cols)
     )
+
+
+def normalize_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the corpus-recipe policy+normalization head:
+    robots noindex filter -> cp1252/Latin-1 mojibake repair -> Unicode
+    NFC -> C0-control strip.  Every stage is a stateless projection or
+    Arrow map, so this is literally the batch code running under
+    readStream — no state store, no watermark, exactly-once by the sink
+    contract alone.  Input schema: (doc_id, html, text)."""
+    from htmlcleanup_spark.functions.charset import (
+        fix_mojibake,
+        nfc_normalize_text,
+        strip_control_chars,
+    )
+    from htmlcleanup_spark.functions.robots import robots_noindex
+    from pyspark.sql import functions as F
+
+    kept = docs.filter(~robots_noindex("html")).select(
+        "doc_id", fix_mojibake().alias("text")
+    )
+    return nfc_normalize_text(kept).select(
+        "doc_id", strip_control_chars().alias("text")
+    )

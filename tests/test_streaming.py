@@ -161,3 +161,46 @@ def test_sessions_stream_matches_batch_rollup(spark, tmp_path):
         for r in session_rollup(batch).collect()
     }
     assert got == expected and len(got) > 20
+
+
+def test_normalize_stream_matches_batch(spark, tmp_path):
+    """The policy+normalization head produces identical rows batch vs
+    stream over the same drained banded corpus."""
+    from pyspark.sql import functions as F
+
+    from htmlcleanup_spark.streaming.extract_stream import normalize_stream
+
+    moji = " café — naïve".encode("utf-8").decode("cp1252")
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    banded = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit('<head><meta name="robots" content="noindex"></head>'))
+         .otherwise(F.lit("<head></head>")).alias("html"),
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(moji))
+             .otherwise(F.lit(" ctl\x01here")),
+        ).alias("text"),
+    )
+    src = str(tmp_path / "docs")
+    banded.write.parquet(src)
+
+    expected = {(r.doc_id, r.text)
+                for r in normalize_stream(banded).collect()}
+
+    stream = spark.readStream.schema(banded.schema).parquet(src)
+    q = (
+        normalize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("norm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.text)
+           for r in spark.sql("SELECT * FROM norm_stream").collect()}
+    assert got == expected
+    assert all(d % 7 != 0 for d, _ in got)    # noindex band filtered
+    assert any("café" in t for _, t in got)   # mojibake band repaired
