@@ -863,6 +863,21 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row vocabulary summary: terms, hapax legomena, tokens."""
+    from htmlcleanup_spark.functions.text import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir))
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 of n_chars per language — integer
+    rank selection, no interpolation (engine-portable by construction)."""
+    from htmlcleanup_spark.functions.text import length_percentiles
+
+    return length_percentiles(_docs(spark, sf_dir))
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining Gopher doc-level filters over banded corpus text:
     bullet lines, ellipsis lines, symbol ratio + non-alpha words, or
@@ -1402,6 +1417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_flags": q_robots_flags,
         "tfidf_terms": q_tfidf_terms,
         "gopher_rules": q_gopher_rules,
+        "vocab_stats": q_vocab_stats,
+        "length_percentiles": q_length_percentiles,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "events_sessionized": q_events_sessionized,
@@ -2741,6 +2758,29 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle(),
         # tf-idf: same smoothed idf, quantize-then-rank tie-break
         "gopher_rules": _gopher_rules_oracle(),
+        "vocab_stats": """
+            WITH c AS (SELECT w AS term, count(*) AS c
+                       FROM (SELECT unnest(string_split(text, ' ')) AS w
+                             FROM documents)
+                       GROUP BY w)
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax,
+                   CAST(sum(c) AS BIGINT) AS total_tokens
+            FROM c
+        """,
+        # nearest-rank percentile: value at row floor((n-1)*p) of the
+        # (value, doc_id) total order — no interpolation to mismatch
+        "length_percentiles": """
+            WITH r AS (SELECT lang, doc_id, n_chars,
+                          row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars ASC, doc_id ASC) - 1 AS rn,
+                          count(*) OVER (PARTITION BY lang) AS n
+                       FROM documents)
+            SELECT lang, pct, n_chars AS value
+            FROM r, (VALUES (50), (90), (99)) p(pct)
+            WHERE rn = CAST(floor((n - 1) * (pct / 100.0)) AS BIGINT)
+        """,
         "tfidf_terms": """
             WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))
                          AS term

@@ -70,6 +70,8 @@ EXTENDED = [
     "robots_flags",
     "tfidf_terms",
     "gopher_rules",
+    "vocab_stats",
+    "length_percentiles",
     "decontaminate",
     "stratified_sample",
     "events_sessionized",

@@ -613,3 +613,57 @@ def gopher_rules(df, text_col: str = "text", id_col: str = "doc_id",
         & (F.col("alpha_frac_e6") >= int(min_alpha_frac * 1e6))
         & (F.col("n_stopwords") >= min_distinct_stopwords),
     )
+
+
+def vocab_stats(df, text_col: str = "text"):
+    """One-row corpus vocabulary summary: distinct terms, hapax
+    legomena (terms occurring exactly once — the Zipf tail that
+    dominates vocabulary growth), and total token count.  One explode
+    into a map-side-combined term count (vocabulary-keyed shuffle),
+    then a 1-row rollup."""
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    return counts.agg(
+        F.count("*").alias("n_terms"),
+        F.sum((F.col("_c") == 1).cast("long")).alias("n_hapax"),
+        F.sum("_c").alias("total_tokens"),
+    )
+
+
+def length_percentiles(df, value_col: str = "n_chars",
+                       group_col: str = "lang",
+                       pcts: tuple = (50, 90, 99)):
+    """Exact nearest-rank percentiles of ``value_col`` per group:
+    the value at row floor((n-1) * p) of the (value, doc_id) total
+    order — integer rank selection, no interpolation, so the result is
+    deterministic and engine-portable (quantile_cont's lerp arithmetic
+    is not pinned across engines).
+
+    One shuffle: the per-group sort window.  Exact ranks need the
+    total order, which is fine up to ~10^8 rows per group; at corpus
+    scale swap in approxQuantile on a sample and pass the thresholds
+    to a CASE — the ppl_buckets pattern."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col("doc_id").asc()
+    )
+    cw = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col, "doc_id", value_col,
+        (F.row_number().over(w) - 1).alias("_rn"),
+        F.count("*").over(cw).alias("_n"),
+    )
+    out = None
+    for p in pcts:
+        sel = ranked.filter(
+            F.col("_rn")
+            == F.floor((F.col("_n") - 1) * (p / 100.0)).cast("int")
+        ).select(
+            group_col,
+            F.lit(p).alias("pct"),
+            F.col(value_col).alias("value"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out

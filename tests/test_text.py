@@ -256,3 +256,25 @@ def test_gopher_rules_values(spark):
     assert not rows[1].keep
 
     assert rows[2].keep and rows[2].alpha_frac_e6 == 1000000
+
+
+def test_vocab_stats_and_percentiles(spark):
+    from htmlcleanup_spark.functions.text import (
+        length_percentiles, vocab_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b a", "en", 5), (1, "a c", "en", 3), (2, "d", "de", 1),
+         (3, "e f g", "en", 9)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    v = vocab_stats(df).collect()[0]
+    # terms: a b c d e f g -> 7; hapax: b c d e f g -> 6; tokens: 9
+    assert (v.n_terms, v.n_hapax, v.total_tokens) == (7, 6, 9)
+
+    p = {(r.lang, r.pct): r.value
+         for r in length_percentiles(df).collect()}
+    # en values sorted: 3, 5, 9 -> p50 = idx floor(2*0.5)=1 -> 5,
+    # p90 = idx floor(2*0.9)=1 -> 5, p99 = idx 1 -> 5; de single -> 1
+    assert p[("en", 50)] == 5 and p[("en", 90)] == 5
+    assert p[("de", 50)] == 1 and p[("de", 99)] == 1
