@@ -863,6 +863,13 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity self-trained on the corpus."""
+    from htmlcleanup_spark.operators.lm import bigram_perplexity
+
+    return bigram_perplexity(_docs(spark, sf_dir))
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row vocabulary summary: terms, hapax legomena, tokens."""
     from htmlcleanup_spark.functions.text import vocab_stats
@@ -1417,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_flags": q_robots_flags,
         "tfidf_terms": q_tfidf_terms,
         "gopher_rules": q_gopher_rules,
+        "bigram_perplexity": q_bigram_perplexity,
         "vocab_stats": q_vocab_stats,
         "length_percentiles": q_length_percentiles,
         "decontaminate": q_decontaminate,
@@ -2758,6 +2766,38 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle(),
         # tf-idf: same smoothed idf, quantize-then-rank tie-break
         "gopher_rules": _gopher_rules_oracle(),
+        # interpolated bigram LM: repr'd lam / (1-lam) literals, same
+        # smoothing denominators and op order as operators/lm
+        "bigram_perplexity": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            tokc AS (SELECT wd, count(*) AS c FROM
+                       (SELECT unnest(ws) AS wd FROM w)
+                     GROUP BY wd),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t,
+                           CAST(count(*) AS DOUBLE) AS v
+                    FROM tokc),
+            bis AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+                    FROM (SELECT doc_id, ws,
+                            unnest(generate_series(1, len(ws) - 1)) AS i
+                          FROM w WHERE len(ws) >= 2)),
+            bi AS (SELECT a, b, count(*) AS c FROM bis GROUP BY a, b),
+            sc AS (SELECT s.doc_id,
+                      -ln(%(lam)s
+                          * ((coalesce(bb.c, 0) + 1.0)
+                             / (ua.c + (SELECT v FROM tot) + 1.0))
+                          + %(oml)s
+                          * ((ub.c + 1.0)
+                             / ((SELECT t FROM tot)
+                                + (SELECT v FROM tot) + 1.0))) AS nll
+                   FROM bis s
+                   JOIN tokc ua ON s.a = ua.wd
+                   JOIN tokc ub ON s.b = ub.wd
+                   LEFT JOIN bi bb ON s.a = bb.a AND s.b = bb.b)
+            SELECT doc_id,
+                   CAST(floor(avg(nll) * 1000000.0) AS BIGINT) AS nll_e6
+            FROM sc GROUP BY doc_id
+        """ % {"lam": repr(0.7), "oml": repr(1.0 - 0.7)},
         "vocab_stats": """
             WITH c AS (SELECT w AS term, count(*) AS c
                        FROM (SELECT unnest(string_split(text, ' ')) AS w

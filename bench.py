@@ -70,6 +70,7 @@ EXTENDED = [
     "robots_flags",
     "tfidf_terms",
     "gopher_rules",
+    "bigram_perplexity",
     "vocab_stats",
     "length_percentiles",
     "decontaminate",

@@ -133,3 +133,115 @@ def ppl_buckets(scored: DataFrame, n_buckets: int = 3,
     return scored.select(
         "*", F.ntile(n_buckets).over(w).alias("ppl_bucket")
     )
+
+
+def bigram_model(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(a, b, cnt) adjacent-word bigram frequencies over the corpus —
+    one map-side-combined shuffle keyed on the pair."""
+    ws = F.split(F.col(text_col), " ")
+    return (
+        df.select(
+            F.explode(
+                F.when(
+                    F.size(ws) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(ws) - 2),
+                        lambda i: F.struct(
+                            F.element_at(ws, i + 1).alias("a"),
+                            F.element_at(ws, i + 2).alias("b"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<a:string,b:string>>")
+                )
+            ).alias("g")
+        )
+        .groupBy("g.a", "g.b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bigram_perplexity(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      lam: float = 0.7) -> DataFrame:
+    """Per-document mean negative log-likelihood under an interpolated
+    bigram model self-trained on the corpus (the step up from
+    :func:`perplexity`'s unigram — the CCNet shape with one more order):
+
+        p(b | a) = lam * (c(a,b)+1)/(c(a)+V+1)
+                 + (1-lam) * (c(b)+1)/(T+V+1)
+
+    add-one smoothing in both terms; ``1-lam`` is computed in Python
+    and emitted as the exact IEEE literal on both engines (repr
+    convention — (1-0.7) != 0.3).  Returns (doc_id, nll_e6),
+    floor-quantized; documents with fewer than 2 words have no bigrams
+    and yield no row.
+
+    Scale shape: unigram and bigram counts both map-side combine; the
+    unigram table is vocabulary-sized (broadcast); the bigram table
+    grows like observed pairs — broadcast at validation scale, and at
+    corpus scale the scoring join co-partitions stream and model on
+    (a, b) (an equi-join Spark shuffles on the pair key; AQE picks the
+    strategy).  Both models are pinned — each feeds totals and scoring
+    joins (the multi-consumer rule)."""
+    ws = F.split(F.col(text_col), " ")
+    stream = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - 2),
+                    lambda i: F.struct(
+                        F.element_at(ws, i + 1).alias("a"),
+                        F.element_at(ws, i + 2).alias("b"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<a:string,b:string>>")
+            )
+        ).alias("g"),
+    ).select(id_col, "g.a", "g.b")
+
+    uni = unigram_model(df, text_col, id_col).localCheckpoint(eager=False)
+    bi = bigram_model(df, text_col, id_col).localCheckpoint(eager=False)
+    tot = uni.agg(
+        F.sum("cnt").cast("double").alias("_t"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    oml = 1.0 - lam
+    scored = (
+        stream
+        .join(F.broadcast(uni.withColumnRenamed("word", "a")
+                          .withColumnRenamed("cnt", "_ca")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("word", "b")
+                          .withColumnRenamed("cnt", "_cb")), "b")
+        .join(F.broadcast(bi.withColumnRenamed("cnt", "_cab")),
+              ["a", "b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            (-F.log(
+                F.lit(lam)
+                * (
+                    (F.coalesce(F.col("_cab"), F.lit(0)).cast("double")
+                     + 1.0)
+                    / (F.col("_ca").cast("double") + F.col("_v") + 1.0)
+                )
+                + F.lit(oml)
+                * (
+                    (F.col("_cb").cast("double") + 1.0)
+                    / (F.col("_t") + F.col("_v") + 1.0)
+                )
+            )).alias("_nll"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.avg("_nll").alias("_m"))
+        .select(
+            id_col,
+            F.floor(F.col("_m") * 1e6).cast("long").alias("nll_e6"),
+        )
+    )

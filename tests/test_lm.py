@@ -162,3 +162,21 @@ def test_token_budget_sample_tie_break_and_exact_fit(spark):
     kept = token_budget_sample(df, 4, priority_col="p").collect()
     # equal priority -> id ASC: docs 1, 2 fill exactly 4 tokens
     assert sorted(r["doc_id"] for r in kept) == [1, 2]
+
+
+def test_bigram_perplexity_orders_predictability(spark):
+    """A doc made of the corpus's dominant bigram chain scores lower
+    nll than a doc of rare transitions; single-word docs yield no row."""
+    from htmlcleanup_spark.operators.lm import bigram_perplexity
+
+    base = [(i, "the cat sat on the mat") for i in range(10)]
+    docs = base + [
+        (100, "the cat sat"),        # dominant transitions -> low nll
+        (101, "mat the on sat"),     # rare transitions -> higher nll
+        (102, "single"),             # no bigrams -> absent
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.nll_e6 for r in bigram_perplexity(df).collect()}
+    assert 102 not in out
+    assert out[100] < out[101]
+    assert all(v > 0 for v in out.values())
