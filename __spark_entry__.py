@@ -863,6 +863,34 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-url collapse over mirror groups: even docs carry a
+    rel=canonical link shared by their div-6 cohort, odd docs are their
+    own group; survivor = smallest url (no page owns the canonical)."""
+    from htmlcleanup_spark.functions.robots import canonical_collapse
+
+    d = _docs(spark, sf_dir)
+    canon = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("https://ex.com/c/"),
+                 F.expr("doc_id div 6").cast("string")),
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        F.concat(F.lit("http://m"), (F.col("doc_id") % 4).cast("string"),
+                 F.lit(".ex.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit("<html><head>"),
+            F.when(canon != "",
+                   F.concat(F.lit('<link rel="canonical" href="'),
+                            canon, F.lit('">')))
+             .otherwise(F.lit("")),
+            F.lit("</head></html>"),
+        ).alias("html"),
+    )
+    return canonical_collapse(pages)
+
+
 def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM perplexity self-trained on the corpus."""
     from htmlcleanup_spark.operators.lm import bigram_perplexity
@@ -1424,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_flags": q_robots_flags,
         "tfidf_terms": q_tfidf_terms,
         "gopher_rules": q_gopher_rules,
+        "canonical_collapse": q_canonical_collapse,
         "bigram_perplexity": q_bigram_perplexity,
         "vocab_stats": q_vocab_stats,
         "length_percentiles": q_length_percentiles,
@@ -2766,6 +2795,26 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle(),
         # tf-idf: same smoothed idf, quantize-then-rank tie-break
         "gopher_rules": _gopher_rules_oracle(),
+        "canonical_collapse": """
+            WITH p AS (SELECT doc_id,
+                'http://m' || CAST(doc_id % 4 AS VARCHAR) || '.ex.com/p/'
+                  || CAST(doc_id AS VARCHAR) AS url,
+                CASE WHEN doc_id % 2 = 0
+                     THEN 'https://ex.com/c/'
+                          || CAST(doc_id // 6 AS VARCHAR)
+                     ELSE '' END AS canon
+              FROM documents),
+            k AS (SELECT CASE WHEN canon <> '' THEN canon ELSE url END
+                    AS canonical_key, url
+                  FROM p),
+            r AS (SELECT canonical_key, url,
+                    row_number() OVER (PARTITION BY canonical_key
+                      ORDER BY (url = canonical_key) DESC, url ASC) AS rn,
+                    count(*) OVER (PARTITION BY canonical_key)
+                      AS n_folded
+                  FROM k)
+            SELECT canonical_key, url, n_folded FROM r WHERE rn = 1
+        """,
         # interpolated bigram LM: repr'd lam / (1-lam) literals, same
         # smoothing denominators and op order as operators/lm
         "bigram_perplexity": """

@@ -68,6 +68,7 @@ EXTENDED = [
     "dsir_weights",
     "normalize_text",
     "robots_flags",
+    "canonical_collapse",
     "tfidf_terms",
     "gopher_rules",
     "bigram_perplexity",

@@ -19,9 +19,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = ["robots_content", "robots_noindex", "robots_nofollow",
-           "canonical_url", "with_robots_flags"]
+           "canonical_url", "with_robots_flags", "canonical_collapse"]
 
 _META_ROBOTS = "(?i)<meta\\b[^>]*\\bname\\s*=\\s*[\"']?robots[\"']?[^>]*>"
 _LINK_CANON = "(?i)<link\\b[^>]*\\brel\\s*=\\s*[\"']?canonical[\"']?[^>]*>"
@@ -73,3 +74,37 @@ def with_robots_flags(df: DataFrame, html_col: str = "html") -> DataFrame:
         "nofollow": robots_nofollow(html_col),
         "canonical": canonical_url(html_col),
     })
+
+
+def canonical_collapse(df: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """Fold mirror/variant pages onto their rel=canonical target BEFORE
+    content dedup ever runs — the cheap url-level collapse that removes
+    the bulk of parameterized-url duplication without hashing a byte of
+    text.
+
+    Group key = the page's canonical href ('' -> its own url).  Within a
+    group the survivor is the page whose url IS the canonical target if
+    present, else the lexicographically smallest url (deterministic).
+    Returns one row per group: (canonical_key, url, n_folded).
+
+    One shuffle, keyed by canonical target; group sizes are mirror
+    counts (bounded per site), so no skew pathology — a viral page with
+    10^6 parameterized copies is exactly the row this exists to
+    collapse."""
+    canon = canonical_url(html_col)
+    key = F.when(canon != "", canon).otherwise(F.col(url_col))
+    w = Window.partitionBy("canonical_key").orderBy(
+        (F.col(url_col) == F.col("canonical_key")).desc(),
+        F.col(url_col).asc(),
+    )
+    return (
+        df.withColumn("canonical_key", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_folded",
+            F.count("*").over(Window.partitionBy("canonical_key")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("canonical_key", url_col, "n_folded")
+    )

@@ -28,3 +28,28 @@ def test_robots_directives_and_canonical(spark):
     assert out[5].canonical == "https://x.com/a"    # case + bare attrs
     assert out[6].canonical == "" and not out[6].noindex
     assert not out[7].noindex                       # token boundaries
+
+
+def test_canonical_collapse_groups_and_survivor(spark):
+    from htmlcleanup_spark.functions.robots import canonical_collapse
+
+    mk = ('<html><head><link rel="canonical" href="%s"></head></html>')
+    rows = [
+        # group c1: canonical page itself + 2 mirrors -> survivor = c1
+        ("https://s.com/c1", mk % "https://s.com/c1"),
+        ("https://m1.com/x", mk % "https://s.com/c1"),
+        ("https://m2.com/y", mk % "https://s.com/c1"),
+        # group c2: mirrors only -> smallest url survives
+        ("https://zz.com/b", mk % "https://s.com/c2"),
+        ("https://aa.com/a", mk % "https://s.com/c2"),
+        # no canonical: own group
+        ("https://solo.com/p", "<html><head></head></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r.canonical_key: r for r in canonical_collapse(df).collect()}
+
+    assert out["https://s.com/c1"].url == "https://s.com/c1"
+    assert out["https://s.com/c1"].n_folded == 3
+    assert out["https://s.com/c2"].url == "https://aa.com/a"
+    assert out["https://s.com/c2"].n_folded == 2
+    assert out["https://solo.com/p"].n_folded == 1
