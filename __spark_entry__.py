@@ -863,6 +863,41 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction over banded synthetic pages: messy-
+    whitespace titles, double/single-quoted meta descriptions, duplicate
+    h1s — the oracle states the expected normalized values directly."""
+    from htmlcleanup_spark.operators.content import page_metadata
+
+    d = _docs(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    meta = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<meta name="description" content="desc '),
+                        ds, F.lit('">')))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("<meta name=description content='single "),
+                       ds, F.lit("'>")))
+        .otherwise(F.lit(""))
+    )
+    h1s = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("<h1> H "), ds,
+                 F.lit(" </h1><h1>second</h1>")),
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title> T "), ds,
+            F.lit(" \n page </title>"), meta,
+            F.lit("</head><body>"), h1s, F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return page_metadata(pages).select(
+        "doc_id", "title", "meta_description", "n_h1", "first_h1"
+    )
+
+
 def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-url collapse over mirror groups: even docs carry a
     rel=canonical link shared by their div-6 cohort, odd docs are their
@@ -1452,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_flags": q_robots_flags,
         "tfidf_terms": q_tfidf_terms,
         "gopher_rules": q_gopher_rules,
+        "page_metadata": q_page_metadata,
         "canonical_collapse": q_canonical_collapse,
         "bigram_perplexity": q_bigram_perplexity,
         "vocab_stats": q_vocab_stats,
@@ -2795,6 +2831,20 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle(),
         # tf-idf: same smoothed idf, quantize-then-rank tie-break
         "gopher_rules": _gopher_rules_oracle(),
+        "page_metadata": """
+            SELECT doc_id,
+                   'T ' || CAST(doc_id AS VARCHAR) || ' page' AS title,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'desc ' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 3 = 1
+                        THEN 'single ' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS meta_description,
+                   CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS n_h1,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'H ' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS first_h1
+            FROM documents
+        """,
         "canonical_collapse": """
             WITH p AS (SELECT doc_id,
                 'http://m' || CAST(doc_id % 4 AS VARCHAR) || '.ex.com/p/'

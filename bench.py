@@ -69,6 +69,7 @@ EXTENDED = [
     "normalize_text",
     "robots_flags",
     "canonical_collapse",
+    "page_metadata",
     "tfidf_terms",
     "gopher_rules",
     "bigram_perplexity",

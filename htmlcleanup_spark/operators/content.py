@@ -38,3 +38,53 @@ def extract_main_content(df: DataFrame, html_col: str = "html",
             )
 
     return df.select(id_col, html_col).mapInPandas(run, MAIN_CONTENT_DDL)
+
+
+def page_metadata(df: DataFrame, html_col: str = "html"):
+    """Head-section metadata as pure JVM column regexps (the complement
+    of :func:`extract_main_content`'s DOM pass — zero Python, zero
+    shuffles, pipelined into the scan):
+
+    - ``title``: first ``<title>`` body, inner whitespace collapsed and
+      trimmed;
+    - ``meta_description``: content of ``<meta name="description">``
+      (quoting/order variants per functions/robots._attr);
+    - ``n_h1``: count of ``<h1`` open tags (multiple h1s = a structure
+      smell the quality filters use);
+    - ``first_h1``: first ``<h1>`` body, same normalization as title.
+
+    Regexes live in the Java∩RE2 dialect so the SQL oracle twin matches
+    byte for byte."""
+    from pyspark.sql import functions as F
+
+    c = F.col(html_col)
+
+    def _clean(x):
+        return F.trim(F.regexp_replace(x, "\\s+", " "))
+
+    title = _clean(F.regexp_extract(
+        c, "(?is)<title[^>]*>(.*?)</title>", 1
+    ))
+    meta_tag = F.regexp_extract(
+        c,
+        "(?i)<meta\\b[^>]*\\bname\\s*=\\s*[\"']?description[\"']?[^>]*>",
+        0,
+    )
+    desc = F.when(
+        F.regexp_extract(meta_tag, "(?i)\\bcontent\\s*=\\s*\"([^\"]*)\"",
+                         1) != "",
+        F.regexp_extract(meta_tag, "(?i)\\bcontent\\s*=\\s*\"([^\"]*)\"",
+                         1),
+    ).otherwise(
+        F.regexp_extract(meta_tag, "(?i)\\bcontent\\s*=\\s*'([^']*)'", 1)
+    )
+    n_h1 = F.size(F.split(F.lower(c), "<h1[ >]", -1)) - 1
+    first_h1 = _clean(F.regexp_extract(
+        c, "(?is)<h1[^>]*>(.*?)</h1>", 1
+    ))
+    return df.withColumns({
+        "title": title,
+        "meta_description": desc,
+        "n_h1": n_h1,
+        "first_h1": first_h1,
+    })

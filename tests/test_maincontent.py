@@ -89,3 +89,26 @@ def test_spark_operator(spark):
             int(row["doc_id"]))
         assert row["main_text"] == exp_text
         assert (row["n_blocks"], row["n_good"]) == (exp_blocks, exp_good)
+
+
+def test_page_metadata_extraction(spark):
+    """Title whitespace collapse, attr quoting variants, h1 counting."""
+    from htmlcleanup_spark.operators.content import page_metadata
+
+    rows = [
+        (0, "<html><head><title>  A\n  Big   Title </title>"
+            '<meta name="description" content="hello world">'
+            "</head><body><h1>First</h1><h2>x</h2><h1>Second</h1>"
+            "</body></html>"),
+        (1, "<head><META NAME=description content='single quoted'>"
+            "</head>"),
+        (2, "<body>no head at all</body>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r for r in page_metadata(df).collect()}
+
+    assert out[0].title == "A Big Title"
+    assert out[0].meta_description == "hello world"
+    assert out[0].n_h1 == 2 and out[0].first_h1 == "First"
+    assert out[1].meta_description == "single quoted"   # case + quotes
+    assert out[2].title == "" and out[2].n_h1 == 0
