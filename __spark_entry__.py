@@ -863,6 +863,28 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style context packing per shard (doc_id % 8), seq_len=512:
+    concatenate-then-chunk assignment of every document's first token."""
+    from htmlcleanup_spark.operators.sample import pack_sequences
+
+    d = _docs(spark, sf_dir).withColumn(
+        "shard", F.col("doc_id") % 8
+    )
+    return pack_sequences(d, seq_len=512, shard_col="shard")
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion corpus mixing: 50/30/20 over three sources at
+    the largest total the pool supports; md5-smallest selection."""
+    from htmlcleanup_spark.operators.sample import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    )
+
+
 def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head-metadata extraction over banded synthetic pages: messy-
     whitespace titles, double/single-quoted meta descriptions, duplicate
@@ -1487,6 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_flags": q_robots_flags,
         "tfidf_terms": q_tfidf_terms,
         "gopher_rules": q_gopher_rules,
+        "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
         "page_metadata": q_page_metadata,
         "canonical_collapse": q_canonical_collapse,
         "bigram_perplexity": q_bigram_perplexity,
@@ -2831,6 +2855,43 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle(),
         # tf-idf: same smoothed idf, quantize-then-rank tie-break
         "gopher_rules": _gopher_rules_oracle(),
+        # window sum of BIGINT is HUGEINT in DuckDB -> cast before div
+        "pack_sequences": """
+            WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+                              len(string_split(text, ' ')) AS nt
+                       FROM documents),
+            c AS (SELECT shard, doc_id, nt,
+                     CAST(coalesce(sum(nt) OVER (PARTITION BY shard
+                        ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+                  FROM d)
+            SELECT shard, doc_id, CAST(nt AS INT) AS n_tokens,
+                   cum // 512 AS seq_id, cum % 512 AS offset
+            FROM c
+        """,
+        "mixture_sample": """
+            WITH c AS (SELECT source, count(*) AS n FROM documents
+                       WHERE source IN ('src0', 'src1', 'src2')
+                       GROUP BY source),
+            t AS (SELECT min(CAST(floor(CAST(n AS DOUBLE) / w)
+                              AS BIGINT)) AS t
+                  FROM (SELECT n, CASE source
+                           WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                           WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                           ELSE CAST(0.2 AS DOUBLE) END AS w
+                        FROM c)),
+            r AS (SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR))
+                         ASC, doc_id ASC) AS rk
+                  FROM documents
+                  WHERE source IN ('src0', 'src1', 'src2'))
+            SELECT doc_id, source FROM r, t
+            WHERE rk <= CAST(floor(CASE source
+                    WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                    WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                    ELSE CAST(0.2 AS DOUBLE) END * t.t) AS BIGINT)
+        """,
         "page_metadata": """
             SELECT doc_id,
                    'T ' || CAST(doc_id AS VARCHAR) || ' page' AS title,

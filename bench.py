@@ -70,6 +70,8 @@ EXTENDED = [
     "robots_flags",
     "canonical_collapse",
     "page_metadata",
+    "pack_sequences",
+    "mixture_sample",
     "tfidf_terms",
     "gopher_rules",
     "bigram_perplexity",

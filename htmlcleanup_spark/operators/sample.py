@@ -125,3 +125,105 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget_tokens)
     )
+
+
+def pack_sequences(df: DataFrame, seq_len: int = 2048,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   shard_col: str | None = None) -> DataFrame:
+    """GPT-style training-sequence packing: concatenate documents in
+    (shard, id) order and cut the token stream into fixed ``seq_len``
+    windows.  Returns per document (shard, id, n_tokens, seq_id,
+    offset): the sequence its FIRST token lands in and the offset
+    within it — exactly what a loader needs to materialize packed
+    examples (a document spanning a boundary continues into seq_id+1,
+    the concatenate-then-chunk semantics of GPT/Pile training).
+
+    All integer arithmetic over one running-sum window.  With
+    ``shard_col`` (the corpus-scale path) packing is per shard — the
+    window partitions by shard, so the shuffle is shard-keyed and
+    shards pack in parallel, trading a per-shard partial final
+    sequence for a scale-free plan; without it the window is a global
+    total order (validation scale only, like token_budget_sample)."""
+    from pyspark.sql.window import Window
+
+    toks = F.size(F.split(F.col(text_col), " "))
+    if shard_col is not None:
+        w = Window.partitionBy(shard_col).orderBy(F.col(id_col).asc())
+        cols = [shard_col, id_col]
+    else:
+        w = Window.orderBy(F.col(id_col).asc())
+        cols = [id_col]
+    base = df.select(*cols, toks.alias("n_tokens"))
+    cum_prev = F.coalesce(
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return base.select(
+        *cols, "n_tokens",
+        cum_prev.alias("_cum"),
+    ).select(
+        *cols, "n_tokens",
+        F.expr("_cum div %d" % seq_len).alias("seq_id"),
+        (F.col("_cum") % seq_len).alias("offset"),
+    )
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   salt: str = "mix") -> DataFrame:
+    """Deterministic corpus mixing: select per-source subsets whose
+    sizes realize the target ``weights`` EXACTLY (to floor rounding),
+    at the largest total the pool supports:
+
+        T = min over s of floor(n_s / w_s);   take_s = floor(w_s * T)
+
+    Within a source the selection is the md5-smallest documents — the
+    repo's seedless uniform sample, so re-runs and the SQL twin pick
+    identical rows.
+
+    Scale: source counts are a map-combined aggregate (broadcast back);
+    ranking is one window keyed by source — the same single-shuffle
+    shape as domain_caps, with AQE's skew split covering a dominant
+    source."""
+    from pyspark.sql.window import Window
+
+    srcs = sorted(weights)
+    counts = (
+        df.groupBy(source_col).agg(F.count("*").alias("_n"))
+        .filter(F.col(source_col).isin(srcs))
+    )
+    # T = min_s floor(n_s / w_s) — computed relationally (1-row agg)
+    t_expr = counts.select(
+        F.min(
+            F.floor(
+                F.col("_n").cast("double")
+                / F.coalesce(
+                    *[
+                        F.when(F.col(source_col) == s, F.lit(weights[s]))
+                        for s in srcs
+                    ]
+                )
+            ).cast("long")
+        ).alias("_t")
+    )
+    rk = Window.partitionBy(source_col).orderBy(
+        F.md5(F.concat_ws(":", F.lit(salt),
+                          F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    )
+    take = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s,
+                   F.floor(F.lit(weights[s]) * F.col("_t")).cast("long"))
+            for s in srcs
+        ]
+    )
+    return (
+        df.filter(F.col(source_col).isin(srcs))
+        .withColumn("_rk", F.row_number().over(rk))
+        .crossJoin(F.broadcast(t_expr))
+        .filter(F.col("_rk") <= take)
+        .select(id_col, source_col)
+    )

@@ -90,3 +90,51 @@ def test_crawl_diff_on_bucketed_snapshots_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP TABLE IF EXISTS t_snap_old")
         spark.sql("DROP TABLE IF EXISTS t_snap_new")
+
+
+def test_pack_sequences_boundaries(spark):
+    """Concatenate-then-chunk: seq/offset from the running token sum;
+    per-shard packing restarts the stream."""
+    from pyspark.sql import functions as F
+
+    from htmlcleanup_spark.operators.sample import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pack_sequences(df, seq_len=10).collect()}
+    # cum prefix: 0,3,7,12,19,25
+    assert [(out[i].seq_id, out[i].offset) for i in range(6)] == [
+        (0, 0), (0, 3), (0, 7), (1, 2), (1, 8), (2, 5)
+    ]
+
+    sharded = pack_sequences(
+        df.withColumn("shard", F.col("doc_id") % 2),
+        seq_len=10, shard_col="shard",
+    )
+    s = {(r.shard, r.doc_id): (r.seq_id, r.offset)
+         for r in sharded.collect()}
+    # shard 0: docs 0,2,4 (3,5,7 toks) -> cums 0,3,8
+    assert s[(0, 0)] == (0, 0) and s[(0, 2)] == (0, 3)
+    assert s[(0, 4)] == (0, 8)
+
+
+def test_mixture_sample_exact_proportions(spark):
+    from htmlcleanup_spark.operators.sample import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 60 else ("b" if i < 90 else "c"))
+         for i in range(100)],
+        "doc_id long, source string",
+    )
+    # n = 60/30/10; weights .5/.3/.2 -> T = min(120, 100, 50) = 50
+    out = mixture_sample(df, {"a": 0.5, "b": 0.3, "c": 0.2})
+    got = {r["source"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["source"]] += 1
+    assert got == {"a": 25, "b": 15, "c": 10}
+    # deterministic: same rows on re-run
+    again = {(r.doc_id) for r in
+             mixture_sample(df, {"a": 0.5, "b": 0.3, "c": 0.2}).collect()}
+    assert again == {r.doc_id for r in out.collect()}
