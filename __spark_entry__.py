@@ -863,6 +863,39 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt evaluation end-to-end: parse grouped
+    User-agent files relationally, longest-match allow/disallow with
+    allow-on-tie, no-match-allows.  Even hosts disallow /private but
+    re-allow /private/ok; odd hosts have no '*' group.  The oracle
+    states the expected verdict per band (independent derivation); the
+    parser itself is unit-pinned."""
+    from htmlcleanup_spark.operators.crawl import (
+        parse_robots_rules, robots_allowed,
+    )
+
+    d = _docs(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+            .alias("host"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/private/x"), ds))
+         .when(F.col("doc_id") % 3 == 1,
+               F.concat(F.lit("/private/ok/"), ds))
+         .otherwise(F.concat(F.lit("/pub/"), ds)).alias("path"),
+    )
+    even_txt = ("User-agent: *\nDisallow: /private\n"
+                "Allow: /private/ok\nUser-agent: bot\nDisallow: /")
+    odd_txt = "User-agent: bot\nDisallow: /"
+    robots = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.when(F.col("id") % 2 == 0, F.lit(even_txt))
+         .otherwise(F.lit(odd_txt)).alias("robots_txt"),
+    )
+    return robots_allowed(pages, parse_robots_rules(robots))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style context packing per shard (doc_id % 8), seq_len=512:
     concatenate-then-chunk assignment of every document's first token."""
@@ -1509,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_flags": q_robots_flags,
         "tfidf_terms": q_tfidf_terms,
         "gopher_rules": q_gopher_rules,
+        "robots_txt": q_robots_txt,
         "pack_sequences": q_pack_sequences,
         "mixture_sample": q_mixture_sample,
         "page_metadata": q_page_metadata,
@@ -2855,6 +2889,20 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle(),
         # tf-idf: same smoothed idf, quantize-then-rank tie-break
         "gopher_rules": _gopher_rules_oracle(),
+        # robots.txt verdicts stated per band: only even hosts have a
+        # '*' group, and only their /private/x band is disallowed
+        "robots_txt": """
+            SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 3 = 1
+                        THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+                        ELSE '/pub/' || CAST(doc_id AS VARCHAR)
+                   END AS path,
+                   NOT ((doc_id % 10) % 2 = 0 AND doc_id % 3 = 0)
+                     AS allowed
+            FROM documents
+        """,
         # window sum of BIGINT is HUGEINT in DuckDB -> cast before div
         "pack_sequences": """
             WITH d AS (SELECT doc_id, doc_id % 8 AS shard,

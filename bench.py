@@ -70,6 +70,7 @@ EXTENDED = [
     "robots_flags",
     "canonical_collapse",
     "page_metadata",
+    "robots_txt",
     "pack_sequences",
     "mixture_sample",
     "tfidf_terms",

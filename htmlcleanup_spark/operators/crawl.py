@@ -88,3 +88,88 @@ def crawl_frontier(outlinks: DataFrame, crawled: DataFrame,
             "left_anti",
         )
     )
+
+
+def parse_robots_rules(robots: DataFrame, host_col: str = "host",
+                       txt_col: str = "robots_txt") -> DataFrame:
+    """Parse per-host robots.txt bodies into (host, is_allow, prefix,
+    rule_len) rows for the ``User-agent: *`` group — RFC 9309's
+    grouped format expressed relationally: explode lines, carry the
+    most recent User-agent header forward with a last-IGNORE-NULLS
+    window (one host-keyed shuffle), keep Allow/Disallow lines whose
+    governing agent is ``*``.  Literal path prefixes (the overwhelming
+    real-world case); empty Disallow (allow-all) rows drop out
+    naturally as zero-length prefixes are filtered."""
+    from pyspark.sql.window import Window
+
+    lines = robots.select(
+        host_col,
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
+    ).select(
+        host_col, "pos", F.trim(F.col("line")).alias("line")
+    )
+    ua = F.when(
+        F.lower(F.col("line")).startswith("user-agent:"),
+        F.trim(F.substring(F.col("line"), 12, 10_000)),
+    )
+    w = Window.partitionBy(host_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tagged = lines.select(
+        host_col, "line",
+        F.last(ua, ignorenulls=True).over(w).alias("cur_ua"),
+    )
+    rule = F.when(
+        F.lower(F.col("line")).startswith("allow:"), F.lit(True)
+    ).when(
+        F.lower(F.col("line")).startswith("disallow:"), F.lit(False)
+    )
+    prefix = F.when(
+        F.lower(F.col("line")).startswith("allow:"),
+        F.trim(F.substring(F.col("line"), 7, 10_000)),
+    ).otherwise(F.trim(F.substring(F.col("line"), 10, 10_000)))
+    return (
+        tagged.filter(F.col("cur_ua") == "*")
+        .select(
+            host_col,
+            rule.alias("is_allow"),
+            prefix.alias("prefix"),
+        )
+        .filter(F.col("is_allow").isNotNull() & (F.col("prefix") != ""))
+        .withColumn("rule_len", F.length("prefix"))
+    )
+
+
+def robots_allowed(pages: DataFrame, rules: DataFrame,
+                   host_col: str = "host",
+                   path_col: str = "path") -> DataFrame:
+    """Evaluate crawlability per page under the longest-match rule
+    (RFC 9309 / Google semantics: the longest matching prefix decides;
+    on equal length Allow wins; no matching rule means allowed).
+
+    One equi-join on host (the per-host rule set is small — broadcast
+    when the robots table fits, AQE otherwise) with the startswith
+    predicate as the join filter, then a page-keyed max(struct(len,
+    is_allow)) — struct ordering gives both longest-match and the
+    allow-on-tie rule for free."""
+    j = pages.join(
+        rules,
+        (pages[host_col] == rules[host_col])
+        & F.col(path_col).startswith(F.col("prefix")),
+        "left",
+    ).select(
+        pages[host_col].alias("host"), F.col(path_col),
+        F.when(
+            F.col("rule_len").isNotNull(),
+            F.struct(F.col("rule_len"), F.col("is_allow")),
+        ).alias("_m"),
+    )
+    return (
+        j.groupBy("host", path_col)
+        .agg(F.max("_m").alias("_best"))
+        .select(
+            "host", path_col,
+            F.coalesce(F.col("_best.is_allow"), F.lit(True))
+                .alias("allowed"),
+        )
+    )

@@ -138,3 +138,43 @@ def test_mixture_sample_exact_proportions(spark):
     again = {(r.doc_id) for r in
              mixture_sample(df, {"a": 0.5, "b": 0.3, "c": 0.2}).collect()}
     assert again == {r.doc_id for r in out.collect()}
+
+
+def test_robots_txt_parse_and_longest_match(spark):
+    """Grouped UA parsing, longest-match, allow-on-tie, no-match-allows,
+    case-insensitive directives."""
+    from htmlcleanup_spark.operators.crawl import (
+        parse_robots_rules, robots_allowed,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: bot\nDisallow: /\n"
+             "USER-AGENT: *\ndisallow: /priv\nAllow: /priv/pub\n"
+             "Disallow: /tie\nallow: /tie"),   # equal length -> allow
+            ("b.com", "User-agent: googlebot\nDisallow: /"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots)
+    got = {(r.host, r.prefix, r.is_allow) for r in rules.collect()}
+    # only the '*' group of a.com survives; b.com has no '*' group
+    assert got == {("a.com", "/priv", False),
+                   ("a.com", "/priv/pub", True),
+                   ("a.com", "/tie", False),
+                   ("a.com", "/tie", True)}
+
+    pages = spark.createDataFrame(
+        [("a.com", "/priv/x"), ("a.com", "/priv/pub/y"),
+         ("a.com", "/tie"), ("a.com", "/open"),
+         ("b.com", "/anything")],
+        "host string, path string",
+    )
+    out = {(r.host, r.path): r.allowed
+           for r in robots_allowed(pages, rules).collect()}
+    assert out[("a.com", "/priv/x")] is False       # blocked prefix
+    assert out[("a.com", "/priv/pub/y")] is True    # longer allow wins
+    assert out[("a.com", "/tie")] is True           # tie -> allow
+    assert out[("a.com", "/open")] is True          # no rule matches
+    assert out[("b.com", "/anything")] is True      # no '*' group
