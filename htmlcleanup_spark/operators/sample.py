@@ -93,7 +93,8 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
                         priority_col: str = "n_chars",
                         id_col: str = "doc_id",
                         token_col: str | None = None,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        stratum_col: str | None = None) -> DataFrame:
     """Select documents to fill a token budget: order by (priority DESC,
     id ASC) and keep the prefix whose RUNNING token total stays within
     ``budget_tokens`` (the data-mixing step "give me the best N-billion
@@ -103,8 +104,12 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
     AND INCLUDING it is <= budget, so the selection is a deterministic
     function of the total order — retry-stable and engine-independent.
 
-    One global window at this granularity (fine to ~10^8 docs).  At
-    corpus scale, run per-stratum (partitionBy source) or pre-cut with a
+    ``stratum_col`` is the corpus-scale path: the budget applies PER
+    STRATUM (each source gets ``budget_tokens`` of its own) and the
+    window partitions by the stratum, so the shuffle is stratum-keyed
+    and no single task ever sorts the whole corpus.  Without it the
+    window is one global total order — validation scale only (fine to
+    ~10^8 docs); at corpus scale either stratify or pre-cut with a
     priority threshold from approxQuantile and budget only the boundary
     stratum — the operator composes unchanged.
 
@@ -117,7 +122,12 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
         if token_col is not None
         else F.size(F.split(F.col(text_col), " "))
     )
-    w = Window.orderBy(
+    base_w = (
+        Window.partitionBy(stratum_col)
+        if stratum_col is not None
+        else Window
+    )
+    w = base_w.orderBy(
         F.col(priority_col).desc(), F.col(id_col).asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
@@ -172,46 +182,86 @@ def pack_sequences(df: DataFrame, seq_len: int = 2048,
 
 def mixture_sample(df: DataFrame, weights: dict[str, float],
                    source_col: str = "source", id_col: str = "doc_id",
-                   salt: str = "mix") -> DataFrame:
+                   salt: str = "mix",
+                   bucket_nibbles: int = 2) -> DataFrame:
     """Deterministic corpus mixing: select per-source subsets whose
     sizes realize the target ``weights`` EXACTLY (to floor rounding),
     at the largest total the pool supports:
 
         T = min over s of floor(n_s / w_s);   take_s = floor(w_s * T)
 
+    A weights-listed source with ZERO pool rows yields T = 0 and an
+    empty result (the promised proportions are unrealizable), never a
+    silently re-proportioned sample.
+
     Within a source the selection is the md5-smallest documents — the
     repo's seedless uniform sample, so re-runs and the SQL twin pick
     identical rows.
 
-    Scale: source counts are a map-combined aggregate (broadcast back);
-    ranking is one window keyed by source — the same single-shuffle
-    shape as domain_caps, with AQE's skew split covering a dominant
-    source."""
+    Scale: a mixture has FEW sources (3-10), so a rank window keyed by
+    source alone is a giant-partition scale-killer at 10^12 rows (and
+    AQE cannot split WINDOW partitions — its skew handling covers
+    joins/rebalance only).  Instead the global per-source rank is
+    assembled from a two-level bucketed rank, exactly:
+
+      bucket   = first ``bucket_nibbles`` hex chars of the md5 key
+                 (lexicographic on the key, so every key in bucket b
+                 sorts before every key in bucket b+1);
+      local    = row_number within (source, bucket) — 16^nibbles-way
+                 split of each source's window partition;
+      offset   = rows in the source's smaller buckets (a per-source
+                 running sum over the TINY (source, bucket) count
+                 table, broadcast back);
+      rank     = offset + local  — identical to the single-window rank.
+
+    Big-data shuffles are all keyed (source, bucket): the count groupBy
+    (map-combined, 16^nibbles rows per source out) and the rank window.
+    Raise ``bucket_nibbles`` to 4 (65536 buckets) at corpus scale so a
+    dominant source's window partitions stay ~n_s/65536 rows."""
     from pyspark.sql.window import Window
 
     srcs = sorted(weights)
-    counts = (
-        df.groupBy(source_col).agg(F.count("*").alias("_n"))
-        .filter(F.col(source_col).isin(srcs))
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(weights[s])) for s in srcs], "_src string, _w double"
     )
-    # T = min_s floor(n_s / w_s) — computed relationally (1-row agg)
-    t_expr = counts.select(
-        F.min(
+    key = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    pool = (
+        df.filter(F.col(source_col).isin(srcs))
+        .withColumn("_mx_key", key)
+        .withColumn("_mx_bkt", F.substring("_mx_key", 1, bucket_nibbles))
+    )
+    # tiny side tables: per-(source, bucket) counts -> per-source offsets
+    # and totals; a weights-listed source absent from the pool keeps a
+    # 0 count via the LEFT join from the weights table.
+    bcounts = pool.groupBy(source_col, "_mx_bkt").agg(
+        F.count("*").alias("_bn")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("_mx_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.select(
+        source_col, "_mx_bkt",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_mx_off"),
+    )
+    counts = bcounts.groupBy(source_col).agg(F.sum("_bn").alias("_n"))
+    # T = min_s floor(n_s / w_s) over ALL weighted sources (1-row agg)
+    t_expr = (
+        wdf.join(counts, wdf["_src"] == counts[source_col], "left")
+        .select(
             F.floor(
-                F.col("_n").cast("double")
-                / F.coalesce(
-                    *[
-                        F.when(F.col(source_col) == s, F.lit(weights[s]))
-                        for s in srcs
-                    ]
-                )
-            ).cast("long")
-        ).alias("_t")
+                F.coalesce(F.col("_n"), F.lit(0)).cast("double")
+                / F.col("_w")
+            ).cast("long").alias("_cap")
+        )
+        .agg(F.min("_cap").alias("_t"))
     )
-    rk = Window.partitionBy(source_col).orderBy(
-        F.md5(F.concat_ws(":", F.lit(salt),
-                          F.col(id_col).cast("string"))).asc(),
-        F.col(id_col).asc(),
+    rk_local = Window.partitionBy(source_col, "_mx_bkt").orderBy(
+        F.col("_mx_key").asc(), F.col(id_col).asc()
     )
     take = F.coalesce(
         *[
@@ -221,9 +271,9 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
         ]
     )
     return (
-        df.filter(F.col(source_col).isin(srcs))
-        .withColumn("_rk", F.row_number().over(rk))
+        pool.withColumn("_rk_local", F.row_number().over(rk_local))
+        .join(F.broadcast(offsets), [source_col, "_mx_bkt"])
         .crossJoin(F.broadcast(t_expr))
-        .filter(F.col("_rk") <= take)
+        .filter(F.col("_mx_off") + F.col("_rk_local") <= take)
         .select(id_col, source_col)
     )

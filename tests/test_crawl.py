@@ -178,3 +178,123 @@ def test_robots_txt_parse_and_longest_match(spark):
     assert out[("a.com", "/tie")] is True           # tie -> allow
     assert out[("a.com", "/open")] is True          # no rule matches
     assert out[("b.com", "/anything")] is True      # no '*' group
+
+
+def test_mixture_sample_matches_single_window_rank(spark):
+    """The two-level bucketed rank must pick EXACTLY the md5-smallest
+    take_s docs per source — verified against a brute-force Python
+    replica of the (md5 key, id) total order."""
+    import hashlib
+
+    from htmlcleanup_spark.operators.sample import mixture_sample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, {"a": 0.7, "b": 0.3}, salt="mix")
+    got = {r.source: set() for r in out.collect()}
+    for r in out.collect():
+        got[r.source].add(r.doc_id)
+
+    # brute force: T = min(floor(200/.7), floor(100/.3)) = 285
+    by_src = {"a": [], "b": []}
+    for i, s in rows:
+        k = hashlib.md5(("mix:%d" % i).encode()).hexdigest()
+        by_src[s].append((k, i))
+    t = min(int(200 / 0.7), int(100 / 0.3))
+    for s, w in (("a", 0.7), ("b", 0.3)):
+        take = int(w * t)
+        want = {i for _, i in sorted(by_src[s])[:take]}
+        assert got[s] == want, s
+
+
+def test_mixture_sample_zero_row_source_yields_empty(spark):
+    """A weights-listed source with no pool rows makes the promised
+    proportions unrealizable: T = 0 and the result is EMPTY, never a
+    silently re-proportioned sample."""
+    from htmlcleanup_spark.operators.sample import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(50)], "doc_id long, source string"
+    )
+    out = mixture_sample(df, {"a": 0.5, "ghost": 0.5})
+    assert out.count() == 0
+
+
+def test_mixture_sample_window_is_bucketed_not_per_source(spark):
+    """Scale gate: the rank window must partition by (source, bucket),
+    never by source alone — AQE cannot split a skewed WINDOW partition,
+    so a per-source window would put a dominant source's 10^11 rows in
+    one task.  Checked on the physical plan + actual group sizes."""
+    from pyspark.sql import functions as F
+
+    from htmlcleanup_spark.operators.sample import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(df, {"big": 0.9, "small": 0.1})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_mx_bkt" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "_mx_bkt" in line, line
+    # no (source, bucket) group carries a source's full row count
+    sizes = (
+        df.withColumn(
+            "_b",
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("mix"),
+                                  F.col("doc_id").cast("string"))), 1, 2
+            ),
+        )
+        .groupBy("source", "_b").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert sizes < 900
+
+
+def test_pack_sequences_sharded_plan_has_no_global_window(spark):
+    """Corpus-path gate: with shard_col the window is shard-keyed — the
+    plan must not contain the SinglePartition exchange a global
+    Window.orderBy() compiles to (and the global path must, so the gate
+    is load-bearing)."""
+    from pyspark.sql import functions as F
+
+    from htmlcleanup_spark.operators.sample import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w w w") for i in range(8)], "doc_id long, text string"
+    ).withColumn("shard", F.col("doc_id") % 2)
+    sharded = pack_sequences(df, seq_len=4, shard_col="shard")
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    glob = pack_sequences(df, seq_len=4)
+    gplan = glob._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in gplan
+
+
+def test_token_budget_stratified_semantics_and_plan(spark):
+    """Per-stratum budget: each stratum fills its own budget_tokens
+    prefix; the window shuffle is stratum-keyed (no SinglePartition)."""
+    from htmlcleanup_spark.operators.sample import token_budget_sample
+
+    df = spark.createDataFrame(
+        [
+            # (id, stratum, priority, text) — 3 tokens per doc
+            (1, "s1", 9, "a b c"),
+            (2, "s1", 8, "a b c"),
+            (3, "s1", 7, "a b c"),
+            (4, "s2", 9, "a b c"),
+            (5, "s2", 1, "a b c"),
+        ],
+        "doc_id long, src string, prio int, text string",
+    )
+    out = token_budget_sample(
+        df, 6, priority_col="prio", stratum_col="src"
+    )
+    kept = {(r.src, r.doc_id) for r in out.collect()}
+    # 6-token budget per stratum = top-2 docs of s1, both docs of s2
+    assert kept == {("s1", 1), ("s1", 2), ("s2", 4), ("s2", 5)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
