@@ -865,11 +865,14 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots.txt evaluation end-to-end: parse grouped
-    User-agent files relationally, longest-match allow/disallow with
-    allow-on-tie, no-match-allows.  Even hosts disallow /private but
-    re-allow /private/ok; odd hosts have no '*' group.  The oracle
-    states the expected verdict per band (independent derivation); the
-    parser itself is unit-pinned."""
+    User-agent files relationally (comments stripped, consecutive
+    User-agent lines binding one group, MUST-level '*'/'$' wildcards),
+    longest-match allow/disallow with allow-on-tie, no-match-allows.
+    Even hosts' '*' group (headed by a multi-UA block listing '*'
+    FIRST) disallows /private with a trailing comment, re-allows
+    /private/ok, and wildcard-blocks '/*.tmp$'; odd hosts have no '*'
+    group.  The oracle states the expected verdict per band
+    (independent derivation); the parser itself is unit-pinned."""
     from htmlcleanup_spark.operators.crawl import (
         parse_robots_rules, robots_allowed,
     )
@@ -879,14 +882,19 @@ def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select(
         F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
             .alias("host"),
-        F.when(F.col("doc_id") % 3 == 0,
+        F.when(F.col("doc_id") % 4 == 0,
                F.concat(F.lit("/private/x"), ds))
-         .when(F.col("doc_id") % 3 == 1,
+         .when(F.col("doc_id") % 4 == 1,
                F.concat(F.lit("/private/ok/"), ds))
+         .when(F.col("doc_id") % 4 == 2,
+               F.concat(F.lit("/t/"), ds, F.lit(".tmp")))
          .otherwise(F.concat(F.lit("/pub/"), ds)).alias("path"),
     )
-    even_txt = ("User-agent: *\nDisallow: /private\n"
-                "Allow: /private/ok\nUser-agent: bot\nDisallow: /")
+    even_txt = ("User-agent: *\nUser-agent: otherbot\n"
+                "Disallow: /private  # staff only\n"
+                "Allow: /private/ok\n"
+                "Disallow: /*.tmp$\n"
+                "User-agent: bot\nDisallow: /")
     odd_txt = "User-agent: bot\nDisallow: /"
     robots = spark.range(10).select(
         F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
@@ -1368,7 +1376,7 @@ def q_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from htmlcleanup_spark.operators.dedup import host_line_dedup
 
     moji = " café — naïve «quote»".encode("utf-8").decode("cp1252")
-    nfd = " café naïve"   # decomposed: base + combining marks
+    nfd = " cafe\u0301 nai\u0308ve"  # decomposed: base + combining marks
     ctl = " bad\x01ctl\x07here"
 
     d = _docs(spark, sf_dir)
@@ -2891,15 +2899,20 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _gopher_rules_oracle(),
         # robots.txt verdicts stated per band: only even hosts have a
         # '*' group, and only their /private/x band is disallowed
+        # bands: 0 = /private/x (comment-stripped literal disallow),
+        # 2 = /t/N.tmp ('/*.tmp$' wildcard disallow); 1 and 3 allowed;
+        # odd hosts have no '*' group -> everything allowed
         "robots_txt": """
             SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
-                   CASE WHEN doc_id % 3 = 0
+                   CASE WHEN doc_id % 4 = 0
                         THEN '/private/x' || CAST(doc_id AS VARCHAR)
-                        WHEN doc_id % 3 = 1
+                        WHEN doc_id % 4 = 1
                         THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 4 = 2
+                        THEN '/t/' || CAST(doc_id AS VARCHAR) || '.tmp'
                         ELSE '/pub/' || CAST(doc_id AS VARCHAR)
                    END AS path,
-                   NOT ((doc_id % 10) % 2 = 0 AND doc_id % 3 = 0)
+                   NOT ((doc_id % 10) % 2 = 0 AND doc_id % 4 IN (0, 2))
                      AS allowed
             FROM documents
         """,

@@ -40,9 +40,17 @@ def _attr(tag: Column, name: str) -> Column:
 
 
 def robots_content(html_col: str = "html") -> Column:
-    """Lowercased content of the first robots meta tag ('' if absent)."""
-    tag = F.regexp_extract(F.col(html_col), _META_ROBOTS, 0)
-    return F.lower(_attr(tag, "content"))
+    """Lowercased contents of ALL robots meta tags, comma-joined ('' if
+    absent).  Pages can carry several robots meta tags and the published
+    Google/Bing semantics are most-restrictive-wins — since every
+    directive we evaluate (noindex/nofollow/none) is an opt-OUT, ORing
+    the token test across all tags (one joined token list) implements
+    exactly that; a later ``noindex`` is never ignored."""
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(_META_ROBOTS), F.lit(0)
+    )
+    contents = F.transform(tags, lambda t: _attr(t, "content"))
+    return F.lower(F.array_join(contents, ","))
 
 
 def _has_token(content: Column, token: str) -> Column:

@@ -91,52 +91,110 @@ def crawl_frontier(outlinks: DataFrame, crawled: DataFrame,
 
 
 def parse_robots_rules(robots: DataFrame, host_col: str = "host",
-                       txt_col: str = "robots_txt") -> DataFrame:
+                       txt_col: str = "robots_txt",
+                       agent: str = "*") -> DataFrame:
     """Parse per-host robots.txt bodies into (host, is_allow, prefix,
-    rule_len) rows for the ``User-agent: *`` group — RFC 9309's
-    grouped format expressed relationally: explode lines, carry the
-    most recent User-agent header forward with a last-IGNORE-NULLS
-    window (one host-keyed shuffle), keep Allow/Disallow lines whose
-    governing agent is ``*``.  Literal path prefixes (the overwhelming
-    real-world case); empty Disallow (allow-all) rows drop out
-    naturally as zero-length prefixes are filtered."""
+    rule_len, anchored, has_wild, pattern) rows governing ``agent`` —
+    RFC 9309's grouped format expressed relationally:
+
+    - ``#`` comments are stripped to end-of-line BEFORE any matching
+      (a ``Disallow: /private  # staff`` rule governs ``/private``).
+    - A group's start-of-group header is EVERY consecutive User-agent
+      line (RFC 9309 §2.1): group ids come from a running sum of
+      "User-agent line not preceded by another User-agent line" (one
+      host-keyed window), rules join their group, and a group governs
+      ``agent`` when ANY of its User-agent lines names it — so
+      ``User-agent: *`` followed by ``User-agent: bot`` binds both.
+    - Most-specific-agent precedence: when a host has a group naming
+      ``agent`` exactly (case-insensitive), its ``*`` groups are
+      ignored for that agent; with the default ``agent='*'`` the two
+      sets coincide.
+    - The MUST-level ``*`` / ``$`` wildcards are translated to a match
+      predicate: ``has_wild`` rules carry an anchored Java regex in
+      ``pattern`` (specials escaped, ``*`` -> ``.*``); a trailing
+      ``$`` sets ``anchored`` (exact-match for literal rules).
+      ``rule_len`` is the octet length of the raw rule text including
+      wildcard characters — the RFC's specificity order.
+
+    Empty Disallow (allow-all) rows drop out naturally as zero-length
+    paths are filtered.  One host-keyed shuffle for the group-id
+    window; everything else is column expressions."""
     from pyspark.sql.window import Window
 
     lines = robots.select(
         host_col,
-        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
     ).select(
-        host_col, "pos", F.trim(F.col("line")).alias("line")
+        host_col, "pos",
+        # comments strip to EOL, then trim — RFC 9309 §2.2.4
+        F.trim(F.regexp_replace(F.col("raw"), "#.*", "")).alias("line"),
     )
-    ua = F.when(
-        F.lower(F.col("line")).startswith("user-agent:"),
-        F.trim(F.substring(F.col("line"), 12, 10_000)),
-    )
-    w = Window.partitionBy(host_col).orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    low = F.lower(F.col("line"))
+    is_ua = low.startswith("user-agent:")
+    w_host = Window.partitionBy(host_col).orderBy("pos")
+    prev_ua = F.lag(is_ua, 1, False).over(w_host)
+    grp = F.sum(
+        F.when(is_ua & ~F.coalesce(prev_ua, F.lit(False)), 1).otherwise(0)
+    ).over(
+        w_host.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tagged = lines.select(
-        host_col, "line",
-        F.last(ua, ignorenulls=True).over(w).alias("cur_ua"),
+        host_col, "line", is_ua.alias("_is_ua"), grp.alias("_grp")
+    ).filter(F.col("_grp") > 0)
+
+    ua_token = F.lower(F.trim(F.substring(F.col("line"), 12, 10_000)))
+    uas = tagged.filter("_is_ua").select(
+        host_col, "_grp", ua_token.alias("_ua")
     )
-    rule = F.when(
-        F.lower(F.col("line")).startswith("allow:"), F.lit(True)
-    ).when(
-        F.lower(F.col("line")).startswith("disallow:"), F.lit(False)
+    agent_lc = agent.lower()
+    specific = uas.filter(F.col("_ua") == agent_lc)
+    star = uas.filter(F.col("_ua") == "*")
+    if agent_lc == "*":
+        governing = star.select(host_col, "_grp").distinct()
+    else:
+        governing = specific.select(host_col, "_grp").distinct().unionAll(
+            star.select(host_col, "_grp").join(
+                specific.select(host_col).distinct(), host_col,
+                "left_anti",
+            )
+        ).distinct()
+
+    rule = F.when(low.startswith("allow:"), F.lit(True)).when(
+        low.startswith("disallow:"), F.lit(False)
     )
-    prefix = F.when(
-        F.lower(F.col("line")).startswith("allow:"),
+    raw_path = F.when(
+        low.startswith("allow:"),
         F.trim(F.substring(F.col("line"), 7, 10_000)),
     ).otherwise(F.trim(F.substring(F.col("line"), 10, 10_000)))
-    return (
-        tagged.filter(F.col("cur_ua") == "*")
+    rules = (
+        tagged.filter(~F.col("_is_ua"))
         .select(
-            host_col,
-            rule.alias("is_allow"),
-            prefix.alias("prefix"),
+            host_col, "_grp",
+            rule.alias("is_allow"), raw_path.alias("_raw"),
         )
-        .filter(F.col("is_allow").isNotNull() & (F.col("prefix") != ""))
-        .withColumn("rule_len", F.length("prefix"))
+        .filter(F.col("is_allow").isNotNull() & (F.col("_raw") != ""))
+        .join(governing, [host_col, "_grp"], "left_semi")
+    )
+    anchored = F.col("_raw").endswith("$")
+    body = F.when(
+        anchored, F.expr("substring(_raw, 1, length(_raw) - 1)")
+    ).otherwise(F.col("_raw"))
+    # Java regex: escape specials (incl. non-trailing $), then * -> .*
+    esc = F.regexp_replace(
+        body, "([\\\\.\\[\\]{}()+?^|$])", "\\\\$1"
+    )
+    pattern = F.concat(
+        F.lit("^"), F.regexp_replace(esc, "\\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    return rules.select(
+        host_col,
+        "is_allow",
+        body.alias("prefix"),
+        F.length("_raw").alias("rule_len"),
+        anchored.alias("anchored"),
+        body.contains("*").alias("has_wild"),
+        pattern.alias("pattern"),
     )
 
 
@@ -144,18 +202,26 @@ def robots_allowed(pages: DataFrame, rules: DataFrame,
                    host_col: str = "host",
                    path_col: str = "path") -> DataFrame:
     """Evaluate crawlability per page under the longest-match rule
-    (RFC 9309 / Google semantics: the longest matching prefix decides;
-    on equal length Allow wins; no matching rule means allowed).
+    (RFC 9309 / Google semantics: the most specific — longest —
+    matching rule decides; on equal length Allow wins; no matching
+    rule means allowed).
 
     One equi-join on host (the per-host rule set is small — broadcast
-    when the robots table fits, AQE otherwise) with the startswith
-    predicate as the join filter, then a page-keyed max(struct(len,
-    is_allow)) — struct ordering gives both longest-match and the
-    allow-on-tie rule for free."""
+    when the robots table fits, AQE otherwise) with the match predicate
+    as the join filter, then a page-keyed max(struct(len, is_allow)) —
+    struct ordering gives both longest-match and the allow-on-tie rule
+    for free.  Literal rules (the overwhelming real-world case) match
+    via startswith/equality and stay in whole-stage codegen; only
+    ``has_wild`` rules pay the per-pair regex."""
+    match = (
+        F.when(F.col("has_wild"),
+               F.regexp_like(F.col(path_col), F.col("pattern")))
+        .when(F.col("anchored"), F.col(path_col) == F.col("prefix"))
+        .otherwise(F.col(path_col).startswith(F.col("prefix")))
+    )
     j = pages.join(
         rules,
-        (pages[host_col] == rules[host_col])
-        & F.col(path_col).startswith(F.col("prefix")),
+        (pages[host_col] == rules[host_col]) & match,
         "left",
     ).select(
         pages[host_col].alias("host"), F.col(path_col),

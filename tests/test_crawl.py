@@ -180,6 +180,100 @@ def test_robots_txt_parse_and_longest_match(spark):
     assert out[("b.com", "/anything")] is True      # no '*' group
 
 
+def test_robots_comments_stripped_before_parse(spark):
+    """RFC 9309 §2.2.4: '#' starts a comment to end-of-line — a trailing
+    comment must not become part of the rule path."""
+    from htmlcleanup_spark.operators.crawl import (
+        parse_robots_rules, robots_allowed,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com",
+          "# site policy\nUser-agent: *   # everyone\n"
+          "Disallow: /private  # staff only\n# end")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots)
+    got = {(r.prefix, r.is_allow) for r in rules.collect()}
+    assert got == {("/private", False)}
+    pages = spark.createDataFrame(
+        [("a.com", "/private/x")], "host string, path string"
+    )
+    out = robots_allowed(pages, rules).collect()
+    assert out[0].allowed is False
+
+
+def test_robots_multi_user_agent_group(spark):
+    """Consecutive User-agent lines form ONE group (RFC 9309 §2.1): a
+    '*' listed first must not be shadowed by a later agent line."""
+    from htmlcleanup_spark.operators.crawl import parse_robots_rules
+
+    robots = spark.createDataFrame(
+        [("a.com",
+          "User-agent: *\nUser-agent: otherbot\nDisallow: /blocked\n"
+          "\nUser-agent: bot\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots)
+    got = {(r.prefix, r.is_allow) for r in rules.collect()}
+    # the (*, otherbot) group binds '*'; the bot-only group does not
+    assert got == {("/blocked", False)}
+
+
+def test_robots_specific_agent_precedence(spark):
+    """Most-specific-agent rule: a host with a group naming the agent
+    ignores its '*' groups for that agent; hosts without one fall back
+    to '*'."""
+    from htmlcleanup_spark.operators.crawl import parse_robots_rules
+
+    robots = spark.createDataFrame(
+        [("a.com",
+          "User-agent: *\nDisallow: /star\n"
+          "User-agent: MyBot\nDisallow: /mine"),
+         ("b.com", "User-agent: *\nDisallow: /fallback")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots, agent="mybot")
+    got = {(r.host, r.prefix) for r in rules.collect()}
+    assert got == {("a.com", "/mine"), ("b.com", "/fallback")}
+
+
+def test_robots_wildcard_and_anchor(spark):
+    """MUST-level '*' and '$' wildcards: '*' spans any chars, trailing
+    '$' anchors end-of-path; specificity = raw pattern octet length."""
+    from htmlcleanup_spark.operators.crawl import (
+        parse_robots_rules, robots_allowed,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com",
+          "User-agent: *\n"
+          "Disallow: /*.tmp$\n"
+          "Disallow: /dl/*/secret\n"
+          "Disallow: /exact$\n"
+          "Allow: /dl/pub/secret-ok")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots)
+    pages = spark.createDataFrame(
+        [("a.com", "/a/b.tmp"),        # matches /*.tmp$
+         ("a.com", "/a/b.tmp.bak"),    # $ anchor -> no match
+         ("a.com", "/dl/x/secret"),    # mid-path wildcard
+         ("a.com", "/dl/pub/secret-okay"),  # longer allow wins
+         ("a.com", "/exact"),          # anchored literal: equality
+         ("a.com", "/exactly")],       # anchored literal: no prefix match
+        "host string, path string",
+    )
+    out = {r.path: r.allowed
+           for r in robots_allowed(pages, rules).collect()}
+    assert out["/a/b.tmp"] is False
+    assert out["/a/b.tmp.bak"] is True
+    assert out["/dl/x/secret"] is False
+    assert out["/dl/pub/secret-okay"] is True
+    assert out["/exact"] is False
+    assert out["/exactly"] is True
+
+
 def test_mixture_sample_matches_single_window_rank(spark):
     """The two-level bucketed rank must pick EXACTLY the md5-smallest
     take_s docs per source — verified against a brute-force Python

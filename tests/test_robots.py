@@ -53,3 +53,26 @@ def test_canonical_collapse_groups_and_survivor(spark):
     assert out["https://s.com/c2"].url == "https://aa.com/a"
     assert out["https://s.com/c2"].n_folded == 2
     assert out["https://solo.com/p"].n_folded == 1
+
+
+def test_robots_multiple_meta_most_restrictive(spark):
+    """Pages with several robots meta tags: a later noindex/nofollow
+    must not be ignored (most-restrictive-wins, per the published
+    Google/Bing semantics)."""
+    from htmlcleanup_spark.functions.robots import with_robots_flags
+
+    df = spark.createDataFrame(
+        [
+            (0, '<head><meta name="robots" content="index, follow">'
+                '<meta name="robots" content="noindex"></head>'),
+            (1, '<head><meta name="robots" content="nofollow">'
+                '<meta name="robots" content="index"></head>'),
+            (2, '<head><meta name="robots" content="all">'
+                '<meta name="robots" content="all"></head>'),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r.doc_id: r for r in with_robots_flags(df).collect()}
+    assert out[0].noindex is True and out[0].nofollow is False
+    assert out[1].nofollow is True and out[1].noindex is False
+    assert out[2].noindex is False and out[2].nofollow is False
