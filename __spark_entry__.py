@@ -1498,8 +1498,117 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl_buckets(perplexity(_docs(spark, sf_dir)), 3)
 
 
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) over synthetic
+    multi-line pages: line bands exercise the terminal-punctuation,
+    min-words, and javascript filters; page bands the curly-brace and
+    lorem-ipsum kills and the 3-sentence floor.  The oracle states the
+    expected kept text/counts/verdict per band directly."""
+    from htmlcleanup_spark.operators.corpus import c4_filter
+
+    d = _docs(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    l1 = F.concat(F.lit("Good first sentence number "), ds, F.lit("."))
+    l2 = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("tiny line."))
+        .when(F.col("doc_id") % 4 == 1,
+              F.lit("no terminal punct here at all"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.lit("This line mentions javascript code today."))
+        .otherwise(F.lit("Another fine long sentence right here two!"))
+    )
+    l3 = F.lit("A third full sentence closes the page?")
+    l4 = F.when(F.col("doc_id") % 7 == 0, F.lit("code block { inside }"))
+    l5 = F.when(F.col("doc_id") % 11 == 0,
+                F.lit("Classic lorem ipsum content here."))
+    pages = d.select(
+        "doc_id",
+        F.concat_ws("\n", l1, l2, l3, l4, l5).alias("text"),
+    )
+    return c4_filter(pages)
+
+
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable sentence segmentation (no-lookbehind two-step split):
+    three terminated sentences plus an unterminated tail per doc; the
+    oracle states the four expected rows per document."""
+    from htmlcleanup_spark.operators.corpus import sentence_split
+
+    d = _docs(spark, sf_dir)
+    inp = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Alpha one. Beta two! Gamma three? tail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return sentence_split(inp)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality scorer over the documents table:
+    md5 hashing trick to 1024 features, md5-derived integer-quantized
+    weights, exact integer per-doc sum (no float accumulation order)."""
+    from htmlcleanup_spark.operators.corpus import quality_classifier
+
+    return quality_classifier(_docs(spark, sf_dir))
+
+
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch training-order shuffle: reproducible md5 permutation
+    materialized as (doc_id, shard, pos) with a shard-keyed rank window
+    (never a global order)."""
+    from htmlcleanup_spark.operators.corpus import deterministic_shuffle
+
+    return deterministic_shuffle(_docs(spark, sf_dir), seed="e1",
+                                 n_shards=16)
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training inner step: corpus-wide adjacent character-pair
+    counts inside whitespace tokens, top-50 by (count desc, pair asc)."""
+    from htmlcleanup_spark.operators.corpus import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
+    # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
+    # queries the r4 window missed come first, then the 5 new round-5
+    # ops, then the r4-green 50 (their tail re-enters the window next
+    # rotation; every query stays at most one round stale).
     return {
+        "robots_txt": q_robots_txt,
+        "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
+        "page_metadata": q_page_metadata,
+        "canonical_collapse": q_canonical_collapse,
+        "bigram_perplexity": q_bigram_perplexity,
+        "vocab_stats": q_vocab_stats,
+        "length_percentiles": q_length_percentiles,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "events_sessionized": q_events_sessionized,
+        "outlinks": q_outlinks,
+        "pagerank": q_pagerank,
+        "hits": q_hits,
+        "domain_caps": q_domain_caps,
+        "perplexity": q_perplexity,
+        "anchor_stats": q_anchor_stats,
+        "blocklist": q_blocklist,
+        "crawl_diff": q_crawl_diff,
+        "crawl_frontier": q_crawl_frontier,
+        "exactsubstr_dedup": q_exactsubstr,
+        "token_budget": q_token_budget,
+        "session_rollup": q_session_rollup,
+        "training_corpus_v2": q_training_corpus_v2,
+        "training_corpus_v3": q_training_corpus_v3,
+        "c4_rules": q_c4_rules,
+        "sentence_split": q_sentence_split,
+        "quality_classifier": q_quality_classifier,
+        "deterministic_shuffle": q_deterministic_shuffle,
+        "bpe_pairs": q_bpe_pairs,
         "clean_documents": q_clean_documents,
         "clean_fixtures": q_clean_fixtures,
         "dedup_exact": q_dedup_exact,
@@ -1550,31 +1659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_flags": q_robots_flags,
         "tfidf_terms": q_tfidf_terms,
         "gopher_rules": q_gopher_rules,
-        "robots_txt": q_robots_txt,
-        "pack_sequences": q_pack_sequences,
-        "mixture_sample": q_mixture_sample,
-        "page_metadata": q_page_metadata,
-        "canonical_collapse": q_canonical_collapse,
-        "bigram_perplexity": q_bigram_perplexity,
-        "vocab_stats": q_vocab_stats,
-        "length_percentiles": q_length_percentiles,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "events_sessionized": q_events_sessionized,
-        "outlinks": q_outlinks,
-        "pagerank": q_pagerank,
-        "hits": q_hits,
-        "domain_caps": q_domain_caps,
-        "perplexity": q_perplexity,
-        "anchor_stats": q_anchor_stats,
-        "blocklist": q_blocklist,
-        "crawl_diff": q_crawl_diff,
-        "crawl_frontier": q_crawl_frontier,
-        "exactsubstr_dedup": q_exactsubstr,
-        "token_budget": q_token_budget,
-        "session_rollup": q_session_rollup,
-        "training_corpus_v2": q_training_corpus_v2,
-        "training_corpus_v3": q_training_corpus_v3,
     }
 
 
@@ -3504,5 +3588,94 @@ def oracle_sql() -> dict[str, str]:
                      AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # C4 bands: l1 + l3 always survive the line filter; band-3 l2 and
+        # the (line-surviving) lorem line add sentences; page keep needs
+        # 3 sentences AND no '{' (the %7 band) AND no lorem (the %11 band)
+        "c4_rules": """
+            WITH b AS (
+              SELECT doc_id,
+                'Good first sentence number ' || CAST(doc_id AS VARCHAR)
+                  || '.' AS l1,
+                doc_id % 4 = 3 AS keep_l2,
+                doc_id % 7 = 0 AS has_brace,
+                doc_id % 11 = 0 AS has_lorem
+              FROM documents)
+            SELECT doc_id,
+               l1
+                 || CASE WHEN keep_l2 THEN
+                      chr(10) || 'Another fine long sentence right here two!'
+                    ELSE '' END
+                 || chr(10) || 'A third full sentence closes the page?'
+                 || CASE WHEN has_lorem THEN
+                      chr(10) || 'Classic lorem ipsum content here.'
+                    ELSE '' END AS clean_text,
+               CAST(2 + CASE WHEN keep_l2 THEN 1 ELSE 0 END
+                      + CASE WHEN has_lorem THEN 1 ELSE 0 END AS INT)
+                 AS n_lines_kept,
+               CAST(2 + CASE WHEN keep_l2 THEN 1 ELSE 0 END
+                      + CASE WHEN has_lorem THEN 1 ELSE 0 END AS INT)
+                 AS n_sentences,
+               (2 + CASE WHEN keep_l2 THEN 1 ELSE 0 END
+                  + CASE WHEN has_lorem THEN 1 ELSE 0 END) >= 3
+                 AND NOT has_brace AND NOT has_lorem AS keep
+            FROM b
+        """,
+        "sentence_split": """
+            SELECT doc_id, CAST(i AS INT) AS sent_id,
+                   CASE i WHEN 0 THEN 'Alpha one.'
+                          WHEN 1 THEN 'Beta two!'
+                          WHEN 2 THEN 'Gamma three?'
+                          ELSE 'tail ' || CAST(doc_id AS VARCHAR)
+                   END AS sentence
+            FROM documents,
+                 (SELECT unnest(generate_series(0, 3)) AS i)
+        """,
+        # integer-quantized weights BEFORE the per-doc sum (the DSIR
+        # convention): sum of BIGINTs, cast back from DuckDB HUGEINT
+        "quality_classifier": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))
+                              AS word
+                       FROM documents),
+            f AS (SELECT doc_id,
+                         CAST('0x' || substr(md5('q1:' || word), 1, 15)
+                              AS BIGINT) % 1024 AS idx
+                  FROM w),
+            s AS (SELECT doc_id,
+                    CAST(floor((CAST('0x' || substr(
+                           md5('qw:' || CAST(idx AS VARCHAR)), 1, 8)
+                           AS BIGINT)
+                         / 4294967296.0 * 2.0 - 1.0) * 1000000.0)
+                      AS BIGINT) AS we6
+                  FROM f)
+            SELECT doc_id, count(*) AS n_terms,
+                   CAST(sum(we6) AS BIGINT) AS score_e6
+            FROM s GROUP BY doc_id
+        """,
+        "deterministic_shuffle": """
+            WITH k AS (SELECT doc_id,
+                         md5('shuf:e1:' || CAST(doc_id AS VARCHAR)) AS key
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(key, 1, 2) AS BIGINT) % 16
+                        AS INT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY CAST('0x' || substr(key, 1, 2)
+                                       AS BIGINT) % 16
+                     ORDER BY key ASC, doc_id ASC) AS INT) AS pos
+            FROM k
+        """,
+        "bpe_pairs": """
+            WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            p AS (SELECT substr(word, i, 2) AS pair
+                  FROM (SELECT word,
+                               unnest(generate_series(1, len(word) - 1))
+                                 AS i
+                        FROM w WHERE len(word) >= 2))
+            SELECT pair, count(*) AS cnt
+            FROM p GROUP BY pair
+            ORDER BY cnt DESC, pair ASC
+            LIMIT 50
         """,
     }

@@ -1,0 +1,212 @@
+"""Corpus-preparation operators round 5: the C4 heuristic filter,
+sentence segmentation, a hashed linear quality scorer, deterministic
+training-order shuffle, and the BPE pair-count step.
+
+All five are published-pipeline staples (C4 / Raffel et al. 2020 §2.2;
+Sennrich et al. 2016 BPE; the fastText-style linear quality filters of
+CCNet/LLaMA) re-expressed as declarative Spark plans: column
+expressions and array lambdas stay in whole-stage codegen; the only
+shuffles are key-spread aggregations (word/pair/doc keyed), never a
+global window; every float that crosses an aggregation is quantized to
+integers first (the repo's portable-hash + integer-dot-product
+conventions, see operators/dsir.py) so results are bit-stable across
+partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["c4_filter", "sentence_split", "quality_classifier",
+           "deterministic_shuffle", "bpe_pair_counts"]
+
+# C4's line filter: terminal punctuation (the paper keeps lines ending
+# in a terminal punctuation mark; '"' covers quoted dialogue endings)
+_TERMINAL_RE = '[.!?"]\\s*$'
+_SENT_MARK_RE = "[.!?]"
+
+
+def c4_filter(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              min_words_per_line: int = 5,
+              min_sentences: int = 3) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, §2.2) over
+    newline-delimited page text:
+
+    line level (kept lines only feed ``clean_text``):
+      - ends in a terminal punctuation mark;
+      - has at least ``min_words_per_line`` words;
+      - does not contain the word "javascript" (case-insensitive).
+    page level (the ``keep`` verdict):
+      - at least ``min_sentences`` sentences survive (terminal-mark
+        count over the kept text);
+      - no curly brace ``{`` anywhere (code detector);
+      - no "lorem ipsum" (case-insensitive) anywhere.
+
+    Returns (id, clean_text, n_lines_kept, n_sentences, keep).
+
+    Scale: pure per-row array lambdas — zero shuffles, zero Python,
+    whole-stage codegen; composes as a pushed-down filter ahead of any
+    dedup/tokenize stage exactly as C4 runs it."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.regexp_like(l, F.lit(_TERMINAL_RE))
+            & (F.size(F.split(F.trim(l), " +")) >= min_words_per_line)
+            & ~F.lower(l).contains("javascript")
+        ),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(_SENT_MARK_RE))
+    return df.select(
+        id_col,
+        clean.alias("clean_text"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sent.cast("int").alias("n_sentences"),
+        (
+            (n_sent >= min_sentences)
+            & ~F.col(text_col).contains("{")
+            & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        ).alias("keep"),
+    )
+
+
+def sentence_split(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Sentence segmentation to (id, sent_id, sentence): terminal mark
+    followed by whitespace ends a sentence.  RE2 (the DuckDB oracle
+    dialect) has no lookbehind, so the split is the portable two-step —
+    rewrite ``([.!?])\\s+`` to ``$1<RS>`` (ASCII record separator, a
+    character that cannot appear in text) then split on <RS>.
+
+    Zero shuffles: posexplode is a per-row generator; sent_id is the
+    in-document position, no window needed."""
+    marked = F.regexp_replace(
+        F.col(text_col), "([.!?])\\s+", "$1\x1e"
+    )
+    return (
+        df.select(
+            id_col,
+            F.posexplode(F.split(marked, "\x1e")).alias(
+                "sent_id", "sentence"
+            ),
+        )
+        .filter(F.trim(F.col("sentence")) != "")
+        .select(id_col, F.col("sent_id").cast("int"), "sentence")
+    )
+
+
+def _hex_long(col: Column, nibbles: int) -> Column:
+    return F.conv(F.substring(col, 1, nibbles), 16, 10).cast("long")
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", dim: int = 1024,
+                       salt: str = "q1") -> DataFrame:
+    """Hashed-feature linear quality scorer (the shape of the
+    fastText-style classifiers CCNet/LLaMA/FineWeb use to score pages;
+    weights here are a deterministic md5-derived stand-in for trained
+    ones — swap ``_weight_e6`` for a broadcast of real weights and the
+    plan is unchanged):
+
+      feature index = md5(salt:word) mod ``dim``  (hashing trick)
+      weight_e6     = md5-uniform in [-1e6, 1e6)  (integer-quantized)
+      score_e6      = sum of weight_e6 over the token stream
+
+    The weight is quantized to integers BEFORE the per-document sum, so
+    the aggregate is exact integer arithmetic — no float-accumulation
+    order dependence across partitionings (operators/dsir.py:70
+    convention).  ONE doc-keyed map-combined shuffle; everything else
+    is codegen column math.  Returns (id, n_terms, score_e6)."""
+    idx = (
+        _hex_long(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col("_w"))), 15
+        ) % dim
+    )
+    w_e6 = F.floor(
+        (
+            _hex_long(
+                F.md5(F.concat_ws(":", F.lit("qw"), idx.cast("string"))),
+                8,
+            ).cast("double")
+            / F.lit(4294967296.0) * F.lit(2.0) - F.lit(1.0)
+        ) * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        df.select(
+            id_col,
+            F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+        )
+        .select(id_col, w_e6.alias("_we6"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("_we6").alias("score_e6"),
+        )
+    )
+
+
+def deterministic_shuffle(df: DataFrame, seed: str = "epoch0",
+                          id_col: str = "doc_id",
+                          n_shards: int = 256) -> DataFrame:
+    """Training-order shuffle: a seedless, reproducible global
+    permutation of the corpus — order by md5(seed:id) — materialized as
+    (id, shard, pos): the output shard a document lands in and its
+    position within that shard.  Changing ``seed`` redraws the epoch
+    order; a retried task recomputes the identical assignment.
+
+    The shard IS the top of the hash key (first 2 hex chars mod
+    ``n_shards``), so shard order + position order == one global hash
+    order, but the rank window partitions by shard — 256+ way spread,
+    never a global Window.orderBy.  The loader reads shards in
+    numeric order (or round-robins them) for the epoch stream."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(
+        F.concat_ws(":", F.lit("shuf"), F.lit(seed),
+                    F.col(id_col).cast("string"))
+    )
+    shard = (_hex_long(key, 2) % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(id_col, key.alias("_key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    top_k: int = 50) -> DataFrame:
+    """The BPE training inner step (Sennrich et al. 2016): count
+    adjacent character pairs inside whitespace tokens across the
+    corpus and return the ``top_k`` most frequent — the pair the next
+    merge would fuse is row 1.  (A full BPE train loops this with a
+    broadcast merge table; the count step is the distributed part.)
+
+    Plan: per-row generators (explode words, then in-word pair slices)
+    feed ONE pair-keyed map-combined groupBy; the top-k is a
+    TakeOrdered over the aggregated pair vocabulary (bounded by
+    |alphabet|^2), never a full sort of the corpus.  Total order
+    (count desc, pair asc) makes the cut deterministic under ties."""
+    words = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("_w")
+    ).filter(F.length("_w") >= 2)
+    # substring with a column start position needs the SQL form
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(_w) - 1),"
+                " i -> substr(_w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

@@ -408,7 +408,7 @@ def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 4,
     h = nodes.select(
         F.col("doc_id").alias("v"), F.lit(1.0 / n_nodes).alias("h")
     )
-    a = None
+    state = None
     for _ in range(iterations):
         a_raw = (
             edges.join(h.withColumnRenamed("v", "src"), "src")
@@ -416,7 +416,7 @@ def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 4,
             .agg(F.sum("h").alias("_ar"))
         )
         s_a = a_raw.agg(F.sum("_ar").alias("_s"))
-        a = _cut(
+        a = (
             nodes.select(F.col("doc_id").alias("v"))
             .join(a_raw.withColumnRenamed("dst", "v"), "v", "left")
             .crossJoin(F.broadcast(s_a))
@@ -432,7 +432,7 @@ def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 4,
             .agg(F.sum("a").alias("_hr"))
         )
         s_h = h_raw.agg(F.sum("_hr").alias("_s"))
-        h = _cut(
+        h_new = (
             nodes.select(F.col("doc_id").alias("v"))
             .join(h_raw.withColumnRenamed("src", "v"), "v", "left")
             .crossJoin(F.broadcast(s_h))
@@ -442,11 +442,14 @@ def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 4,
                  / F.col("_s")).alias("h"),
             )
         )
-    return (
-        h.join(a, "v")
-        .select(
-            F.col("v").alias("doc_id"),
-            F.floor(F.col("h") * 1e9).cast("long").alias("hub_e9"),
-            F.floor(F.col("a") * 1e9).cast("long").alias("auth_e9"),
-        )
+        # ONE lineage cut per iteration: h and a land in the same
+        # materialized frame (the a used inside this iteration's h
+        # update keeps its shallow within-iteration lineage — only the
+        # iteration boundary needs cutting, halving checkpoint jobs)
+        state = _cut(h_new.join(a, "v"))
+        h = state.select("v", "h")
+    return state.select(
+        F.col("v").alias("doc_id"),
+        F.floor(F.col("h") * 1e9).cast("long").alias("hub_e9"),
+        F.floor(F.col("a") * 1e9).cast("long").alias("auth_e9"),
     )
