@@ -1572,6 +1572,48 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
 
 
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal over banded synthetic pages:
+    every doc carries one unique line, one boilerplate line, a
+    whitespace-variant duplicate of the unique line (trim-key dup), a
+    verbatim duplicate of the boilerplate, and (every third doc) a
+    third copy — the oracle states the surviving text and dupe counts
+    arithmetically per band."""
+    from htmlcleanup_spark.operators.corpus import doc_line_dedup
+
+    d = _docs(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    l1 = F.concat(F.lit("alpha "), ds)
+    l2 = F.lit("repeat me please now")
+    l3 = F.concat(F.lit("  alpha "), ds, F.lit("  "))  # trim-dup of l1
+    l5 = F.when(F.col("doc_id") % 3 == 0, l2)
+    pages = d.select(
+        "doc_id",
+        F.concat_ws("\n", l1, l2, l3, l2, l5).alias("text"),
+    )
+    return doc_line_dedup(pages)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index over the documents table: exact document
+    frequency per term plus the first 1000 doc ids ascending,
+    comma-joined (the cap engages at sf>=0.01 where common terms hit
+    every document)."""
+    from htmlcleanup_spark.operators.index import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), max_postings=1000)
+
+
+def q_phrase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2phrase collocation scores (Mikolov et al. 2013 §4) over the
+    documents token stream: exact fixed-point
+    (cnt_ab - delta) * N * 1e6 // (cnt_a * cnt_b) in decimal(38)
+    arithmetic against DuckDB HUGEINT."""
+    from htmlcleanup_spark.operators.index import phrase_scores
+
+    return phrase_scores(_docs(spark, sf_dir), delta=5, min_pair_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -1609,6 +1651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "deterministic_shuffle": q_deterministic_shuffle,
         "bpe_pairs": q_bpe_pairs,
+        "doc_line_dedup": q_doc_line_dedup,
+        "inverted_index": q_inverted_index,
+        "phrase_scores": q_phrase_scores,
         "clean_documents": q_clean_documents,
         "clean_fixtures": q_clean_fixtures,
         "dedup_exact": q_dedup_exact,
@@ -3677,5 +3722,56 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY pair
             ORDER BY cnt DESC, pair ASC
             LIMIT 50
+        """,
+        # survivors are always (l1, l2); dupes = trim-variant l1 copy +
+        # verbatim l2 copy + the %3-band third l2 copy
+        "doc_line_dedup": """
+            SELECT doc_id,
+                   'alpha ' || CAST(doc_id AS VARCHAR) || chr(10)
+                     || 'repeat me please now' AS text,
+                   CAST(2 AS INT) AS n_lines_kept,
+                   CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS INT) AS n_dupes_removed
+            FROM documents
+        """,
+        "inverted_index": """
+            WITH dt AS (
+              SELECT DISTINCT doc_id, term
+              FROM (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term <> '')
+            SELECT term, count(*) AS doc_freq,
+                   array_to_string(
+                     (list_sort(list(doc_id)))[1:1000], ',') AS postings
+            FROM dt GROUP BY term
+        """,
+        # word2phrase: (cnt_ab - 5) * N * 1e6 // (cnt_a * cnt_b) in
+        # HUGEINT; non-negative by the cnt_ab > 5 filter, so // == floor
+        "phrase_scores": """
+            WITH ws AS MATERIALIZED (
+              SELECT string_split(text, ' ') AS l FROM documents),
+            tok AS (SELECT w FROM (SELECT unnest(l) AS w FROM ws)
+                    WHERE w <> ''),
+            uni AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+            n AS (SELECT count(*) AS n FROM tok),
+            pr AS (SELECT l[i] AS word_a, l[i + 1] AS word_b
+                   FROM (SELECT l,
+                                unnest(generate_series(1, len(l) - 1))
+                                  AS i
+                         FROM ws WHERE len(l) >= 2)),
+            pc AS (SELECT word_a, word_b, count(*) AS pair_count
+                   FROM pr WHERE word_a <> '' AND word_b <> ''
+                   GROUP BY word_a, word_b
+                   HAVING count(*) >= 2 AND count(*) > 5)
+            SELECT pc.word_a, pc.word_b, pc.pair_count,
+                   CAST((CAST(pc.pair_count - 5 AS HUGEINT)
+                         * n.n * 1000000)
+                        // (CAST(ca.cnt AS HUGEINT) * cb.cnt)
+                     AS BIGINT) AS score_e6
+            FROM pc
+            JOIN uni ca ON ca.w = pc.word_a
+            JOIN uni cb ON cb.w = pc.word_b
+            CROSS JOIN n
         """,
     }

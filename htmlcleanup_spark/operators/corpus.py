@@ -19,7 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["c4_filter", "sentence_split", "quality_classifier",
-           "deterministic_shuffle", "bpe_pair_counts"]
+           "deterministic_shuffle", "bpe_pair_counts",
+           "doc_line_dedup"]
 
 # C4's line filter: terminal punctuation (the paper keeps lines ending
 # in a terminal punctuation mark; '"' covers quoted dialogue endings)
@@ -209,4 +210,50 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text",
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(top_k)
+    )
+
+
+def doc_line_dedup(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """INTRA-document repeated-line removal: within each document, keep
+    only the first occurrence of every (trimmed) line — the pass that
+    strips in-page repetition (pagination artifacts, repeated nav
+    blocks inside one extraction) that corpus-level dedup
+    (dedup.line_dedup, the CROSS-document twin) deliberately leaves
+    alone.  Order of surviving lines is preserved.
+
+    Returns (id, text, n_lines_kept, n_dupes_removed).
+
+    Scale: every shuffle is keyed by the document — groupBy
+    (id, line_key) min(pos) to pick first occurrences, then groupBy id
+    with sort_array(collect_list(struct(pos, line))) to reassemble.
+    No window, no cross-document exchange at all; a mega-document's
+    lines stay one key-group only for its own reassembly (the same
+    bound the cascade already carries per document)."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_key", F.md5(F.trim(F.col("line"))))
+    first = (
+        lines.groupBy("_id", "line_key")
+        .agg(
+            F.min(F.struct("pos", "line")).alias("_first"),
+            F.count("*").alias("_n"),
+        )
+    )
+    return (
+        first.groupBy("_id")
+        .agg(
+            F.sort_array(F.collect_list("_first")).alias("_pl"),
+            F.count("*").alias("n_lines_kept"),
+            (F.sum("_n") - F.count("*")).alias("n_dupes_removed"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.concat_ws(
+                "\n", F.transform("_pl", lambda s: s["line"])
+            ).alias(text_col),
+            F.col("n_lines_kept").cast("int"),
+            F.col("n_dupes_removed").cast("int"),
+        )
     )

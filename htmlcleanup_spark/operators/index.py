@@ -1,0 +1,161 @@
+"""Corpus indexing operators: a capped inverted index and word2phrase
+collocation scores.
+
+Both are classic distributed-corpus builds (the inverted index is the
+canonical MapReduce example; the phrase scorer is Mikolov et al. 2013
+§4, the word2phrase pass every word-embedding / phrase-mining pipeline
+runs before training).  Spark shapes: one term-keyed map-combined
+shuffle each, posting lists capped so no single term's reduce group is
+unbounded, and every score that crosses engines is exact integer /
+decimal arithmetic (no float log) so the DuckDB oracle matches
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["inverted_index", "phrase_scores"]
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   max_postings: int = 1000) -> DataFrame:
+    """Distributed inverted index: (term, df, postings) where ``df`` is
+    the exact document frequency and ``postings`` is the first
+    ``max_postings`` doc ids in ascending order, comma-joined.
+
+    Returns (term, doc_freq, postings).
+
+    Scale shape (10^12 docs):
+    - the (doc, term) distinct runs FIRST as its own map-combined
+      groupBy keyed by the pair — a stop-word's occurrences collapse
+      per-partition before any term-keyed exchange, so the term shuffle
+      carries at most |docs-per-partition| rows per term, not raw term
+      frequency;
+    - the posting list is capped: collect the smallest ``max_postings``
+      ids via sort_array + slice, so a term appearing in every document
+      (the Zipf head) produces a bounded row, never an OOM-sized
+      reduce group.  ``doc_freq`` stays exact (count is pre-slice);
+      real engines page long posting lists the same way (Lucene blocks);
+    - ids are joined to a string so the schema is engine-portable and
+      the parquet row stays columnar-friendly.
+    """
+    doc_terms = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "_id")
+        .agg(F.lit(1).alias("_one"))
+    )
+    return (
+        doc_terms.groupBy("term")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.sort_array(F.collect_list("_id")), 1,
+                        max_postings,
+                    ),
+                    lambda i: i.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+
+
+def phrase_scores(df: DataFrame, text_col: str = "text",
+                  delta: int = 5, min_pair_count: int = 2) -> DataFrame:
+    """word2phrase collocation scoring (Mikolov et al. 2013 §4): for
+    each adjacent word pair,
+
+        score = (count(ab) - delta) * N / (count(a) * count(b))
+
+    where N is the total token count — pairs scoring above a threshold
+    get fused into phrases ("new_york") before embedding training.
+    ``delta`` discounts rare-pair noise exactly as the reference C
+    implementation does; pairs with ``count(ab) <= delta`` (score <= 0,
+    below any phrase threshold) are dropped, which also keeps the
+    fixed-point arithmetic non-negative so floor == integer division
+    in every engine.
+
+    Returns (word_a, word_b, pair_count, score_e6) with
+    score_e6 = floor(score * 1e6) computed in decimal(38) arithmetic —
+    (cnt_ab * N * 1e6) overflows int64 at corpus scale and float
+    division is partition-order unstable, so the whole expression stays
+    exact fixed-point and matches DuckDB's HUGEINT oracle bit-for-bit.
+
+    Scale shape: unigram counts and pair counts are each ONE
+    map-combined groupBy (word-keyed / pair-keyed).  The unigram table
+    is vocabulary-sized; at web scale it exceeds broadcast range, so
+    the attach is two hash joins keyed by word_a then word_b —
+    co-partitioned exchanges of the PAIR table (already aggregated,
+    vocabulary², in practice Zipf-bounded), never a re-shuffle of the
+    token stream.  N attaches as a broadcast 1-row scalar.
+    """
+    words = df.select(
+        F.split(F.col(text_col), " ").alias("_ws")
+    )
+    tokens = words.select(F.explode("_ws").alias("w")).filter(
+        F.col("w") != ""
+    )
+    unigrams = tokens.groupBy("w").agg(F.count("*").alias("cnt"))
+    n_total = tokens.agg(F.count("*").alias("_n"))
+    pairs = (
+        # size >= 2 guard: sequence(1, 0) in Spark DESCENDS ([1, 0]),
+        # which would fabricate out-of-bounds (null) pairs for
+        # single-token rows
+        words.filter(F.size("_ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_ws) - 1),"
+                    " i -> struct(_ws[i - 1] as a, _ws[i] as b))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("word_a"), F.col("p.b").alias("word_b"))
+        .filter((F.col("word_a") != "") & (F.col("word_b") != ""))
+        .groupBy("word_a", "word_b")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(
+            (F.col("pair_count") >= min_pair_count)
+            & (F.col("pair_count") > delta)
+        )
+    )
+    dec = "decimal(38,0)"
+    return (
+        pairs.join(
+            unigrams.select(
+                F.col("w").alias("word_a"), F.col("cnt").alias("_ca")
+            ),
+            "word_a",
+        )
+        .join(
+            unigrams.select(
+                F.col("w").alias("word_b"), F.col("cnt").alias("_cb")
+            ),
+            "word_b",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "word_a",
+            "word_b",
+            "pair_count",
+            F.floor(
+                (
+                    (F.col("pair_count") - F.lit(delta)).cast(dec)
+                    * F.col("_n").cast(dec)
+                    * F.lit(1000000).cast(dec)
+                )
+                / (F.col("_ca").cast(dec) * F.col("_cb").cast(dec))
+            )
+            .cast("long")
+            .alias("score_e6"),
+        )
+    )
