@@ -1614,6 +1614,56 @@ def q_phrase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_scores(_docs(spark, sf_dir), delta=5, min_pair_count=2)
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free audio metadata over deterministic synthetic bytes:
+    Python WRITES real WAV chunk layouts and MP3 frame streams (with
+    ID3v2 tags) per doc_id (multimodal.synth_audio_bytes), the
+    Spark-side parser READS them back (multimodal.audio_meta), and the
+    oracle recomputes rate/channels/bits/duration/size arithmetically
+    from doc_id — the audio twin of q_image_meta."""
+    import pandas as pd
+
+    from htmlcleanup_spark.operators.multimodal import (
+        audio_meta,
+        synth_audio_bytes,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_audio_bytes(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    auds = d.mapInPandas(gen, "doc_id bigint, payload binary")
+    return audio_meta(auds)
+
+
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion-record rendering (Common Crawl's extracted-text
+    interchange format) over the documents table: the oracle rebuilds
+    the full record string — version line, CRLF headers, octet-counted
+    Content-Length, record separator — independently in SQL."""
+    from htmlcleanup_spark.sources.wet import to_wet_records
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "text",
+    )
+    return to_wet_records(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -1654,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": q_doc_line_dedup,
         "inverted_index": q_inverted_index,
         "phrase_scores": q_phrase_scores,
+        "audio_meta": q_audio_meta,
+        "wet_export": q_wet_export,
         "clean_documents": q_clean_documents,
         "clean_fixtures": q_clean_fixtures,
         "dedup_exact": q_dedup_exact,
@@ -3773,5 +3825,72 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni ca ON ca.w = pc.word_a
             JOIN uni cb ON cb.w = pc.word_b
             CROSS JOIN n
+        """,
+        # bands mirror synth_audio_bytes: garbage every 17th doc, else
+        # WAV for even / MP3 for odd doc_id with j = doc_id // 2
+        "audio_meta": """
+            WITH j AS (SELECT doc_id, doc_id // 2 AS j,
+                              doc_id % 17 = 0 AS junk,
+                              doc_id % 2 = 0 AS is_wav
+                       FROM documents),
+            b AS (SELECT doc_id, junk, is_wav,
+                         CASE j % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                    WHEN 2 THEN 22050 ELSE 44100
+                         END AS wrate,
+                         1 + j % 2 AS wch,
+                         1600 + j % 100 AS wsamp,
+                         5 + j % 10 AS mframes,
+                         j % 2 = 1 AS mid3
+                  FROM j)
+            SELECT doc_id,
+               CASE WHEN junk THEN NULL
+                    WHEN is_wav THEN 'wav' ELSE 'mp3' END AS format,
+               CAST(CASE WHEN junk THEN NULL
+                         WHEN is_wav THEN wrate ELSE 44100
+                    END AS INT) AS sample_rate,
+               CAST(CASE WHEN junk THEN NULL
+                         WHEN is_wav THEN wch ELSE 2
+                    END AS INT) AS channels,
+               CAST(CASE WHEN junk OR NOT is_wav THEN NULL
+                         ELSE 16 END AS INT) AS bits,
+               CAST(CASE WHEN junk THEN NULL
+                         WHEN is_wav THEN (wsamp * 1000) // wrate
+                         ELSE (mframes * 1152 * 1000) // 44100
+                    END AS BIGINT) AS duration_e3,
+               CAST(CASE WHEN junk THEN 16
+                         WHEN is_wav THEN 44 + wsamp * wch * 2
+                         ELSE mframes * 417
+                              + CASE WHEN mid3 THEN 42 ELSE 0 END
+                    END AS BIGINT) AS n_bytes
+            FROM b
+        """,
+        # independent re-render of the WARC/1.0 conversion record:
+        # CRLF framing via chr(13)||chr(10), Content-Length counts
+        # UTF-8 OCTETS (DuckDB strlen = bytes, Spark octet_length)
+        "wet_export": """
+            WITH p AS (
+                SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       text,
+                       chr(13) || chr(10) AS crlf
+                FROM documents
+            ),
+            r AS (
+                SELECT url,
+                       'WARC/1.0' || crlf
+                       || 'WARC-Type: conversion' || crlf
+                       || 'WARC-Target-URI: ' || url || crlf
+                       || 'WARC-Date: '
+                       || strftime(TIMESTAMP '2024-01-01 00:00:00',
+                                   '%Y-%m-%dT%H:%M:%SZ') || crlf
+                       || 'Content-Type: text/plain' || crlf
+                       || 'Content-Length: '
+                       || CAST(strlen(text) AS VARCHAR)
+                       || crlf || crlf || text || crlf || crlf AS record
+                FROM p
+            )
+            SELECT url, record,
+                   CAST(strlen(record) AS BIGINT) AS record_bytes
+            FROM r
         """,
     }

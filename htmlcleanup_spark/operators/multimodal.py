@@ -198,3 +198,146 @@ def synth_image_bytes(i: int) -> bytes:
         b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
         + b"\x00\x00\x00;"
     )
+
+
+# ---------------------------------------------------------------------------
+# audio header metadata: WAV chunk walk + MP3 frame walk, no codec libraries
+# ---------------------------------------------------------------------------
+
+AUDIO_META_DDL = (
+    "doc_id bigint, format string, sample_rate int, channels int, "
+    "bits int, duration_e3 bigint, n_bytes bigint"
+)
+
+# MPEG1 Layer III bitrate table (kbps), index 1-14; samplerate table idx 0-2
+_MP3_BITRATE = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                224, 256, 320)
+_MP3_RATE = (44100, 48000, 32000)
+
+
+def parse_audio_header(b: bytes):
+    """(format, sample_rate, channels, bits, duration_e3) from WAV or
+    MP3 bytes, or all-None for anything unrecognized.
+
+    WAV: RIFF/WAVE chunk walk — 'fmt ' gives channels/rate/bits, 'data'
+    gives the payload size; duration_ms = samples * 1000 // rate, exact
+    integer arithmetic.  MP3: optional ID3v2 skip (syncsafe size), then
+    a frame-header walk (MPEG1 Layer III frame length
+    144 * bitrate // rate + padding) counting frames; duration_ms =
+    frames * 1152 * 1000 // rate (1152 samples per Layer III frame);
+    ``bits`` is None (not a PCM notion).  Never raises on garbage —
+    like the image twin, this is the decode-free fraction a pipeline
+    can run while reading only header bytes.
+    """
+    n = len(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i = 12
+        rate = channels = bits = data_size = None
+        while i + 8 <= n:
+            cid = b[i : i + 4]
+            clen = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 24 <= n:
+                channels = int.from_bytes(b[i + 10 : i + 12], "little")
+                rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                bits = int.from_bytes(b[i + 22 : i + 24], "little")
+            elif cid == b"data":
+                data_size = clen
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        dur = None
+        if rate and channels and bits and data_size is not None:
+            denom = rate * channels * (bits // 8)
+            dur = data_size * 1000 // denom if denom else None
+        return "wav", rate, channels, bits, dur
+    i = 0
+    if b[:3] == b"ID3" and n >= 10:
+        tag = (
+            (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+            | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
+        )
+        i = 10 + tag
+    if i + 4 <= n and b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+        rate = channels = None
+        frames = 0
+        while i + 4 <= n and b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+            version = (b[i + 1] >> 3) & 3
+            layer = (b[i + 1] >> 1) & 3
+            br_idx = b[i + 2] >> 4
+            sr_idx = (b[i + 2] >> 2) & 3
+            padding = (b[i + 2] >> 1) & 1
+            if (version != 3 or layer != 1 or sr_idx > 2
+                    or _MP3_BITRATE[br_idx] is None):
+                break  # only MPEG1 Layer III synthesized/supported
+            rate = _MP3_RATE[sr_idx]
+            channels = 1 if (b[i + 3] >> 6) == 3 else 2
+            frames += 1
+            i += 144 * _MP3_BITRATE[br_idx] * 1000 // rate + padding
+        if frames:
+            return ("mp3", rate, channels, None,
+                    frames * 1152 * 1000 // rate)
+        return "mp3", None, None, None, None
+    return None, None, None, None, None
+
+
+def audio_meta(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-item audio metadata via Arrow-batched header parsing:
+    (doc_id, format, sample_rate, channels, bits, duration_e3,
+    n_bytes); NULL fields for unrecognized payloads.  Same plan shape
+    as image_meta: a stateless mapInPandas over whole Arrow batches,
+    zero shuffle, decode stays behind extract_features."""
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                fmt, rate, ch, bits, dur = parse_audio_header(payload)
+                rows.append(
+                    (int(doc_id), fmt, rate, ch, bits, dur, len(payload))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "sample_rate", "channels",
+                         "bits", "duration_e3", "n_bytes"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fe, AUDIO_META_DDL)
+
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def synth_audio_bytes(i: int) -> bytes:
+    """Deterministic audio bytes for doc #i: garbage every 17th doc,
+    else WAV for even / MP3 for odd i, with j = i // 2 driving the
+    bands: WAV rate = _WAV_RATES[j%4], channels = 1 + j%2, 16-bit,
+    1600 + j%100 samples; MP3 128kbps 44.1kHz stereo, 5 + j%10 frames,
+    a 42-byte ID3v2 tag when j is odd.  The SQL oracle recomputes
+    every field arithmetically from doc_id."""
+    if i % 17 == 0:
+        return b"NOTAUDIOJUNKJUNK"
+    j = i // 2
+    if i % 2 == 0:  # WAV
+        rate = _WAV_RATES[j % 4]
+        channels = 1 + j % 2
+        n_samples = 1600 + j % 100
+        data = b"\x00" * (n_samples * channels * 2)
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")            # PCM
+            + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * channels * 2).to_bytes(4, "little")
+            + (channels * 2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        )
+        body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+    n_frames = 5 + j % 10
+    frame_len = 144 * 128 * 1000 // 44100  # 417, padding bit 0
+    header = bytes((0xFF, 0xFB, 0x90, 0x00))  # MPEG1 L3, 128k, 44.1k, stereo
+    frame = header + b"\x00" * (frame_len - 4)
+    id3 = b""
+    if j % 2 == 1:
+        id3 = b"ID3\x04\x00\x00" + bytes((0, 0, 0, 32)) + b"\x00" * 32
+    return id3 + frame * n_frames

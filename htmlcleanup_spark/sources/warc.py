@@ -45,7 +45,8 @@ _NEED_MORE = "need_more"   # incomplete record: wait for more stream data
 _STOP = "stop"             # terminal garbage / truncation: end the scan
 
 
-def _scan_one(buf: bytes, pos: int, final: bool):
+def _scan_one(buf: bytes, pos: int, final: bool,
+              types: frozenset = frozenset((b"response",))):
     """Scan one record at ``pos``; returns (record_or_None, new_pos, status).
 
     status: "ok" (record consumed; record is None for non-response types),
@@ -83,7 +84,7 @@ def _scan_one(buf: bytes, pos: int, final: bool):
         return None, pos, (_STOP if final else _NEED_MORE)
     block = buf[block_start : block_start + length]
     new_pos = block_start + length
-    if headers.get(b"warc-type") != b"response":
+    if headers.get(b"warc-type") not in types:
         return None, new_pos, "ok"
     url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
     ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
@@ -96,18 +97,21 @@ def _scan_one(buf: bytes, pos: int, final: bool):
     return {"url": url, "warc_ts": ts, "html": html}, new_pos, "ok"
 
 
-def iter_warc_records(chunks: Iterable[bytes]) -> Iterator[dict]:
+def iter_warc_records(chunks: Iterable[bytes],
+                      record_types: Iterable[str] = ("response",)
+                      ) -> Iterator[dict]:
     """Yield {url, warc_ts, html} per WARC *response* record across a
     stream of byte chunks, holding only the unconsumed tail in memory.
 
     Malformed trailing garbage ends the scan rather than raising: a
     truncated tail record in a crawl segment must not poison the file.
     """
+    types = frozenset(t.encode("ascii") for t in record_types)
     buf = b""
     it = iter(chunks)
     final = False
     while True:
-        rec, pos, status = _scan_one(buf, 0, final)
+        rec, pos, status = _scan_one(buf, 0, final, types)
         if status == "ok":
             buf = buf[pos:]  # trim consumed prefix: the rolling buffer
             if rec is not None:
@@ -122,10 +126,12 @@ def iter_warc_records(chunks: Iterable[bytes]) -> Iterator[dict]:
             buf += nxt
 
 
-def parse_warc_records(data: bytes) -> Iterator[dict]:
+def parse_warc_records(data: bytes,
+                       record_types: Iterable[str] = ("response",)
+                       ) -> Iterator[dict]:
     """Whole-bytes convenience wrapper over :func:`iter_warc_records`
     (pure function over bytes; unit-testable without Spark)."""
-    return iter_warc_records((data,))
+    return iter_warc_records((data,), record_types)
 
 
 def _iter_decompressed(content: bytes,
@@ -164,13 +170,16 @@ def _iter_decompressed(content: bytes,
 
 
 def iter_warc_batches(content: bytes,
-                      max_batch_bytes: int = 64 << 20) -> Iterator[list]:
+                      max_batch_bytes: int = 64 << 20,
+                      record_types: Iterable[str] = ("response",)
+                      ) -> Iterator[list]:
     """Record batches [(url, ts, html), ...] from one WARC file's bytes,
     each batch holding at most ``max_batch_bytes`` of html (at least one
     record per batch, so a single oversized record still flows)."""
     batch: list = []
     acc = 0
-    for rec in iter_warc_records(_iter_decompressed(content)):
+    for rec in iter_warc_records(_iter_decompressed(content),
+                                 record_types):
         if batch and acc + len(rec["html"]) > max_batch_bytes:
             yield batch
             batch, acc = [], 0
@@ -182,7 +191,8 @@ def iter_warc_batches(content: bytes,
 
 def read_warc(spark: SparkSession, path: str,
               path_glob: str = "*.warc*",
-              max_batch_bytes: int = 64 << 20) -> DataFrame:
+              max_batch_bytes: int = 64 << 20,
+              record_types: tuple = ("response",)) -> DataFrame:
     """Read a directory of .warc / .warc.gz files as the pages table."""
     import pandas as pd
 
@@ -197,7 +207,8 @@ def read_warc(spark: SparkSession, path: str,
         for pdf in batches:
             for content in pdf["content"]:
                 for batch in iter_warc_batches(bytes(content),
-                                               max_batch_bytes):
+                                               max_batch_bytes,
+                                               record_types):
                     yield pd.DataFrame(
                         [(u, t, h, None, None) for u, t, h in batch],
                         columns=["url", "_ts", "html", "text", "lang"],

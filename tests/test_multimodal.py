@@ -60,3 +60,80 @@ def test_synth_cycle_matches_oracle_arithmetic():
         assert fmt == ("png", "jpeg", "gif")[i % 3]
         assert w == 1 + i % 512
         assert h == 1 + (i * 7) % 512
+
+
+# ---------------------------------------------------------------------------
+# audio header metadata
+# ---------------------------------------------------------------------------
+
+def test_wav_chunk_walk():
+    from htmlcleanup_spark.operators.multimodal import (
+        parse_audio_header, synth_audio_bytes,
+    )
+
+    # j=1: 16 kHz stereo 16-bit, 1601 samples -> 100 ms (integer floor)
+    assert parse_audio_header(synth_audio_bytes(2)) == (
+        "wav", 16000, 2, 16, 100,
+    )
+    # extra chunk before fmt must be skipped (word-aligned walk)
+    b = synth_audio_bytes(2)
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx"
+    spliced = b[:12] + extra + b"\x00" + b[12:]  # odd len -> pad byte
+    assert parse_audio_header(spliced)[:4] == ("wav", 16000, 2, 16)
+
+
+def test_mp3_frame_walk_and_id3_skip():
+    from htmlcleanup_spark.operators.multimodal import (
+        parse_audio_header, synth_audio_bytes,
+    )
+
+    # j=0: 5 frames, no ID3 -> 5*1152*1000//44100 = 130 ms
+    assert parse_audio_header(synth_audio_bytes(1)) == (
+        "mp3", 44100, 2, None, 130,
+    )
+    # j=1: ID3v2 tag prefixed, 6 frames
+    assert parse_audio_header(synth_audio_bytes(3)) == (
+        "mp3", 44100, 2, None, 156,
+    )
+
+
+def test_audio_garbage_never_raises():
+    from htmlcleanup_spark.operators.multimodal import parse_audio_header
+
+    none5 = (None, None, None, None, None)
+    assert parse_audio_header(b"") == none5
+    assert parse_audio_header(b"NOTAUDIOJUNKJUNK") == none5
+    # RIFF but not WAVE
+    assert parse_audio_header(b"RIFF\x04\x00\x00\x00AVI ") == none5
+    # truncated WAV: RIFF/WAVE but no chunks
+    assert parse_audio_header(b"RIFF\x04\x00\x00\x00WAVE") == (
+        "wav", None, None, None, None,
+    )
+    # MP3 sync byte but reserved samplerate index -> no frames counted
+    assert parse_audio_header(bytes((0xFF, 0xFB, 0x9C, 0x00))) == (
+        "mp3", None, None, None, None,
+    )
+
+
+def test_audio_meta_spark_plan(spark):
+    import pandas as pd
+
+    from htmlcleanup_spark.operators.multimodal import (
+        audio_meta, synth_audio_bytes,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "payload": [synth_audio_bytes(int(i)) for i in pdf["id"]],
+                }
+            )
+
+    df = spark.range(40).mapInPandas(gen, "doc_id bigint, payload binary")
+    rows = {r.doc_id: r for r in audio_meta(df).collect()}
+    assert rows[0].format is None and rows[0].n_bytes == 16
+    assert rows[2].format == "wav" and rows[2].duration_e3 == 100
+    assert rows[1].format == "mp3" and rows[1].bits is None
+    assert rows[34].format is None  # garbage band hits both parities
