@@ -1645,6 +1645,38 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_meta(auds)
 
 
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free MP4 container metadata over deterministic synthetic
+    bytes: Python WRITES real ISO BMFF box layouts per doc_id
+    (multimodal.synth_video_bytes — ftyp + moov{mvhd, trak{tkhd}},
+    32- and 64-bit mvhd variants), the Spark-side box walker READS
+    them back (multimodal.video_meta), and the oracle recomputes
+    brand/duration/tracks/WxH/size arithmetically from doc_id — the
+    video leg of the image/audio/video trio."""
+    import pandas as pd
+
+    from htmlcleanup_spark.operators.multimodal import (
+        synth_video_bytes,
+        video_meta,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_video_bytes(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    vids = d.mapInPandas(gen, "doc_id bigint, payload binary")
+    return video_meta(vids)
+
+
 def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET conversion-record rendering (Common Crawl's extracted-text
     interchange format) over the documents table: the oracle rebuilds
@@ -1705,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "phrase_scores": q_phrase_scores,
         "audio_meta": q_audio_meta,
+        "video_meta": q_video_meta,
         "wet_export": q_wet_export,
         "clean_documents": q_clean_documents,
         "clean_fixtures": q_clean_fixtures,
@@ -3861,6 +3894,43 @@ def oracle_sql() -> dict[str, str]:
                          WHEN is_wav THEN 44 + wsamp * wch * 2
                          ELSE mframes * 417
                               + CASE WHEN mid3 THEN 42 ELSE 0 END
+                    END AS BIGINT) AS n_bytes
+            FROM b
+        """,
+        # bands mirror synth_video_bytes: garbage every 19th doc, else
+        # ftyp+moov with fields driven by doc_id mod 2/3/4/5/500;
+        # box sizes: ftyp 20, mvhd 108 (v0) / 120 (v1), trak 100
+        "video_meta": """
+            WITH b AS (
+                SELECT doc_id,
+                       doc_id % 19 = 0 AS junk,
+                       doc_id % 5 = 0 AS v1,
+                       CASE WHEN doc_id % 2 = 0 THEN 'isom'
+                            ELSE 'mp42' END AS brand,
+                       CASE WHEN doc_id % 2 = 0 THEN 600
+                            ELSE 1000 END AS scale,
+                       3000 + doc_id % 500 AS dur,
+                       1 + doc_id % 3 AS n_tracks,
+                       CASE doc_id % 4 WHEN 0 THEN 640 WHEN 1 THEN 1280
+                                       WHEN 2 THEN 1920 ELSE 320
+                       END AS w,
+                       CASE doc_id % 4 WHEN 0 THEN 360 WHEN 1 THEN 720
+                                       WHEN 2 THEN 1080 ELSE 240
+                       END AS h
+                FROM documents)
+            SELECT doc_id,
+               CASE WHEN junk THEN NULL ELSE 'mp4' END AS format,
+               CASE WHEN junk THEN NULL ELSE brand END AS brand,
+               CAST(CASE WHEN junk THEN NULL
+                         ELSE (dur * 1000) // scale
+                    END AS BIGINT) AS duration_e3,
+               CAST(CASE WHEN junk THEN NULL
+                         ELSE n_tracks END AS INT) AS n_tracks,
+               CAST(CASE WHEN junk THEN NULL ELSE w END AS INT) AS width,
+               CAST(CASE WHEN junk THEN NULL ELSE h END AS INT) AS height,
+               CAST(CASE WHEN junk THEN 12
+                         ELSE 28 + CASE WHEN v1 THEN 120 ELSE 108 END
+                              + n_tracks * 100
                     END AS BIGINT) AS n_bytes
             FROM b
         """,

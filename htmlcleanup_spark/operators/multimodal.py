@@ -341,3 +341,158 @@ def synth_audio_bytes(i: int) -> bytes:
     if j % 2 == 1:
         id3 = b"ID3\x04\x00\x00" + bytes((0, 0, 0, 32)) + b"\x00" * 32
     return id3 + frame * n_frames
+
+
+# ---------------------------------------------------------------------------
+# video container metadata: ISO BMFF (MP4) box walk, no codec libraries
+# ---------------------------------------------------------------------------
+
+VIDEO_META_DDL = (
+    "doc_id bigint, format string, brand string, duration_e3 bigint, "
+    "n_tracks int, width int, height int, n_bytes bigint"
+)
+
+
+def _iter_boxes(b: bytes, i: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO BMFF boxes in
+    b[i:end]; handles 64-bit largesize (size==1) and to-end (size==0)."""
+    n = end
+    while i + 8 <= n:
+        size = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > n:
+                return
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = n - i
+        if size < hdr or i + size > n:
+            return  # malformed/truncated: stop, never raise
+        yield typ, i + hdr, i + size
+        i += size
+
+
+def parse_video_header(b: bytes):
+    """(format, brand, duration_e3, n_tracks, width, height) from an
+    ISO BMFF (MP4) byte string, or all-None when the payload is not a
+    recognizable container.
+
+    ftyp gives the major brand; moov/mvhd gives timescale + duration
+    (version 0 = 32-bit fields, version 1 = 64-bit); trak children are
+    counted and the FIRST trak's tkhd yields width/height (16.16
+    fixed-point, integer part).  duration_e3 = duration * 1000 //
+    timescale — exact integer milliseconds.  Decode-free: only box
+    headers are touched, the mdat payload is never read — the fraction
+    of the file a metadata pass over an object store actually fetches.
+    """
+    brand = None
+    dur = n_tracks = width = height = None
+    saw_box = False
+    for typ, ps, pe in _iter_boxes(b, 0, len(b)):
+        saw_box = True
+        if typ == b"ftyp" and pe - ps >= 4:
+            brand = b[ps : ps + 4].decode("ascii", "replace")
+        elif typ == b"moov":
+            n_tracks = 0
+            for ctyp, cps, cpe in _iter_boxes(b, ps, pe):
+                if ctyp == b"mvhd" and cpe - cps >= 4:
+                    ver = b[cps]
+                    if ver == 1 and cpe - cps >= 32:
+                        scale = int.from_bytes(b[cps + 20 : cps + 24], "big")
+                        d = int.from_bytes(b[cps + 24 : cps + 32], "big")
+                    elif cpe - cps >= 24:
+                        scale = int.from_bytes(b[cps + 12 : cps + 16], "big")
+                        d = int.from_bytes(b[cps + 16 : cps + 20], "big")
+                    else:
+                        continue
+                    if scale:
+                        dur = d * 1000 // scale
+                elif ctyp == b"trak":
+                    n_tracks += 1
+                    if width is None:
+                        for ttyp, tps, tpe in _iter_boxes(b, cps, cpe):
+                            if ttyp == b"tkhd" and tpe - tps >= 84:
+                                width = int.from_bytes(
+                                    b[tpe - 8 : tpe - 4], "big") >> 16
+                                height = int.from_bytes(
+                                    b[tpe - 4 : tpe], "big") >> 16
+                                break
+    if not saw_box or brand is None:
+        return None, None, None, None, None, None
+    return "mp4", brand, dur, n_tracks, width, height
+
+
+def video_meta(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-item video metadata via Arrow-batched box parsing: (doc_id,
+    format, brand, duration_e3, n_tracks, width, height, n_bytes);
+    NULL fields for unrecognized payloads.  Same plan shape as
+    image_meta/audio_meta: stateless mapInPandas, zero shuffle."""
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                fmt, brand, dur, nt, w, h = parse_video_header(payload)
+                rows.append(
+                    (int(doc_id), fmt, brand, dur, nt, w, h, len(payload))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "brand", "duration_e3",
+                         "n_tracks", "width", "height", "n_bytes"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fe, VIDEO_META_DDL)
+
+
+_VID_W = (640, 1280, 1920, 320)
+_VID_H = (360, 720, 1080, 240)
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def synth_video_bytes(i: int) -> bytes:
+    """Deterministic MP4 bytes for doc #i: garbage every 19th doc, else
+    ftyp (brand isom/mp42 by i%2) + moov{mvhd, n trak{tkhd}} with
+    timescale 600/1000 (i%2), duration units 3000 + i%500, mvhd
+    version 1 every 5th doc (64-bit fields), 1 + i%3 tracks, WxH from
+    _VID_W/_VID_H[i%4].  Every field (and total byte count) is
+    recomputable arithmetically from doc_id by the SQL oracle."""
+    if i % 19 == 0:
+        return b"NOTVIDEOJNK!"
+    brand = b"isom" if i % 2 == 0 else b"mp42"
+    scale = 600 if i % 2 == 0 else 1000
+    dur = 3000 + i % 500
+    n_tracks = 1 + i % 3
+    w, h = _VID_W[i % 4], _VID_H[i % 4]
+    ftyp = _box(b"ftyp", brand + (0).to_bytes(4, "big") + brand)
+    if i % 5 == 0:  # version 1: 64-bit creation/modification/duration
+        mvhd_p = (
+            bytes((1, 0, 0, 0)) + (0).to_bytes(8, "big") * 2
+            + scale.to_bytes(4, "big") + dur.to_bytes(8, "big")
+            + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+            + b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24
+            + (n_tracks + 1).to_bytes(4, "big")
+        )
+    else:
+        mvhd_p = (
+            bytes((0, 0, 0, 0)) + (0).to_bytes(4, "big") * 2
+            + scale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+            + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+            + b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24
+            + (n_tracks + 1).to_bytes(4, "big")
+        )
+    tkhd_p = (
+        bytes((0, 0, 0, 0)) + b"\x00" * 20 + b"\x00" * 8 + b"\x00" * 8
+        + b"\x00" * 36
+        + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+    )
+    trak = _box(b"trak", _box(b"tkhd", tkhd_p))
+    moov = _box(b"moov", _box(b"mvhd", mvhd_p) + trak * n_tracks)
+    return ftyp + moov

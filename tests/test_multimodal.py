@@ -137,3 +137,91 @@ def test_audio_meta_spark_plan(spark):
     assert rows[2].format == "wav" and rows[2].duration_e3 == 100
     assert rows[1].format == "mp3" and rows[1].bits is None
     assert rows[34].format is None  # garbage band hits both parities
+
+
+# ---------------------------------------------------------------------------
+# video container metadata (ISO BMFF box walk)
+# ---------------------------------------------------------------------------
+
+def test_mp4_box_walk():
+    from htmlcleanup_spark.operators.multimodal import (
+        parse_video_header, synth_video_bytes,
+    )
+
+    # i=1: mp42, timescale 1000, 3001 units -> 3001 ms, 2 tracks, 720p
+    assert parse_video_header(synth_video_bytes(1)) == (
+        "mp4", "mp42", 3001, 2, 1280, 720,
+    )
+    # i=2: isom, timescale 600 -> 3002*1000//600 = 5003 ms, 1080p
+    assert parse_video_header(synth_video_bytes(2)) == (
+        "mp4", "isom", 5003, 3, 1920, 1080,
+    )
+    # i=5: version-1 mvhd (64-bit duration), same arithmetic
+    assert parse_video_header(synth_video_bytes(5)) == (
+        "mp4", "mp42", 3005, 3, 1280, 720,
+    )
+
+
+def test_mp4_largesize_and_to_end_boxes():
+    from htmlcleanup_spark.operators.multimodal import (
+        parse_video_header, synth_video_bytes,
+    )
+
+    b = synth_video_bytes(1)
+    # rewrite ftyp as a 64-bit largesize box: size=1 + 8-byte size
+    ftyp_payload = b[8:20]
+    big_ftyp = (
+        (1).to_bytes(4, "big") + b"ftyp"
+        + (16 + len(ftyp_payload)).to_bytes(8, "big") + ftyp_payload
+    )
+    assert parse_video_header(big_ftyp + b[20:]) == (
+        "mp4", "mp42", 3001, 2, 1280, 720,
+    )
+    # size==0 (to end of file) on the LAST top-level box (moov)
+    to_end = b[:20] + (0).to_bytes(4, "big") + b[24:]
+    assert parse_video_header(to_end) == (
+        "mp4", "mp42", 3001, 2, 1280, 720,
+    )
+
+
+def test_video_garbage_never_raises():
+    from htmlcleanup_spark.operators.multimodal import parse_video_header
+
+    none6 = (None,) * 6
+    assert parse_video_header(b"") == none6
+    assert parse_video_header(b"NOTVIDEOJNK!") == none6
+    # declared size overruns the buffer -> walk stops, no brand seen
+    assert parse_video_header(
+        (999).to_bytes(4, "big") + b"ftypisom"
+    ) == none6
+    # moov with truncated mvhd: brand parses, duration stays None
+    from htmlcleanup_spark.operators.multimodal import _box
+    b = _box(b"ftyp", b"isom" + b"\x00" * 8) + _box(
+        b"moov", _box(b"mvhd", b"\x00\x00\x00")
+    )
+    assert parse_video_header(b) == ("mp4", "isom", None, 0, None, None)
+
+
+def test_video_meta_spark_plan(spark):
+    import pandas as pd
+
+    from htmlcleanup_spark.operators.multimodal import (
+        synth_video_bytes, video_meta,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "payload": [synth_video_bytes(int(i)) for i in pdf["id"]],
+                }
+            )
+
+    df = spark.range(40).mapInPandas(gen, "doc_id bigint, payload binary")
+    rows = {r.doc_id: r for r in video_meta(df).collect()}
+    assert rows[0].format is None and rows[0].n_bytes == 12
+    assert rows[1].brand == "mp42" and rows[1].n_tracks == 2
+    assert rows[2].duration_e3 == 5003 and rows[2].width == 1920
+    assert rows[5].duration_e3 == 3005  # version-1 mvhd path
+    assert rows[38].format is None  # junk band (19*2)
