@@ -1696,6 +1696,151 @@ def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_wet_records(pages)
 
 
+def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-index collapse: deterministic CDXJ lines are RENDERED from
+    doc_id by JVM string concat (url_id = doc_id % 137 gives ~3-4
+    captures per urlkey; ts monotone in doc_id; digest rotates through
+    3 values per key; every 11th capture is a 404), parsed back by
+    sources/cdx.parse_cdxj (substring_index + from_json, zero Python),
+    and collapsed by latest_captures — ONE map-combined max_by
+    aggregate, no window.  The oracle re-derives the latest capture's
+    coordinates arithmetically from max(doc_id) per url_id."""
+    from htmlcleanup_spark.sources.cdx import latest_captures, parse_cdxj
+
+    d = _docs(spark, sf_dir)
+    uid = F.col("doc_id") % 137
+    url = F.concat(F.lit("https://www.h"), (uid % 23).cast("string"),
+                   F.lit(".example/p/"), uid.cast("string"))
+    urlkey = F.concat(F.lit("example,h"), (uid % 23).cast("string"),
+                      F.lit(")/p/"), uid.cast("string"))
+    ts = (F.lit(20240000000000) + F.col("doc_id")).cast("string")
+    status = F.when(F.col("doc_id") % 11 == 0, F.lit("404")) \
+        .otherwise(F.lit("200"))
+    digest = F.md5(F.concat(F.lit("d"), uid.cast("string"), F.lit(":"),
+                            (F.col("doc_id") % 3).cast("string")))
+    line = F.concat(
+        urlkey, F.lit(" "), ts, F.lit(" "),
+        F.lit('{"url": "'), url,
+        F.lit('", "mime": "text/html", "status": "'), status,
+        F.lit('", "digest": "'), digest,
+        F.lit('", "length": "'),
+        (F.lit(1000) + F.col("doc_id") % 5000).cast("string"),
+        F.lit('", "offset": "'), (F.col("doc_id") * 1000).cast("string"),
+        F.lit('", "filename": "crawl-'),
+        (F.col("doc_id") % 7).cast("string"), F.lit('.warc.gz"}'),
+    )
+    return latest_captures(parse_cdxj(d.select(line.alias("value"))))
+
+
+def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT urlkey canonicalization over 5 bands of messy URLs (mixed
+    case, http/https/absent scheme, www., explicit port, query kept,
+    fragment dropped, missing path): pure codegen expression chain
+    (sources/cdx.surt_key); the oracle constructs the expected key
+    directly from the band arithmetic, not by mirroring string ops."""
+    from htmlcleanup_spark.sources.cdx import surt_key
+
+    d = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 17).cast("string")
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("https://www.H"), k, F.lit(".Example.COM/A/"), i))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("http://h"), k,
+                       F.lit(".example.com:8080/b/"), i, F.lit("?Q=1")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("https://h"), k, F.lit(".example.com")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("HTTPS://WWW.h"), k,
+                       F.lit(".EXAMPLE.com/c#Frag")))
+        .otherwise(F.concat(F.lit("h"), k, F.lit(".example.com/d/"), i))
+    )
+    return d.select(
+        "doc_id", url.alias("url"), surt_key(url).alias("urlkey")
+    )
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge-rule learning: 8 count-merge iterations over the
+    documents word-count table (operators/corpus.learn_bpe — vocab-
+    bounded per-iteration shuffles, literal-replace merge application).
+    The oracle unrolls all 8 stages as MATERIALIZED CTEs, each picking
+    its argmax pair with the same (count desc, pair asc) total order
+    and applying the same double-space literal replace."""
+    from htmlcleanup_spark.operators.corpus import learn_bpe
+
+    return learn_bpe(_docs(spark, sf_dir), n_merges=8)
+
+
+def _bpe_learn_oracle(n_merges: int = 8) -> str:
+    """Unrolled-CTE twin of learn_bpe: s0 = char symbol strings of the
+    [a-z]+ word-count vocabulary; stage k = pair counts -> 1-row argmax
+    b{k} -> literal replace into s{k+1}.  SUM(BIGINT) is HUGEINT in
+    DuckDB, so every count casts to BIGINT at the aggregate."""
+    parts = ["""
+        WITH wc AS MATERIALIZED (
+            SELECT w, count(*) AS cnt FROM (
+                SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE regexp_matches(w, '^[a-z]+$')
+            GROUP BY w
+        ),
+        chars AS (
+            SELECT w, cnt,
+                   unnest(generate_series(1, length(w))) AS i
+            FROM wc
+        ),
+        s0 AS MATERIALIZED (
+            SELECT ' ' || string_agg(substring(w, i, 1), '  '
+                                     ORDER BY i) || ' ' AS s,
+                   cnt
+            FROM chars GROUP BY w, cnt
+        )"""]
+    for k in range(n_merges):
+        parts.append(""",
+        t%(k)d AS (
+            SELECT string_split(trim(s), '  ') AS t, cnt FROM s%(k)d
+        ),
+        i%(k)d AS (
+            SELECT t, cnt, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM t%(k)d WHERE len(t) >= 2
+        ),
+        p%(k)d AS (
+            SELECT t[i] AS l, t[i+1] AS r,
+                   CAST(sum(cnt) AS BIGINT) AS c
+            FROM i%(k)d GROUP BY t[i], t[i+1]
+        ),
+        b%(k)d AS MATERIALIZED (
+            SELECT l, r, c FROM p%(k)d ORDER BY c DESC, l, r LIMIT 1
+        ),
+        s%(n)d AS MATERIALIZED (
+            SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                           ' ' || b.l || b.r || ' ') AS s, cnt
+            FROM s%(k)d, b%(k)d b
+        )""" % {"k": k, "n": k + 1})
+    selects = [
+        "SELECT CAST(%d AS INTEGER) AS step, l, r, l || r AS merged, "
+        "c AS pair_count FROM b%d" % (k, k)
+        for k in range(n_merges)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def q_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranged-read batching over the collapsed crawl index: the
+    cdx_latest captures (7 WARC files, ~20 records each) batch into
+    ~16 KiB greedy fills per file via sources/cdx.fetch_plan — ONE
+    file-keyed window + same-keyed groupBy.  The oracle re-derives
+    every latest capture's (filename, offset, length) arithmetically
+    from max(doc_id) per url_id, then applies the same exclusive
+    prefix-sum batching in SQL."""
+    from htmlcleanup_spark.sources.cdx import fetch_plan
+
+    return fetch_plan(q_cdx_latest(spark, sf_dir),
+                      max_batch_bytes=16384)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -1739,6 +1884,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,
         "wet_export": q_wet_export,
+        "cdx_latest": q_cdx_latest,
+        "surt_keys": q_surt_keys,
+        "fetch_plan": q_fetch_plan,
+        "bpe_learn": q_bpe_learn,
         "clean_documents": q_clean_documents,
         "clean_fixtures": q_clean_fixtures,
         "dedup_exact": q_dedup_exact,
@@ -3963,4 +4112,109 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(record) AS BIGINT) AS record_bytes
             FROM r
         """,
+        # latest-capture collapse: the oracle never parses CDXJ text —
+        # it re-derives the winning capture's coordinates arithmetically
+        # from max(doc_id) per url_id (ts is monotone in doc_id, so the
+        # lexicographic max over equal-length 14-digit strings IS the
+        # numeric max).
+        "cdx_latest": """
+            WITH caps AS (
+                SELECT doc_id, doc_id % 137 AS uid
+                FROM documents
+                WHERE doc_id % 11 <> 0
+            ),
+            agg AS (
+                SELECT uid,
+                       max(doc_id) AS mx,
+                       count(*) AS n_captures,
+                       count(DISTINCT doc_id % 3) AS n_digests
+                FROM caps GROUP BY uid
+            )
+            SELECT
+                'example,h' || CAST(uid % 23 AS VARCHAR) || ')/p/'
+                    || CAST(uid AS VARCHAR) AS urlkey,
+                CAST(20240000000000 + mx AS VARCHAR) AS latest_ts,
+                'https://www.h' || CAST(uid % 23 AS VARCHAR)
+                    || '.example/p/' || CAST(uid AS VARCHAR) AS url,
+                md5('d' || CAST(uid AS VARCHAR) || ':'
+                    || CAST(mx % 3 AS VARCHAR)) AS digest,
+                'crawl-' || CAST(mx % 7 AS VARCHAR)
+                    || '.warc.gz' AS filename,
+                CAST(mx * 1000 AS BIGINT) AS offset,
+                CAST(1000 + mx % 5000 AS BIGINT) AS length,
+                CAST(n_captures AS BIGINT) AS n_captures,
+                CAST(n_digests AS BIGINT) AS n_digests
+            FROM agg
+        """,
+        # SURT keys: expected urlkey constructed per band from the SAME
+        # arithmetic that built the messy url — not by mirroring the
+        # Spark string ops (lowercase-all, scheme/fragment/www strip,
+        # label reverse, port kept, query kept, missing path -> '/').
+        "surt_keys": """
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(doc_id % 17 AS VARCHAR) AS k,
+                       CAST(doc_id AS VARCHAR) AS i,
+                       doc_id % 5 AS band
+                FROM documents
+            )
+            SELECT doc_id,
+                CASE band
+                  WHEN 0 THEN 'https://www.H' || k || '.Example.COM/A/' || i
+                  WHEN 1 THEN 'http://h' || k || '.example.com:8080/b/'
+                              || i || '?Q=1'
+                  WHEN 2 THEN 'https://h' || k || '.example.com'
+                  WHEN 3 THEN 'HTTPS://WWW.h' || k || '.EXAMPLE.com/c#Frag'
+                  ELSE 'h' || k || '.example.com/d/' || i
+                END AS url,
+                CASE band
+                  WHEN 0 THEN 'com,example,h' || k || ')/a/' || i
+                  WHEN 1 THEN 'com,example,h' || k || ':8080)/b/'
+                              || i || '?q=1'
+                  WHEN 2 THEN 'com,example,h' || k || ')/'
+                  WHEN 3 THEN 'com,example,h' || k || ')/c'
+                  ELSE 'com,example,h' || k || ')/d/' || i
+                END AS urlkey
+            FROM b
+        """,
+        # ranged-read batching: latest-capture coordinates re-derived
+        # arithmetically (see cdx_latest), then the same exclusive
+        # prefix-sum greedy fill in SQL window form.  SUM(BIGINT) is
+        # HUGEINT in DuckDB — cast every sum-bearing column to BIGINT.
+        "fetch_plan": """
+            WITH caps AS (
+                SELECT doc_id, doc_id % 137 AS uid
+                FROM documents
+                WHERE doc_id % 11 <> 0
+            ),
+            agg AS (
+                SELECT uid, max(doc_id) AS mx FROM caps GROUP BY uid
+            ),
+            lat AS (
+                SELECT 'crawl-' || CAST(mx % 7 AS VARCHAR)
+                           || '.warc.gz' AS filename,
+                       CAST(mx * 1000 AS BIGINT) AS off,
+                       CAST(1000 + mx % 5000 AS BIGINT) AS len
+                FROM agg
+            ),
+            b AS (
+                SELECT filename, off, len,
+                       COALESCE(SUM(len) OVER (
+                           PARTITION BY filename ORDER BY off
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum
+                FROM lat
+            )
+            SELECT filename,
+                   CAST(cum // 16384 AS BIGINT) AS batch_id,
+                   CAST(count(*) AS BIGINT) AS n_records,
+                   CAST(sum(len) AS BIGINT) AS payload_bytes,
+                   min(off) AS read_start,
+                   max(off + len) AS read_end,
+                   CAST(max(off + len) - min(off) - sum(len)
+                        AS BIGINT) AS gap_bytes
+            FROM b
+            GROUP BY filename, cum // 16384
+        """,
+        "bpe_learn": _bpe_learn_oracle(8),
     }

@@ -213,6 +213,72 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text",
     )
 
 
+def learn_bpe(df: DataFrame, text_col: str = "text", n_merges: int = 8,
+              token_pattern: str = "^[a-z]+$") -> DataFrame:
+    """Full BPE merge-rule learning (Sennrich et al. 2016): iterate the
+    count-merge loop ``n_merges`` times and return the learned merge
+    table (step, l, r, merged, pair_count) — the artifact a tokenizer
+    trainer ships.  ``bpe_pair_counts`` is the single inner step; this
+    is the whole train loop.
+
+    Distributed shape (the HuggingFace-tokenizers trick, Spark-ified):
+    collapse the corpus to a WORD-COUNT table first — every later
+    iteration runs over the vocabulary (|V| rows, corpus-independent),
+    never the corpus.  Each word is a symbol string with a double-space
+    separator and single-space sentinels (`` h  e  y ``), so applying a
+    merge is ONE literal JVM ``replace`` (left-to-right non-overlapping
+    scan = BPE's greedy-leftmost semantics; the shared half of each
+    double gap keeps the invariant for the next round).  Per iteration:
+    one vocab-keyed map-combined groupBy for pair counts + a 1-row
+    collect for the argmax (total order: count desc, pair asc), then an
+    eager localCheckpoint cuts the lineage (reliable checkpoint on a
+    cluster).  ``token_pattern`` bounds the alphabet (and keeps the
+    char-split portable to the SQL oracle).
+    """
+    spark = df.sparkSession
+    wc = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w").rlike(token_pattern))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sym = F.concat(
+        F.lit(" "), F.array_join(F.split(F.col("w"), ""), "  "), F.lit(" ")
+    )
+    cur = wc.select(sym.alias("s"), "cnt").localCheckpoint(eager=True)
+    pair_struct = F.expr(
+        "transform(sequence(1, size(_t) - 1),"
+        " i -> struct(_t[i-1] AS l, _t[i] AS r))"
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(n_merges):
+        toks = cur.select(
+            F.split(F.trim(F.col("s")), "  ").alias("_t"), "cnt"
+        ).filter(F.size("_t") >= 2)
+        pc = (
+            toks.select(F.explode(pair_struct).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pc.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((step, l, r, l + r, c))
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(" %s  %s " % (l, r)),
+                F.lit(" %s%s " % (l, r)),
+            ).alias("s"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "step int, l string, r string, merged string, pair_count long",
+    )
+
+
 def doc_line_dedup(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """INTRA-document repeated-line removal: within each document, keep

@@ -1,0 +1,196 @@
+"""CDX(J) crawl-index source: the lookup layer in front of WARC fetches.
+
+Common Crawl (and every Wayback-style archive) publishes a per-crawl
+URL index as CDXJ lines — ``<urlkey> <timestamp> <json>`` where the
+urlkey is the SURT-canonicalized URL and the JSON block carries the
+capture's url/mime/status/digest and its WARC byte coordinates
+(filename/offset/length).  A 100-TB pipeline reads THIS index first —
+deciding which captures to fetch, deduplicating by content digest,
+picking the latest capture per URL — and only then issues ranged reads
+into the WARC segments.
+
+Scale shape: parsing is pure JVM (``substring_index`` splits +
+``from_json``), so index scans stay in whole-stage codegen with
+predicate pushdown intact on the parsed columns; ``latest_captures``
+is ONE map-side-combined ``max_by`` aggregate keyed by urlkey (no
+window, no sort — the idiom that survives a 10^11-row index); SURT
+key generation is a codegen-resident expression chain (split + reverse
++ concat), zero Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["CDX_JSON_DDL", "surt_key", "parse_cdxj", "read_cdx",
+           "latest_captures", "to_cdxj_lines", "fetch_plan"]
+
+# capture-info JSON fields, as Common Crawl's cc-index ships them
+# (numbers arrive as JSON strings there; parse to typed columns here)
+CDX_JSON_DDL = (
+    "url string, mime string, status string, digest string, "
+    "length string, offset string, filename string"
+)
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT urlkey for a URL: ``com,example)/path?query`` — lowercase,
+    scheme and leading ``www.`` dropped, host labels REVERSED and
+    comma-joined, ``)`` before the path.  Sort-friendly: all captures
+    of a host and its subdomains are lexicographic neighbors, which is
+    what makes range queries over a sorted CDX index work.
+
+    Deliberate subset of the full SURT spec (no per-scheme port
+    defaults, query-param reordering, or session-id stripping) — each
+    is another expression in this same chain when needed.  Pure JVM:
+    lower/split/reverse/concat, codegen-resident, zero Python.
+    """
+    u = F.lower(F.col(url) if isinstance(url, str) else url)
+    # strip scheme, then fragment
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    hostport = F.substring_index(u, "/", 1)
+    host = F.regexp_replace(
+        F.substring_index(hostport, ":", 1), r"^www\.", ""
+    )
+    port = F.when(
+        hostport.contains(":"),
+        F.concat(F.lit(":"), F.substring_index(hostport, ":", -1)),
+    ).otherwise(F.lit(""))
+    # path = everything from the first '/' (empty -> '/')
+    path = F.when(
+        F.instr(u, "/") > 0, F.substring(u, F.instr(u, "/"), F.lit(1 << 30))
+    ).otherwise(F.lit("/"))
+    rev_host = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    return F.concat(rev_host, port, F.lit(")"), path)
+
+
+def to_cdxj_lines(df: DataFrame, urlkey_col: str = "urlkey",
+                  ts_col: str = "cdx_ts") -> DataFrame:
+    """Render capture rows back into CDXJ index lines (the write side):
+    ``<urlkey> <ts> {"url": ..., "digest": ..., ...}`` via ``to_json``
+    over the info struct — one JVM expression, partition-parallel text
+    out, how an index shard is (re)published after a recrawl merge."""
+    info = F.to_json(
+        F.struct("url", "mime", "status", "digest",
+                 F.col("length").cast("string").alias("length"),
+                 F.col("offset").cast("string").alias("offset"),
+                 "filename")
+    )
+    return df.select(
+        F.concat_ws(" ", F.col(urlkey_col), F.col(ts_col), info)
+        .alias("value")
+    )
+
+
+def parse_cdxj(lines: DataFrame, col: str = "value") -> DataFrame:
+    """CDXJ text lines -> typed capture rows.
+
+    ``substring_index`` peels the two space-delimited prefix fields
+    (urlkey, 14-digit timestamp); ``from_json`` parses the remainder.
+    Numeric WARC coordinates are cast to BIGINT.  Malformed JSON rows
+    survive with NULL info fields (from_json's PERMISSIVE default) —
+    an index scan must not die on one corrupt line.
+    """
+    v = F.col(col)
+    rest = F.expr(
+        "substring(%s, length(substring_index(%s, ' ', 2)) + 2)"
+        % (col, col)
+    )
+    info = F.from_json(rest, CDX_JSON_DDL)
+    return lines.select(
+        F.substring_index(v, " ", 1).alias("urlkey"),
+        F.substring_index(F.substring_index(v, " ", 2), " ", -1)
+        .alias("cdx_ts"),
+        info["url"].alias("url"),
+        info["mime"].alias("mime"),
+        info["status"].cast("int").alias("status"),
+        info["digest"].alias("digest"),
+        info["length"].cast("bigint").alias("length"),
+        info["offset"].cast("bigint").alias("offset"),
+        info["filename"].alias("filename"),
+    )
+
+
+def read_cdx(spark: SparkSession, path: str,
+             path_glob: str = "*.cdx*") -> DataFrame:
+    """Read a directory of CDXJ index shards (.cdx / .cdx.gz — Spark's
+    text source decompresses by extension) as typed capture rows."""
+    return parse_cdxj(
+        spark.read.option("pathGlobFilter", path_glob).text(path)
+    )
+
+
+def latest_captures(captures: DataFrame,
+                    ok_only: bool = True) -> DataFrame:
+    """Collapse a capture index to one row per urlkey: the LATEST
+    capture's coordinates plus per-key history stats (n_captures,
+    n_digests — how often the page changed).
+
+    ONE aggregate keyed by urlkey, all branches map-side combined
+    (``max_by`` on the timestamp, count, approx/exact distinct) — no
+    window function, so no per-key sort and no giant-partition risk on
+    mega-hosts: a host's captures spread over urlkeys, and one urlkey's
+    history is bounded by recrawl cadence.  ``ok_only`` drops non-200
+    captures BEFORE the shuffle (pushed-down filter)."""
+    if ok_only:
+        captures = captures.filter(F.col("status") == 200)
+    return captures.groupBy("urlkey").agg(
+        F.max("cdx_ts").alias("latest_ts"),
+        F.expr("max_by(url, cdx_ts)").alias("url"),
+        F.expr("max_by(digest, cdx_ts)").alias("digest"),
+        F.expr("max_by(filename, cdx_ts)").alias("filename"),
+        F.expr("max_by(offset, cdx_ts)").alias("offset"),
+        F.expr("max_by(length, cdx_ts)").alias("length"),
+        F.count("*").alias("n_captures"),
+        F.countDistinct("digest").alias("n_digests"),
+    )
+
+
+def fetch_plan(captures: DataFrame, max_batch_bytes: int = 64 << 20,
+               file_col: str = "filename", offset_col: str = "offset",
+               length_col: str = "length") -> DataFrame:
+    """Schedule the WARC fetches a capture list implies: group the
+    ranged reads into per-file batches of ~``max_batch_bytes`` so one
+    worker issues ONE ranged request (or sequential scan) per batch
+    instead of one tiny GET per record — the step that turns a CDX
+    query result into an efficient 100-TB fetch job.
+
+    Batching is the repo's exclusive-prefix-sum idiom (pack_sequences):
+    within a file, captures sort by offset and batch_id = prefix_bytes
+    div max_batch_bytes — greedy fill, a record spanning the boundary
+    starts the next batch's bytes but stays whole.  Returns one row
+    per (filename, batch_id): record count, payload bytes, the covering
+    byte span [read_start, read_end), and gap_bytes (span minus
+    payload — what a single ranged read over-fetches vs per-record
+    GETs; the scheduler's cost signal).
+
+    Scale shape: the only shuffle is the window partitioned by
+    ``file_col`` — ONE WARC file is ~1 GB / tens of thousands of
+    records (Common Crawl segment convention), so per-file partitions
+    are bounded by crawl-writer construction, never by corpus size;
+    the groupBy reuses the same key and AQE coalesces the tail.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(file_col)
+        .orderBy(F.col(offset_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum(length_col).over(w), F.lit(0))
+    per = captures.select(
+        file_col, offset_col, length_col, cum_prev.alias("_cum")
+    ).select(
+        file_col, offset_col, length_col,
+        F.expr("_cum div %d" % max_batch_bytes).alias("batch_id"),
+    )
+    return per.groupBy(file_col, "batch_id").agg(
+        F.count("*").alias("n_records"),
+        F.sum(length_col).alias("payload_bytes"),
+        F.min(offset_col).alias("read_start"),
+        F.max(F.col(offset_col) + F.col(length_col)).alias("read_end"),
+        (F.max(F.col(offset_col) + F.col(length_col))
+         - F.min(offset_col) - F.sum(length_col)).alias("gap_bytes"),
+    )

@@ -1,0 +1,185 @@
+"""CDX(J) crawl-index source: SURT keys, parse/render round trip,
+latest-capture collapse, and shard reads."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+
+def _surt(spark, urls):
+    from htmlcleanup_spark.sources.cdx import surt_key
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.k for r in df.select(surt_key("url").alias("k")).collect()]
+
+
+def test_surt_key_canonicalization(spark):
+    got = _surt(spark, [
+        "https://www.Example.COM/Path/To?Q=1",
+        "http://sub.host.example.org:8080/a",
+        "https://example.com",
+        "HTTPS://WWW.example.com/c#Fragment",
+        "example.com/d",                       # scheme-less
+        "http://www.example.com/",             # explicit root
+    ])
+    assert got == [
+        "com,example)/path/to?q=1",
+        "org,example,host,sub:8080)/a",
+        "com,example)/",
+        "com,example)/c",
+        "com,example)/d",
+        "com,example)/",
+    ]
+
+
+def test_surt_keys_are_host_sorted_neighbors(spark):
+    # the point of SURT: a host and its subdomains are lexicographic
+    # neighbors, so a sorted index answers host-range queries
+    keys = sorted(_surt(spark, [
+        "https://a.example.com/1",
+        "https://zz.other.net/1",
+        "https://b.example.com/1",
+        "https://example.com/1",
+    ]))
+    assert keys[:3] == [
+        "com,example)/1",
+        "com,example,a)/1",
+        "com,example,b)/1",
+    ]
+
+
+_LINE = (
+    'com,example)/p 20240102030405 {"url": "https://example.com/p", '
+    '"mime": "text/html", "status": "200", "digest": "sha1:AAAA", '
+    '"length": "1234", "offset": "98765", "filename": "seg-0.warc.gz"}'
+)
+
+
+def test_parse_cdxj_typed_fields(spark):
+    from htmlcleanup_spark.sources.cdx import parse_cdxj
+
+    row = parse_cdxj(
+        spark.createDataFrame([(_LINE,)], "value string")
+    ).collect()[0]
+    assert row.urlkey == "com,example)/p"
+    assert row.cdx_ts == "20240102030405"
+    assert row.url == "https://example.com/p"
+    assert row.status == 200 and isinstance(row.status, int)
+    assert row.offset == 98765 and row.length == 1234
+    assert row.filename == "seg-0.warc.gz"
+
+
+def test_parse_cdxj_malformed_json_survives_as_nulls(spark):
+    from htmlcleanup_spark.sources.cdx import parse_cdxj
+
+    rows = parse_cdxj(spark.createDataFrame(
+        [(_LINE,), ("com,bad)/x 20240101000000 {not json",)],
+        "value string",
+    )).collect()
+    bad = [r for r in rows if r.urlkey == "com,bad)/x"][0]
+    assert bad.cdx_ts == "20240101000000"
+    assert bad.url is None and bad.status is None and bad.offset is None
+
+
+def test_render_parse_round_trip(spark):
+    from htmlcleanup_spark.sources.cdx import parse_cdxj, to_cdxj_lines
+
+    caps = spark.createDataFrame(
+        [("com,example)/p", "20240102030405", "https://example.com/p",
+          "text/html", "200", "sha1:AAAA", 1234, 98765, "seg-0.warc.gz")],
+        "urlkey string, cdx_ts string, url string, mime string, "
+        "status string, digest string, length long, offset long, "
+        "filename string",
+    )
+    back = parse_cdxj(to_cdxj_lines(caps)).collect()[0]
+    assert back.urlkey == "com,example)/p"
+    assert back.status == 200
+    assert back.offset == 98765 and back.length == 1234
+
+
+def _captures(spark):
+    # one urlkey, three captures (one 404); a second key with one capture
+    rows = [
+        ("k1", "20240101000000", "u1", 200, "d1", 10, 0, "f0"),
+        ("k1", "20240301000000", "u1", 200, "d2", 11, 100, "f1"),
+        ("k1", "20240201000000", "u1", 404, "d9", 12, 200, "f2"),
+        ("k2", "20240105000000", "u2", 200, "d1", 13, 300, "f3"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "urlkey string, cdx_ts string, url string, status int, "
+        "digest string, length long, offset long, filename string",
+    ).withColumn("mime", F.lit("text/html"))
+
+
+def test_latest_captures_collapse(spark):
+    from htmlcleanup_spark.sources.cdx import latest_captures
+
+    out = {r.urlkey: r for r in latest_captures(_captures(spark)).collect()}
+    k1 = out["k1"]
+    # ok_only drops the 404 BEFORE aggregation: latest is the March 200
+    assert k1.latest_ts == "20240301000000"
+    assert (k1.digest, k1.filename, k1.offset) == ("d2", "f1", 100)
+    assert k1.n_captures == 2 and k1.n_digests == 2
+    assert out["k2"].n_captures == 1
+
+    with_404 = {r.urlkey: r
+                for r in latest_captures(_captures(spark),
+                                         ok_only=False).collect()}
+    assert with_404["k1"].n_captures == 3
+
+
+def test_read_cdx_shards_including_gz(spark, tmp_path):
+    from htmlcleanup_spark.sources.cdx import read_cdx
+
+    d = str(tmp_path)
+    with open(os.path.join(d, "part-0.cdx"), "w") as f:
+        f.write(_LINE + "\n")
+    with gzip.open(os.path.join(d, "part-1.cdx.gz"), "wt") as f:
+        f.write(_LINE.replace(")/p", ")/q") + "\n")
+    with open(os.path.join(d, "ignore.txt"), "w") as f:
+        f.write("not an index line\n")
+
+    out = read_cdx(spark, d)
+    assert sorted(r.urlkey for r in out.collect()) == [
+        "com,example)/p", "com,example)/q",
+    ]
+
+
+def test_fetch_plan_greedy_fill_and_gap_bytes(spark):
+    from htmlcleanup_spark.sources.cdx import fetch_plan
+
+    # one file: records of 600 bytes at offsets 0,1000,2000,3000 with
+    # batch size 1000 -> exclusive prefix sums 0,600,1200,1800 ->
+    # batches 0,0,1,1; a second file must batch independently
+    rows = [("f1", 0, 600), ("f1", 1000, 600),
+            ("f1", 2000, 600), ("f1", 3000, 600),
+            ("f2", 500, 100)]
+    df = spark.createDataFrame(
+        rows, "filename string, offset long, length long")
+    out = {(r.filename, r.batch_id): r
+           for r in fetch_plan(df, max_batch_bytes=1000).collect()}
+    b0 = out[("f1", 0)]
+    assert b0.n_records == 2 and b0.payload_bytes == 1200
+    assert (b0.read_start, b0.read_end) == (0, 1600)
+    assert b0.gap_bytes == 400          # the 600..1000 hole
+    b1 = out[("f1", 1)]
+    assert (b1.read_start, b1.read_end) == (2000, 3600)
+    assert out[("f2", 0)].n_records == 1
+    assert out[("f2", 0)].gap_bytes == 0
+
+
+def test_fetch_plan_record_spanning_boundary_stays_whole(spark):
+    from htmlcleanup_spark.sources.cdx import fetch_plan
+
+    # second record's bytes cross the 1000 boundary (prefix 900) but it
+    # belongs wholly to batch 0; the third (prefix 1700) starts batch 1
+    rows = [("f", 0, 900), ("f", 900, 800), ("f", 1700, 100)]
+    df = spark.createDataFrame(
+        rows, "filename string, offset long, length long")
+    out = sorted(fetch_plan(df, max_batch_bytes=1000).collect(),
+                 key=lambda r: r.batch_id)
+    assert [(r.batch_id, r.n_records) for r in out] == [(0, 2), (1, 1)]

@@ -128,3 +128,42 @@ def test_bpe_pair_counts(spark):
     assert got == {"aa": 3, "ab": 3}
     top = bpe_pair_counts(df, top_k=1).collect()
     assert [(r.pair, r.cnt) for r in top] == [("aa", 3)]  # tie -> pair asc
+
+
+def test_learn_bpe_hand_computed_merges(spark):
+    from htmlcleanup_spark.operators.corpus import learn_bpe
+
+    # vocabulary: aaab x2, ab x1.  Weighted pair counts per round:
+    #   r0: (a,a)=4 (two slots in each aaab), (a,b)=3  -> merge aa
+    #   r1: (a,b)=3 (aaab is now [aa,a,b]; ab is [a,b]) -> merge ab
+    #   r2: (aa,ab)=2                                   -> merge aaab
+    df = spark.createDataFrame([("aaab aaab ab",)], "text string")
+    got = [(r.step, r.l, r.r, r.merged, r.pair_count)
+           for r in learn_bpe(df, n_merges=3).orderBy("step").collect()]
+    assert got == [
+        (0, "a", "a", "aa", 4),
+        (1, "a", "b", "ab", 3),
+        (2, "aa", "ab", "aaab", 2),
+    ]
+
+
+def test_learn_bpe_stops_when_no_pairs_remain_and_filters_tokens(spark):
+    from htmlcleanup_spark.operators.corpus import learn_bpe
+
+    # 'XY9' fails ^[a-z]+$ and must not contribute pairs; after the
+    # single possible merge the vocabulary is all 1-symbol words, so
+    # the loop stops early regardless of n_merges
+    df = spark.createDataFrame([("ab XY9 ab",)], "text string")
+    got = learn_bpe(df, n_merges=5).collect()
+    assert [(r.step, r.merged, r.pair_count) for r in got] == [(0, "ab", 2)]
+
+
+def test_learn_bpe_greedy_leftmost_overlap(spark):
+    from htmlcleanup_spark.operators.corpus import learn_bpe
+
+    # 'aaa': two (a,a) slots but only ONE merge applies (greedy
+    # leftmost, non-overlapping) -> round 1 sees [aa, a], not [a, aa]
+    df = spark.createDataFrame([("aaa",)], "text string")
+    got = [(r.step, r.l, r.r, r.pair_count)
+           for r in learn_bpe(df, n_merges=2).orderBy("step").collect()]
+    assert got == [(0, "a", "a", 2), (1, "aa", "a", 1)]
