@@ -1773,11 +1773,12 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe(_docs(spark, sf_dir), n_merges=8)
 
 
-def _bpe_learn_oracle(n_merges: int = 8) -> str:
-    """Unrolled-CTE twin of learn_bpe: s0 = char symbol strings of the
-    [a-z]+ word-count vocabulary; stage k = pair counts -> 1-row argmax
-    b{k} -> literal replace into s{k+1}.  SUM(BIGINT) is HUGEINT in
-    DuckDB, so every count casts to BIGINT at the aggregate."""
+def _bpe_stage_ctes(n_merges: int = 8) -> str:
+    """Shared unrolled-CTE chain twin of learn_bpe/apply_bpe: s0 = char
+    symbol strings of the [a-z]+ word-count vocabulary (w threaded
+    through every stage); stage k = pair counts -> 1-row argmax b{k}
+    (count desc, pair asc) -> literal double-space replace into s{k+1}.
+    SUM(BIGINT) is HUGEINT in DuckDB, so every count casts to BIGINT."""
     parts = ["""
         WITH wc AS MATERIALIZED (
             SELECT w, count(*) AS cnt FROM (
@@ -1792,9 +1793,9 @@ def _bpe_learn_oracle(n_merges: int = 8) -> str:
             FROM wc
         ),
         s0 AS MATERIALIZED (
-            SELECT ' ' || string_agg(substring(w, i, 1), '  '
-                                     ORDER BY i) || ' ' AS s,
-                   cnt
+            SELECT w, cnt,
+                   ' ' || string_agg(substring(w, i, 1), '  '
+                                     ORDER BY i) || ' ' AS s
             FROM chars GROUP BY w, cnt
         )"""]
     for k in range(n_merges):
@@ -1815,16 +1816,61 @@ def _bpe_learn_oracle(n_merges: int = 8) -> str:
             SELECT l, r, c FROM p%(k)d ORDER BY c DESC, l, r LIMIT 1
         ),
         s%(n)d AS MATERIALIZED (
-            SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
-                           ' ' || b.l || b.r || ' ') AS s, cnt
+            SELECT w, cnt,
+                   replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                           ' ' || b.l || b.r || ' ') AS s
             FROM s%(k)d, b%(k)d b
         )""" % {"k": k, "n": k + 1})
+    return "".join(parts)
+
+
+def _bpe_learn_oracle(n_merges: int = 8) -> str:
     selects = [
         "SELECT CAST(%d AS INTEGER) AS step, l, r, l || r AS merged, "
         "c AS pair_count FROM b%d" % (k, k)
         for k in range(n_merges)
     ]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return _bpe_stage_ctes(n_merges) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    """apply_bpe twin: the final stage s{n} IS the encoded vocabulary —
+    emit each word's subword segmentation and piece count."""
+    return _bpe_stage_ctes(n_merges) + """
+        SELECT w, cnt,
+               replace(trim(s), '  ', ' ') AS pieces,
+               CAST(len(string_split(trim(s), '  ')) AS INTEGER)
+                   AS n_pieces
+        FROM s%d
+    """ % n_merges
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode with the 8 merges learned on the same corpus: the
+    vocabulary's subword segmentation table (operators/corpus.apply_bpe
+    — a chain of 8 literal JVM replaces, one projection).  The oracle
+    is the learn chain's FINAL stage s8 read out as segmentations."""
+    from htmlcleanup_spark.operators.corpus import apply_bpe, learn_bpe
+
+    d = _docs(spark, sf_dir)
+    rules = [(r["l"], r["r"])
+             for r in learn_bpe(d, n_merges=8).orderBy("step").collect()]
+    return apply_bpe(d, rules)
+
+
+def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff scoring (Brants et al. 2007): model
+    trained on the EVEN-doc_id half, ALL documents scored, so every
+    CASE branch (trigram hit, bigram backoff, add-one unigram floor
+    incl. OOV) is load-bearing in the hash (operators/lm.
+    stupid_backoff_nll: three map-combined model counts + one
+    backoff-CASE scoring projection).  The oracle mirrors the exact
+    arithmetic order (double cast on the numerator, alpha/alpha^2 as
+    repr'd IEEE literals)."""
+    from htmlcleanup_spark.operators.lm import stupid_backoff_nll
+
+    d = _docs(spark, sf_dir)
+    return stupid_backoff_nll(d, model_df=d.filter(F.col("doc_id") % 2 == 0))
 
 
 def q_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1888,6 +1934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_keys": q_surt_keys,
         "fetch_plan": q_fetch_plan,
         "bpe_learn": q_bpe_learn,
+        "bpe_encode": q_bpe_encode,
+        "trigram_backoff": q_trigram_backoff,
         "clean_documents": q_clean_documents,
         "clean_fixtures": q_clean_fixtures,
         "dedup_exact": q_dedup_exact,
@@ -4217,4 +4265,54 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY filename, cum // 16384
         """,
         "bpe_learn": _bpe_learn_oracle(8),
+        "bpe_encode": _bpe_encode_oracle(8),
+        "trigram_backoff": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            tris AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b,
+                            ws[i + 2] AS c
+                     FROM (SELECT doc_id, ws,
+                             unnest(generate_series(1, len(ws) - 2)) AS i
+                           FROM w WHERE len(ws) >= 3)),
+            mw AS (SELECT ws FROM w WHERE doc_id %% 2 = 0),
+            tc AS (SELECT a, b, c, count(*) AS n FROM
+                     (SELECT ws[i] AS a, ws[i + 1] AS b, ws[i + 2] AS c
+                      FROM (SELECT ws,
+                              unnest(generate_series(1, len(ws) - 2)) AS i
+                            FROM mw WHERE len(ws) >= 3))
+                   GROUP BY a, b, c),
+            bc AS (SELECT a, b, count(*) AS n FROM
+                     (SELECT ws[i] AS a, ws[i + 1] AS b
+                      FROM (SELECT ws,
+                              unnest(generate_series(1, len(ws) - 1)) AS i
+                            FROM mw WHERE len(ws) >= 2))
+                   GROUP BY a, b),
+            tokc AS (SELECT wd, count(*) AS c FROM
+                       (SELECT unnest(ws) AS wd FROM mw)
+                     GROUP BY wd),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t,
+                           CAST(count(*) AS DOUBLE) AS v
+                    FROM tokc),
+            sc AS (SELECT s.doc_id,
+                      -ln(CASE
+                        WHEN t3.n IS NOT NULL
+                          THEN CAST(t3.n AS DOUBLE) / b_ab.n
+                        WHEN b_bc.n IS NOT NULL
+                          THEN %(al)s * (CAST(b_bc.n AS DOUBLE) / u_b.c)
+                        ELSE %(a2)s
+                             * ((CAST(coalesce(u_c.c, 0) AS DOUBLE) + 1.0)
+                                / ((SELECT t FROM tot)
+                                   + (SELECT v FROM tot) + 1.0))
+                      END) AS nll
+                   FROM tris s
+                   LEFT JOIN tc t3 ON s.a = t3.a AND s.b = t3.b
+                                  AND s.c = t3.c
+                   LEFT JOIN bc b_ab ON s.a = b_ab.a AND s.b = b_ab.b
+                   LEFT JOIN bc b_bc ON s.b = b_bc.a AND s.c = b_bc.b
+                   LEFT JOIN tokc u_b ON s.b = u_b.wd
+                   LEFT JOIN tokc u_c ON s.c = u_c.wd)
+            SELECT doc_id,
+                   CAST(floor(avg(nll) * 1000000.0) AS BIGINT) AS nll_e6
+            FROM sc GROUP BY doc_id
+        """ % {"al": repr(0.4), "a2": repr(0.4 * 0.4)},
     }

@@ -279,6 +279,44 @@ def learn_bpe(df: DataFrame, text_col: str = "text", n_merges: int = 8,
     )
 
 
+def apply_bpe(df: DataFrame, merges: list[tuple[str, str]],
+              text_col: str = "text",
+              token_pattern: str = "^[a-z]+$") -> DataFrame:
+    """BPE ENCODE: segment the corpus vocabulary with an already-learned
+    merge list (the inference half of learn_bpe; ship the merge table,
+    apply it anywhere).  Returns one row per word — (w, cnt, pieces,
+    n_pieces) — the lookup table a tokenizer service materializes;
+    encoding a document is then a broadcast join on its words.
+
+    The merge list is driver-side tiny (10k-50k rules in real
+    tokenizers), so application is a CHAIN of literal JVM ``replace``
+    expressions over the double-space symbol string — one codegen'd
+    projection, zero shuffles beyond the word-count groupBy, identical
+    greedy-leftmost semantics to the train loop.  Rules MUST apply in
+    learned (step) order: a later rule's left/right symbols only exist
+    after earlier rules fire.
+    """
+    wc = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w").rlike(token_pattern))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    s = F.concat(
+        F.lit(" "), F.array_join(F.split(F.col("w"), ""), "  "), F.lit(" ")
+    )
+    for l, r in merges:
+        s = F.replace(
+            s, F.lit(" %s  %s " % (l, r)), F.lit(" %s%s " % (l, r))
+        )
+    pieces = F.split(F.trim(s), "  ")
+    return wc.select(
+        "w", "cnt",
+        F.array_join(pieces, " ").alias("pieces"),
+        F.size(pieces).alias("n_pieces"),
+    )
+
+
 def doc_line_dedup(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """INTRA-document repeated-line removal: within each document, keep

@@ -245,3 +245,137 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text",
             F.floor(F.col("_m") * 1e6).cast("long").alias("nll_e6"),
         )
     )
+
+
+def _ngram_stream(df: DataFrame, n: int, text_col: str,
+                  id_col: str) -> DataFrame:
+    """(id, g1..gn) sliding n-gram stream per document; documents with
+    fewer than n words emit nothing."""
+    ws = F.split(F.col(text_col), " ")
+    names = ["a", "b", "c", "d", "e"][:n]
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(ws) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - n),
+                    lambda i: F.struct(*[
+                        F.element_at(ws, i + k + 1).alias(names[k])
+                        for k in range(n)
+                    ]),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<%s>>"
+                    % ",".join("%s:string" % x for x in names)
+                )
+            )
+        ).alias("g"),
+    ).select(id_col, *["g.%s" % x for x in names])
+
+
+def trigram_model(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(a, b, c, cnt) adjacent-word trigram frequencies — one
+    map-side-combined shuffle keyed on the triple."""
+    return (
+        _ngram_stream(df, 3, text_col, id_col)
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def stupid_backoff_nll(df: DataFrame, model_df: DataFrame | None = None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       alpha: float = 0.4) -> DataFrame:
+    """Per-document mean negative log-SCORE under a trigram
+    stupid-backoff model (Brants et al. 2007, "Large Language Models
+    in Machine Translation" — THE web-scale LM: no discounting, no
+    normalization, just counts and a fixed backoff penalty, which is
+    what makes it trainable on 10^12 tokens):
+
+        S(c | a b) = n(a,b,c) / n(a,b)              if n(a,b,c) > 0
+                   = alpha * n(b,c) / n(b)          elif n(b,c) > 0
+                   = alpha^2 * (n(c)+1) / (T+V+1)   otherwise
+
+    The unigram floor carries this repo's add-one convention (Brants
+    et al. leave OOV undefined) so scoring a corpus DISJOINT from the
+    model never divides by zero: an unseen word costs the floor
+    probability 1/(T+V+1).  ``model_df`` is the training corpus
+    (defaults to ``df`` — self-trained; pass a held-out/clean split to
+    make the backoff chain load-bearing, since self-training means
+    every scored trigram exists).  Scores are not probabilities (S
+    doesn't normalize) — nll is a relative quality signal, exactly
+    how Brants et al. use it.  Returns (doc_id, nll_e6)
+    floor-quantized; documents with fewer than 3 words yield no row.
+    ``alpha``/``alpha^2`` are emitted as exact IEEE literals on both
+    engines (repr convention).
+
+    Scale shape: trigram/bigram/unigram counts each map-side combine
+    (one shuffle each, over n-gram slots not documents); every model
+    feeds one scoring join — broadcast at validation scale, and at
+    corpus scale the (a,b,c)/(a,b) equi-joins co-partition stream and
+    model on the gram key (AQE picks the strategy).  The backoff CASE
+    is one codegen'd projection; the per-doc mean partial-combines.
+    Branch guards are exact: n(a,b,c) > 0 implies n(a,b) > 0 and
+    n(b,c) > 0 implies n(b) > 0, so the kept divisions never see 0.
+    """
+    if model_df is None:
+        model_df = df
+    stream = _ngram_stream(df, 3, text_col, id_col)
+    tri = trigram_model(model_df, text_col, id_col) \
+        .localCheckpoint(eager=False)
+    bi = bigram_model(model_df, text_col, id_col) \
+        .localCheckpoint(eager=False)
+    uni = unigram_model(model_df, text_col, id_col) \
+        .localCheckpoint(eager=False)
+    tot = uni.agg(
+        F.sum("cnt").cast("double").alias("_t"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    a2 = alpha * alpha
+    scored = (
+        stream
+        .join(F.broadcast(tri.withColumnRenamed("cnt", "_n3")),
+              ["a", "b", "c"], "left")
+        .join(F.broadcast(bi.withColumnRenamed("cnt", "_nab")),
+              ["a", "b"], "left")
+        .join(F.broadcast(
+                  bi.select(F.col("a").alias("b"), F.col("b").alias("c"),
+                            F.col("cnt").alias("_nbc"))),
+              ["b", "c"], "left")
+        .join(F.broadcast(uni.select(F.col("word").alias("b"),
+                                     F.col("cnt").alias("_ub"))),
+              "b", "left")
+        .join(F.broadcast(uni.select(F.col("word").alias("c"),
+                                     F.col("cnt").alias("_uc"))),
+              "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            (-F.log(
+                F.when(
+                    F.col("_n3").isNotNull(),
+                    F.col("_n3").cast("double") / F.col("_nab"),
+                ).when(
+                    F.col("_nbc").isNotNull(),
+                    F.lit(alpha)
+                    * (F.col("_nbc").cast("double") / F.col("_ub")),
+                ).otherwise(
+                    F.lit(a2)
+                    * ((F.coalesce(F.col("_uc"), F.lit(0))
+                        .cast("double") + 1.0)
+                       / (F.col("_t") + F.col("_v") + 1.0))
+                )
+            )).alias("_nll"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.avg("_nll").alias("_m"))
+        .select(
+            id_col,
+            F.floor(F.col("_m") * 1e6).cast("long").alias("nll_e6"),
+        )
+    )

@@ -167,3 +167,15 @@ def test_learn_bpe_greedy_leftmost_overlap(spark):
     got = [(r.step, r.l, r.r, r.pair_count)
            for r in learn_bpe(df, n_merges=2).orderBy("step").collect()]
     assert got == [(0, "a", "a", 2), (1, "aa", "a", 1)]
+
+
+def test_apply_bpe_uses_rules_in_step_order(spark):
+    from htmlcleanup_spark.operators.corpus import apply_bpe
+
+    # rule 1 ('aa'+'b') only fires because rule 0 created 'aa' first
+    df = spark.createDataFrame([("aab aab cab",)], "text string")
+    out = {r.w: r for r in
+           apply_bpe(df, [("a", "a"), ("aa", "b")]).collect()}
+    assert out["aab"].pieces == "aab" and out["aab"].n_pieces == 1
+    assert out["aab"].cnt == 2
+    assert out["cab"].pieces == "c a b" and out["cab"].n_pieces == 3

@@ -180,3 +180,35 @@ def test_bigram_perplexity_orders_predictability(spark):
     assert 102 not in out
     assert out[100] < out[101]
     assert all(v > 0 for v in out.values())
+
+
+def test_stupid_backoff_branches_hand_computed(spark):
+    import math
+
+    from htmlcleanup_spark.operators.lm import stupid_backoff_nll
+
+    model = spark.createDataFrame(
+        [(0, "a b c a b d")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(1, "a b c"),    # trigram hit: n(a,b,c)=1 / n(a,b)=2
+         (2, "b c q"),    # q is OOV -> add-one unigram floor
+         (3, "x b c")],   # backoff: 0.4 * n(b,c)=1 / n(b)=2
+        "doc_id long, text string")
+    out = {r.doc_id: r.nll_e6
+           for r in stupid_backoff_nll(score, model_df=model).collect()}
+    a2 = 0.4 * 0.4
+    exp = {
+        1: math.floor(-math.log(1.0 / 2) * 1e6),
+        2: math.floor(-math.log(a2 * ((0 + 1.0) / (6.0 + 4.0 + 1.0)))
+                      * 1e6),
+        3: math.floor(-math.log(0.4 * (1.0 / 2)) * 1e6),
+    }
+    assert out == exp
+
+
+def test_stupid_backoff_short_docs_yield_no_row(spark):
+    from htmlcleanup_spark.operators.lm import stupid_backoff_nll
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "a b c")], "doc_id long, text string")
+    assert [r.doc_id for r in stupid_backoff_nll(df).collect()] == [2]
