@@ -1873,6 +1873,39 @@ def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stupid_backoff_nll(d, model_df=d.filter(F.col("doc_id") % 2 == 0))
 
 
+def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level reputation rollup: 50 synthetic hosts (doc_id % 50),
+    Gopher keep-verdicts aggregated per host with exact integer
+    keep-fraction and a fail-closed min-docs gate (functions/text.
+    host_quality).  The oracle nests the quality_signals oracle and
+    rolls its keep column up with the same integer div."""
+    from htmlcleanup_spark.functions.text import host_quality
+
+    d = _docs(spark, sf_dir).withColumn(
+        "host",
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string")),
+    )
+    return host_quality(d)
+
+
+def _host_quality_oracle() -> str:
+    return """
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   * 1000000 // count(*) AS keep_frac_e6,
+               (count(*) >= 3
+                AND CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                         AS BIGINT) * 1000000 // count(*) >= 500000)
+                   AS host_keep
+        FROM (SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) AS host, keep
+              FROM (""" + _quality_signals_oracle() + """) qs)
+        GROUP BY host
+    """
+
+
 def q_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranged-read batching over the collapsed crawl index: the
     cdx_latest captures (7 WARC files, ~20 records each) batch into
@@ -1936,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "bpe_encode": q_bpe_encode,
         "trigram_backoff": q_trigram_backoff,
+        "host_quality": q_host_quality,
         "clean_documents": q_clean_documents,
         "clean_fixtures": q_clean_fixtures,
         "dedup_exact": q_dedup_exact,
@@ -4266,6 +4300,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_learn": _bpe_learn_oracle(8),
         "bpe_encode": _bpe_encode_oracle(8),
+        "host_quality": _host_quality_oracle(),
         "trigram_backoff": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                        FROM documents),

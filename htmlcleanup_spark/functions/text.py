@@ -319,6 +319,50 @@ def source_stats(df, text_col: str = "text", source_col: str = "source"):
     )
 
 
+def host_quality(df, host_col: str = "host", text_col: str = "text",
+                 id_col: str = "doc_id", min_docs: int = 3,
+                 min_keep_frac: float = 0.5):
+    """Per-HOST reputation rollup (the RefinedWeb/CCNet move: judge the
+    site, not just the page — a host whose sampled pages mostly fail
+    the Gopher quality gate gets dropped wholesale, which is both a
+    quality and a cost win since its future crawl can be skipped).
+
+    Aggregates :func:`quality_signals` verdicts per host:
+    (host, n_docs, n_keep, keep_frac_e6, host_keep) with
+    ``host_keep = n_docs >= min_docs AND keep_frac >= min_keep_frac``
+    — hosts with too few sampled docs fail closed (no verdict from
+    nothing).  ``keep_frac_e6`` is exact integer arithmetic
+    (n_keep * 1e6 div n_docs), no float anywhere.
+
+    Scale shape: the doc verdict chain is quality_signals' audited
+    plan; the host join-back is a doc-id equi-join (co-partitioned
+    with the signal aggregation's output key) and the rollup is ONE
+    host-keyed map-combined groupBy.  Mega-hosts are 1 row out; the
+    doc-level shuffles stay doc-keyed, so host skew never concentrates
+    a partition."""
+    sig = quality_signals(df, text_col=text_col, id_col=id_col)
+    joined = df.select(F.col(id_col), F.col(host_col)).join(
+        sig.select(F.col(id_col), F.col("keep")), id_col
+    )
+    n_keep = F.sum(F.col("keep").cast("int")).alias("n_keep")
+    return (
+        joined.groupBy(host_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            n_keep,
+        )
+        .select(
+            host_col, "n_docs", "n_keep",
+            F.expr("n_keep * 1000000 div n_docs").alias("keep_frac_e6"),
+            (
+                (F.col("n_docs") >= min_docs)
+                & (F.expr("n_keep * 1000000 div n_docs")
+                   >= int(min_keep_frac * 1e6))
+            ).alias("host_keep"),
+        )
+    )
+
+
 def corpus_stats(df, text_col: str = "text", group_col: str = "lang",
                  approx: bool = False):
     """Per-group corpus statistics (SURVEY §2.7 corpus stats).

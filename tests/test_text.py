@@ -278,3 +278,23 @@ def test_vocab_stats_and_percentiles(spark):
     # p90 = idx floor(2*0.9)=1 -> 5, p99 = idx 1 -> 5; de single -> 1
     assert p[("en", 50)] == 5 and p[("en", 90)] == 5
     assert p[("de", 50)] == 1 and p[("de", 99)] == 1
+
+
+def test_host_quality_rollup_and_fail_closed_min_docs(spark):
+    from htmlcleanup_spark.functions.text import host_quality
+
+    good = ("apple bravo candy delta eagle fancy grape happy igloo "
+            "jolly koala lemon mango nifty ocean piano queen rapid "
+            "sunny tiger umbra vivid wacky xenon")
+    bad = " ".join(["aa"] * 25)          # mean word len 2 -> drop
+    rows = [(0, "A", good), (1, "A", good), (2, "A", good),
+            (3, "A", bad),               # A: 3/4 keep -> 750000
+            (4, "B", good), (5, "B", good)]   # B: only 2 docs
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {r.host: r for r in host_quality(df).collect()}
+    a = out["A"]
+    assert (a.n_docs, a.n_keep, a.keep_frac_e6) == (4, 3, 750000)
+    assert a.host_keep is True
+    b = out["B"]
+    # 100% keep but below min_docs: fail closed
+    assert (b.n_docs, b.keep_frac_e6, b.host_keep) == (2, 1000000, False)
