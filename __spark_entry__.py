@@ -1696,16 +1696,14 @@ def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_wet_records(pages)
 
 
-def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-index collapse: deterministic CDXJ lines are RENDERED from
+def _synth_cdx_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic capture index: CDXJ lines RENDERED from
     doc_id by JVM string concat (url_id = doc_id % 137 gives ~3-4
     captures per urlkey; ts monotone in doc_id; digest rotates through
-    3 values per key; every 11th capture is a 404), parsed back by
-    sources/cdx.parse_cdxj (substring_index + from_json, zero Python),
-    and collapsed by latest_captures — ONE map-combined max_by
-    aggregate, no window.  The oracle re-derives the latest capture's
-    coordinates arithmetically from max(doc_id) per url_id."""
-    from htmlcleanup_spark.sources.cdx import latest_captures, parse_cdxj
+    3 values per key; every 11th capture is a 404; offset = doc_id *
+    1000 so splits can recover doc_id), parsed back by
+    sources/cdx.parse_cdxj (substring_index + from_json, zero Python)."""
+    from htmlcleanup_spark.sources.cdx import parse_cdxj
 
     d = _docs(spark, sf_dir)
     uid = F.col("doc_id") % 137
@@ -1729,7 +1727,52 @@ def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('", "filename": "crawl-'),
         (F.col("doc_id") % 7).cast("string"), F.lit('.warc.gz"}'),
     )
-    return latest_captures(parse_cdxj(d.select(line.alias("value"))))
+    return parse_cdxj(d.select(line.alias("value")))
+
+
+def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-index collapse over the synthetic capture index
+    (_synth_cdx_captures): latest_captures — ONE map-combined max_by
+    aggregate, no window.  The oracle re-derives the latest capture's
+    coordinates arithmetically from max(doc_id) per url_id."""
+    from htmlcleanup_spark.sources.cdx import latest_captures
+
+    return latest_captures(_synth_cdx_captures(spark, sf_dir))
+
+
+def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl merge: the synthetic capture index split into an OLD
+    crawl (doc_id < 250, recovered via offset < 250000) and a NEW one,
+    each collapsed independently, then merged by sources/cdx.
+    merge_capture_indexes — one urlkey-keyed aggregate over the two
+    1-row-per-urlkey inputs, never the raw history.  The oracle
+    derives per-half stats arithmetically and combines them the same
+    way (newer coordinates = global max doc_id; counts add; distinct
+    digests add into the documented upper bound)."""
+    from htmlcleanup_spark.sources.cdx import (latest_captures,
+                                               merge_capture_indexes)
+
+    caps = _synth_cdx_captures(spark, sf_dir)
+    old = latest_captures(caps.filter(F.col("offset") < 250000))
+    new = latest_captures(caps.filter(F.col("offset") >= 250000))
+    return merge_capture_indexes(old, new)
+
+
+def q_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polite fetch scheduling over a 20-host synthetic frontier:
+    per-host md5-ordered slots, fetch_at_s = slot * 5 (exact integer),
+    md5-bucket worker pinning (operators/crawl.politeness_schedule).
+    The oracle mirrors the window and the '0x'-cast hex bucket."""
+    from htmlcleanup_spark.operators.crawl import politeness_schedule
+
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+    url = F.concat(F.lit("https://"), host, F.lit(".example/p/"),
+                   F.col("doc_id").cast("string"))
+    return politeness_schedule(
+        d.select(url.alias("url"), host.alias("host")),
+        crawl_delay_s=5, n_workers=64,
+    )
 
 
 def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1970,6 +2013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "trigram_backoff": q_trigram_backoff,
         "host_quality": q_host_quality,
+        "index_merge": q_index_merge,
+        "politeness": q_politeness,
         "clean_documents": q_clean_documents,
         "clean_fixtures": q_clean_fixtures,
         "dedup_exact": q_dedup_exact,
@@ -4301,6 +4346,60 @@ def oracle_sql() -> dict[str, str]:
         "bpe_learn": _bpe_learn_oracle(8),
         "bpe_encode": _bpe_encode_oracle(8),
         "host_quality": _host_quality_oracle(),
+        "index_merge": """
+            WITH caps AS (
+                SELECT doc_id, doc_id % 137 AS uid,
+                       CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS h
+                FROM documents
+                WHERE doc_id % 11 <> 0
+            ),
+            per AS (
+                SELECT uid, h, max(doc_id) AS mx, count(*) AS n,
+                       count(DISTINCT doc_id % 3) AS nd
+                FROM caps GROUP BY uid, h
+            ),
+            agg AS (
+                SELECT uid, max(mx) AS mx,
+                       CAST(sum(n) AS BIGINT) AS n_captures,
+                       CAST(sum(nd) AS BIGINT) AS n_digests_ub
+                FROM per GROUP BY uid
+            )
+            SELECT
+                'example,h' || CAST(uid % 23 AS VARCHAR) || ')/p/'
+                    || CAST(uid AS VARCHAR) AS urlkey,
+                CAST(20240000000000 + mx AS VARCHAR) AS latest_ts,
+                'https://www.h' || CAST(uid % 23 AS VARCHAR)
+                    || '.example/p/' || CAST(uid AS VARCHAR) AS url,
+                md5('d' || CAST(uid AS VARCHAR) || ':'
+                    || CAST(mx % 3 AS VARCHAR)) AS digest,
+                'crawl-' || CAST(mx % 7 AS VARCHAR)
+                    || '.warc.gz' AS filename,
+                CAST(mx * 1000 AS BIGINT) AS offset,
+                CAST(1000 + mx % 5000 AS BIGINT) AS length,
+                n_captures, n_digests_ub
+            FROM agg
+        """,
+        "politeness": """
+            WITH f AS (
+                SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                       'https://h' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example/p/' || CAST(doc_id AS VARCHAR)
+                           AS url
+                FROM documents
+            ),
+            r AS (
+                SELECT url, host,
+                       CAST(row_number() OVER (PARTITION BY host
+                            ORDER BY md5(url) ASC, url ASC) - 1
+                            AS BIGINT) AS slot
+                FROM f
+            )
+            SELECT url, host, slot,
+                   slot * 5 AS fetch_at_s,
+                   CAST(CAST('0x' || substr(md5(host), 1, 4) AS BIGINT)
+                        % 64 AS INT) AS worker
+            FROM r
+        """,
         "trigram_backoff": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                        FROM documents),

@@ -239,3 +239,42 @@ def robots_allowed(pages: DataFrame, rules: DataFrame,
                 .alias("allowed"),
         )
     )
+
+
+def politeness_schedule(frontier: DataFrame, crawl_delay_s: int = 5,
+                        n_workers: int = 64, host_col: str = "host",
+                        url_col: str = "url") -> DataFrame:
+    """Turn a crawl frontier into a POLITE fetch schedule: per host,
+    URLs fetch one ``crawl_delay_s`` apart (RFC 9309 Crawl-delay /
+    politeness convention — never hammer a host), and every host is
+    pinned to ONE worker (same-host serialization is what makes the
+    delay meaningful; md5-hash assignment, no coordination).
+
+    Returns (url, host, slot, fetch_at_s, worker): slot is the URL's
+    deterministic per-host position (md5(url) order — seedless uniform
+    shuffle so deep hosts interleave fairly rather than alphabetically),
+    fetch_at_s = slot * crawl_delay_s (integer arithmetic, exact), and
+    worker = md5-bucket of the host.
+
+    Scale shape: the only shuffle is the per-host row_number window —
+    bounded by frontier depth per host, which a real scheduler caps
+    upstream (domain_caps); the worker bucket is a pure column
+    expression.  A 10^6-URL host is that host's OWN serial fetch queue
+    — the partition equals the work unit by construction, so the skew
+    IS the schedule, not a plan defect."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.col(url_col))
+    w = Window.partitionBy(host_col).orderBy(key.asc(),
+                                             F.col(url_col).asc())
+    slot = (F.row_number().over(w) - 1).cast("long")
+    worker = (
+        F.conv(F.substring(F.md5(F.col(host_col)), 1, 4), 16, 10)
+        .cast("long") % n_workers
+    ).cast("int")
+    return frontier.select(
+        url_col, host_col,
+        slot.alias("slot"),
+        (slot * crawl_delay_s).alias("fetch_at_s"),
+        worker.alias("worker"),
+    )

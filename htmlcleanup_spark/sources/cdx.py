@@ -24,7 +24,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["CDX_JSON_DDL", "surt_key", "parse_cdxj", "read_cdx",
-           "latest_captures", "to_cdxj_lines", "fetch_plan"]
+           "latest_captures", "to_cdxj_lines", "fetch_plan",
+           "merge_capture_indexes"]
 
 # capture-info JSON fields, as Common Crawl's cc-index ships them
 # (numbers arrive as JSON strings there; parse to typed columns here)
@@ -193,4 +194,33 @@ def fetch_plan(captures: DataFrame, max_batch_bytes: int = 64 << 20,
         F.max(F.col(offset_col) + F.col(length_col)).alias("read_end"),
         (F.max(F.col(offset_col) + F.col(length_col))
          - F.min(offset_col) - F.sum(length_col)).alias("gap_bytes"),
+    )
+
+
+def merge_capture_indexes(old: DataFrame, new: DataFrame,
+                          digests_col: str = "n_digests") -> DataFrame:
+    """Recrawl index merge: combine two COLLAPSED capture indexes
+    (latest_captures shape) into one — the incremental path that never
+    reshuffles raw capture history: both inputs are 1-row-per-urlkey,
+    so the merge moves ~|url universe| rows, not the 10^11-row capture
+    log the old index summarizes.
+
+    Per urlkey: the newer side's coordinates win (``max_by`` on
+    latest_ts — 14-digit fixed-width strings, so lexicographic = 
+    numeric), ``n_captures`` adds exactly, and distinct-digest counts
+    add into ``n_digests_ub`` — an UPPER bound, since distinct counts
+    are not mergeable without the digest sets (the exact alternative
+    is an HLL sketch column; this keeps the oracle exact).  ONE
+    urlkey-keyed map-combined aggregate over the union.
+    """
+    u = old.unionByName(new)
+    return u.groupBy("urlkey").agg(
+        F.max("latest_ts").alias("latest_ts"),
+        F.expr("max_by(url, latest_ts)").alias("url"),
+        F.expr("max_by(digest, latest_ts)").alias("digest"),
+        F.expr("max_by(filename, latest_ts)").alias("filename"),
+        F.expr("max_by(offset, latest_ts)").alias("offset"),
+        F.expr("max_by(length, latest_ts)").alias("length"),
+        F.sum("n_captures").alias("n_captures"),
+        F.sum(digests_col).alias("n_digests_ub"),
     )

@@ -183,3 +183,26 @@ def test_fetch_plan_record_spanning_boundary_stays_whole(spark):
     out = sorted(fetch_plan(df, max_batch_bytes=1000).collect(),
                  key=lambda r: r.batch_id)
     assert [(r.batch_id, r.n_records) for r in out] == [(0, 2), (1, 1)]
+
+
+def test_merge_capture_indexes_newer_wins_counts_add(spark):
+    from htmlcleanup_spark.sources.cdx import (latest_captures,
+                                               merge_capture_indexes)
+
+    old = latest_captures(_captures(spark))            # k1, k2
+    newer = latest_captures(spark.createDataFrame(
+        [("k1", "20250101000000", "u1", 200, "d3", 20, 400, "f9"),
+         ("k3", "20250101000000", "u3", 200, "dX", 21, 500, "f9")],
+        "urlkey string, cdx_ts string, url string, status int, "
+        "digest string, length long, offset long, filename string",
+    ).withColumn("mime", F.lit("text/html")))
+    out = {r.urlkey: r
+           for r in merge_capture_indexes(old, newer).collect()}
+    k1 = out["k1"]
+    # 2025 capture wins coordinates; captures add (2 old + 1 new)
+    assert k1.latest_ts == "20250101000000"
+    assert (k1.digest, k1.filename, k1.offset) == ("d3", "f9", 400)
+    assert k1.n_captures == 3
+    assert k1.n_digests_ub == 3          # 2 old + 1 new (upper bound)
+    assert out["k2"].n_captures == 1     # old-only key survives
+    assert out["k3"].n_captures == 1     # new-only key appears

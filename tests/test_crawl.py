@@ -392,3 +392,33 @@ def test_token_budget_stratified_semantics_and_plan(spark):
     assert kept == {("s1", 1), ("s1", 2), ("s2", 4), ("s2", 5)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_politeness_schedule_serializes_hosts(spark):
+    from htmlcleanup_spark.operators.crawl import politeness_schedule
+
+    rows = [("https://a.ex/%d" % i, "a.ex") for i in range(4)] + \
+           [("https://b.ex/1", "b.ex")]
+    df = spark.createDataFrame(rows, "url string, host string")
+    out = politeness_schedule(df, crawl_delay_s=7, n_workers=8).collect()
+    a = sorted([r for r in out if r.host == "a.ex"],
+               key=lambda r: r.slot)
+    # slots are 0..n-1 dense per host, fetch times exactly delay apart
+    assert [r.slot for r in a] == [0, 1, 2, 3]
+    assert [r.fetch_at_s for r in a] == [0, 7, 14, 21]
+    # one worker per host (same-host serialization)
+    assert len({r.worker for r in a}) == 1
+    assert all(0 <= r.worker < 8 for r in out)
+    b = [r for r in out if r.host == "b.ex"][0]
+    assert (b.slot, b.fetch_at_s) == (0, 0)
+
+
+def test_politeness_schedule_is_deterministic(spark):
+    from htmlcleanup_spark.operators.crawl import politeness_schedule
+
+    df = spark.createDataFrame(
+        [("https://a.ex/%d" % i, "a.ex") for i in range(10)],
+        "url string, host string")
+    one = {(r.url, r.slot) for r in politeness_schedule(df).collect()}
+    two = {(r.url, r.slot) for r in politeness_schedule(df).collect()}
+    assert one == two
