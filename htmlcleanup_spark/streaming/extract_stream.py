@@ -198,3 +198,38 @@ def normalize_stream(docs: DataFrame) -> DataFrame:
     return nfc_normalize_text(kept).select(
         "doc_id", strip_control_chars().alias("text")
     )
+
+
+def cdx_latest_stream(lines: DataFrame, ok_only: bool = True) -> DataFrame:
+    """Streaming twin of sources/cdx.latest_captures: CDXJ index lines
+    arrive as a text stream (a crawler publishes index shards as it
+    writes WARCs) and the latest-capture table maintains itself as ONE
+    streaming aggregate keyed by urlkey — the same map-combined max_by
+    shape as batch, running under the state store.
+
+    Two honest deviations from the batch twin, both forced by
+    Structured Streaming's rules: exact countDistinct is unsupported in
+    streaming aggregations, so digest variety is
+    ``approx_count_distinct`` (HLL — exact in practice at per-key
+    cardinalities of a recrawl cadence); and the per-key state is
+    unbounded (complete/update mode) — at corpus scale you run this per
+    crawl WINDOW and fold windows with cdx.merge_capture_indexes
+    instead of holding the whole URL universe in the state store.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.cdx import parse_cdxj
+
+    caps = parse_cdxj(lines)
+    if ok_only:
+        caps = caps.filter(F.col("status") == 200)
+    return caps.groupBy("urlkey").agg(
+        F.max("cdx_ts").alias("latest_ts"),
+        F.expr("max_by(url, cdx_ts)").alias("url"),
+        F.expr("max_by(digest, cdx_ts)").alias("digest"),
+        F.expr("max_by(filename, cdx_ts)").alias("filename"),
+        F.expr("max_by(offset, cdx_ts)").alias("offset"),
+        F.expr("max_by(length, cdx_ts)").alias("length"),
+        F.count("*").alias("n_captures"),
+        F.approx_count_distinct("digest").alias("n_digests_approx"),
+    )

@@ -204,3 +204,51 @@ def test_normalize_stream_matches_batch(spark, tmp_path):
     assert got == expected
     assert all(d % 7 != 0 for d, _ in got)    # noindex band filtered
     assert any("café" in t for _, t in got)   # mojibake band repaired
+
+
+def test_cdx_latest_stream_matches_batch(spark, tmp_path):
+    """The streaming latest-capture rollup equals the identical
+    aggregate over the statically-read lines (multi-microbatch drain:
+    one file per trigger), including the HLL digest-variety column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from htmlcleanup_spark.sources.cdx import parse_cdxj
+    from htmlcleanup_spark.streaming.extract_stream import cdx_latest_stream
+
+    src = str(tmp_path / "cdx_in")
+    os.makedirs(src)
+    line = ('com,ex)/p%(p)d 2024010%(t)d000000 {"url": "https://ex/p%(p)d", '
+            '"mime": "text/html", "status": "%(s)s", "digest": "d%(d)d", '
+            '"length": "100", "offset": "%(o)d", "filename": "f.warc.gz"}')
+    for f in range(3):                       # 3 shard files -> 3 batches
+        with open(os.path.join(src, "shard-%d.cdx" % f), "w") as fh:
+            for p in range(6):
+                fh.write(line % {"p": p, "t": f + 1, "d": (p + f) % 2,
+                                 "s": "404" if (p + f) % 5 == 0 else "200",
+                                 "o": f * 100 + p} + "\n")
+
+    stream = (spark.readStream.option("maxFilesPerTrigger", 1)
+              .text(src))
+    q = (cdx_latest_stream(stream)
+         .writeStream.format("memory").queryName("cdx_latest_s")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batch_caps = parse_cdxj(spark.read.text(src)) \
+        .filter(F.col("status") == 200)
+    expected = {r.urlkey: r for r in batch_caps.groupBy("urlkey").agg(
+        F.max("cdx_ts").alias("latest_ts"),
+        F.expr("max_by(offset, cdx_ts)").alias("offset"),
+        F.count("*").alias("n_captures"),
+        F.approx_count_distinct("digest").alias("n_digests_approx"),
+    ).collect()}
+    got = {r.urlkey: r
+           for r in spark.sql("SELECT * FROM cdx_latest_s").collect()}
+    assert set(got) == set(expected) and len(got) == 6
+    for k, e in expected.items():
+        g = got[k]
+        assert (g.latest_ts, g.offset, g.n_captures,
+                g.n_digests_approx) == (
+            e.latest_ts, e.offset, e.n_captures, e.n_digests_approx)
