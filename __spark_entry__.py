@@ -1949,6 +1949,61 @@ def _host_quality_oracle() -> str:
     """
 
 
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar-quantized MIPS top-10 (operators/ann.sq8_topk):
+    order-independent quantization + integer dot products make every
+    score bit-exact, so the oracle reproduces score_e6 with no rounding
+    slack — the only ANN variant with an EXACT value hash."""
+    from htmlcleanup_spark.operators import ann
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ann.sq8_topk(emb, queries, k=10)
+
+
+def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parsing over banded synthetic documents: docs with
+    doc_id % 4 == 0 render a 2-entry <sitemapindex>, the rest a
+    3-entry <urlset> where entry 0 carries lastmod, 1 priority, 2
+    changefreq (operators/crawl.parse_sitemap — JVM regex, zero
+    shuffle).  The oracle states every entry row arithmetically from
+    the band, never touching XML."""
+    from htmlcleanup_spark.operators.crawl import parse_sitemap
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 15).cast("string")
+    base = F.concat(F.lit("https://h"), k, F.lit(".example"))
+    lastmod = F.concat(
+        F.lit("2024-01-"),
+        F.lpad((F.col("doc_id") % 27 + 1).cast("string"), 2, "0"),
+    )
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url><loc>"), base, F.lit("/p/"), i, F.lit("/0</loc>"),
+        F.lit("<lastmod>"), lastmod, F.lit("</lastmod></url>"),
+        F.lit("<url><loc>"), base, F.lit("/p/"), i, F.lit("/1</loc>"),
+        F.lit("<priority>0."), (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"),
+        F.lit("<url><loc>"), base, F.lit("/p/"), i, F.lit("/2</loc>"),
+        F.lit("<changefreq>daily</changefreq></url>"),
+        F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'),
+        F.lit("<sitemap><loc>"), base, F.lit("/sitemap-"), i,
+        F.lit("-0.xml</loc></sitemap>"),
+        F.lit("<sitemap><loc>"), base, F.lit("/sitemap-"), i,
+        F.lit("-1.xml</loc></sitemap>"),
+        F.lit("</sitemapindex>"),
+    )
+    xml = F.when(F.col("doc_id") % 4 == 0, index).otherwise(urlset)
+    return parse_sitemap(d.select("doc_id", xml.alias("xml")))
+
+
 def q_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranged-read batching over the collapsed crawl index: the
     cdx_latest captures (7 WARC files, ~20 records each) batch into
@@ -2015,6 +2070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality": q_host_quality,
         "index_merge": q_index_merge,
         "politeness": q_politeness,
+        "ann_sq8_topk": q_ann_sq8_topk,
+        "sitemap": q_sitemap,
         "clean_documents": q_clean_documents,
         "clean_fixtures": q_clean_fixtures,
         "dedup_exact": q_dedup_exact,
@@ -4346,6 +4403,67 @@ def oracle_sql() -> dict[str, str]:
         "bpe_learn": _bpe_learn_oracle(8),
         "bpe_encode": _bpe_encode_oracle(8),
         "host_quality": _host_quality_oracle(),
+        "sitemap": """
+            WITH d AS (SELECT doc_id,
+                              CAST(doc_id % 15 AS VARCHAR) AS k,
+                              CAST(doc_id AS VARCHAR) AS i
+                       FROM documents),
+            urls AS (
+              SELECT doc_id, 'url' AS kind,
+                'https://h' || k || '.example/p/' || i || '/'
+                    || CAST(j AS VARCHAR) AS loc,
+                CASE WHEN j = 0 THEN '2024-01-'
+                     || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+                END AS lastmod,
+                CASE WHEN j = 2 THEN 'daily' END AS changefreq,
+                CASE WHEN j = 1
+                     THEN '0.' || CAST(doc_id % 10 AS VARCHAR)
+                END AS priority
+              FROM d, (VALUES (0), (1), (2)) t(j)
+              WHERE doc_id % 4 <> 0
+            ),
+            maps AS (
+              SELECT doc_id, 'sitemap' AS kind,
+                'https://h' || k || '.example/sitemap-' || i || '-'
+                    || CAST(j AS VARCHAR) || '.xml' AS loc,
+                CAST(NULL AS VARCHAR) AS lastmod,
+                CAST(NULL AS VARCHAR) AS changefreq,
+                CAST(NULL AS VARCHAR) AS priority
+              FROM d, (VALUES (0), (1)) t(j)
+              WHERE doc_id % 4 = 0
+            )
+            SELECT * FROM urls UNION ALL SELECT * FROM maps
+        """,
+        "ann_sq8_topk": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x
+                       FROM embeddings),
+            s AS (SELECT vec_id, x,
+                    greatest(list_max(list_transform(x, y -> abs(y))),
+                             1e-30) / 127.0 AS sc
+                  FROM v),
+            q8 AS (SELECT vec_id, sc,
+                     list_transform(x, y -> CAST(floor(y / sc + 0.5)
+                                                 AS BIGINT)) AS qv
+                   FROM s),
+            qs AS (SELECT vec_id AS query_id, sc AS qsc, qv AS qqv
+                   FROM q8 WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT query_id, c.vec_id AS neighbor_id,
+                     CAST(floor(((c.sc * qsc)
+                            * CAST(list_dot_product(qqv, c.qv) AS DOUBLE))
+                            * 1000000.0) AS BIGINT) AS score_e6
+              FROM qs, q8 c WHERE c.vec_id != query_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score_e6 DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, score_e6,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
         "index_merge": """
             WITH caps AS (
                 SELECT doc_id, doc_id % 137 AS uid,

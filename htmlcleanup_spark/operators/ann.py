@@ -923,3 +923,85 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.80,
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def _sq8_quantize(M: np.ndarray):
+    """Per-row int8 scalar quantization of a [n, d] float64 block:
+    scale = max|x|/127 and q = floor(x/scale + 0.5).  Every operation
+    is per-element or an order-independent max — NO float accumulation
+    — so the codes are bit-exact reproducible across engines."""
+    mx = np.maximum(np.abs(M).max(axis=1), 1e-30)
+    sc = mx / 127.0
+    return np.floor(M / sc[:, None] + 0.5).astype(np.int64), sc
+
+
+def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_queries: int = 65536) -> DataFrame:
+    """Top-k maximum-inner-product neighbors over INT8
+    scalar-quantized vectors — the 4×-smaller, SIMD-friendly index
+    format every production vector store offers (FAISS SQ8 et al.);
+    normalize embeddings upstream and MIPS = cosine.
+
+    The trick that makes this operator EXACTLY oracle-checkable where
+    float cosine needs rounding: quantization uses only per-element
+    ops and an order-independent max (scale = max|x|/127,
+    q = floor(x/scale + 0.5) — |q| <= 127 by construction, no clamp),
+    and scoring is an INTEGER dot product rescaled by two float
+    multiplies: score = (scale_c * scale_q) * dot.  No float summation
+    anywhere, so scores are bit-identical in numpy and SQL and the
+    output quantizes to ``score_e6`` with a deterministic
+    (score desc, id asc) rank.
+
+    Same scale shape as cosine_topk: query codes ride in the closure
+    (chunked at ``max_queries``), each corpus partition emits only its
+    LOCAL top-k (+2e-6 slack — excluded rows floor-quantize strictly
+    below the kept k-th, see cosine_topk's cut argument), so the
+    shuffle carries ~partitions * Q * k rows, never N * Q.
+    Returns (query_id, neighbor_id, score_e6, rank).
+    """
+    qrows = queries.select("query_id", "query_vec").collect()
+    qid_type = queries.schema["query_id"].dataType.simpleString()
+    nid_type = embeddings.schema[id_col].dataType.simpleString()
+    scored_ddl = "query_id %s, neighbor_id %s, _raw double" % (
+        qid_type, nid_type,
+    )
+    corpus = embeddings.select(id_col, vec_col)
+    if not qrows:
+        return embeddings.sparkSession.createDataFrame(
+            [], scored_ddl + ", score_e6 long, rank int"
+        ).select("query_id", "neighbor_id", "score_e6", "rank")
+    scored = None
+    for lo in range(0, len(qrows), max_queries):
+        chunk = qrows[lo : lo + max_queries]
+        qids = np.array([r.query_id for r in chunk])
+        Qm = np.stack(
+            [np.asarray(r.query_vec, dtype=np.float64) for r in chunk]
+        )
+        Qq, qsc = _sq8_quantize(Qm)
+
+        def score_partition(batches, qids=qids, Qq=Qq, qsc=qsc):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy()
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                Cq, csc = _sq8_quantize(V)
+                dots = (Cq @ Qq.T).astype(np.float64)   # exact int dot
+                S = (csc[:, None] * qsc[None, :]) * dots
+                yield _local_topk_frame(ids, S, qids, k, slack=2e-6)
+
+        part = corpus.mapInPandas(score_partition, scored_ddl)
+        scored = part if scored is None else scored.unionByName(part)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id", "neighbor_id",
+            F.floor(F.col("_raw") * 1e6).cast("long").alias("score_e6"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score_e6", "rank")
+    )

@@ -278,3 +278,40 @@ def politeness_schedule(frontier: DataFrame, crawl_delay_s: int = 5,
         (slot * crawl_delay_s).alias("fetch_at_s"),
         worker.alias("worker"),
     )
+
+
+def parse_sitemap(df: DataFrame, xml_col: str = "xml",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Parse sitemaps.org XML (the crawl-discovery channel robots.txt
+    points at): one row per ``<url>`` entry (kind='url') or
+    ``<sitemap>`` index entry (kind='sitemap'), with loc / lastmod /
+    changefreq / priority (NULL when the optional tag is absent).
+    Entry values are extracted verbatim as strings — priority/lastmod
+    typing is the caller's policy (a recrawl scheduler parses lastmod,
+    a frontier ranks by priority).
+
+    Pure JVM: block split = ``regexp_extract_all`` with a reluctant
+    ``(?s)<url>.*?</url>`` (tag names are anchored by '>' so
+    ``<urlset>``/``<sitemapindex>`` wrappers can't match), field pull =
+    per-block ``regexp_extract`` — zero Python, codegen-resident, one
+    generator explode and no shuffle at all.  Malformed blocks yield
+    NULL fields, never a failure (crawl inputs are hostile)."""
+    def _entries(kind: str, tag: str) -> DataFrame:
+        block = F.explode(
+            F.regexp_extract_all(
+                F.col(xml_col),
+                F.lit("(?s)<%s>.*?</%s>" % (tag, tag)), F.lit(0),
+            )
+        ).alias("_b")
+        f = lambda t: F.nullif(  # noqa: E731
+            F.regexp_extract("_b", "<%s>([^<]*)</%s>" % (t, t), 1),
+            F.lit(""),
+        ).alias(t if t != "loc" else "loc")
+        return df.select(F.col(id_col), block).select(
+            id_col, F.lit(kind).alias("kind"),
+            f("loc"), f("lastmod"), f("changefreq"), f("priority"),
+        )
+
+    return _entries("url", "url").unionByName(
+        _entries("sitemap", "sitemap")
+    )

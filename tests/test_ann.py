@@ -471,3 +471,49 @@ def test_semdedup_planted_duplicates(spark):
     assert out[0] is True and out[1] is False and out[2] is False
     assert out[3] is True and out[4] is False and out[5] is False
     assert all(out[i] for i in range(6, vid))
+
+
+def test_sq8_topk_matches_numpy_replica_exactly(spark):
+    import numpy as np
+
+    from htmlcleanup_spark.operators.ann import _sq8_quantize, sq8_topk
+
+    rng = [(i, [((i * 7 + j * 13) % 29 - 14) / 7.0 for j in range(8)])
+           for i in range(40)]
+    emb = spark.createDataFrame(
+        rng, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id % 10 = 0").select(
+        "vec_id", "embedding").toDF("query_id", "query_vec")
+    out = sq8_topk(emb, queries, k=5)
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.score_e6)
+           for r in out.collect()}
+
+    M = np.array([v for _, v in rng], dtype=np.float64)
+    Qc, sc = _sq8_quantize(M)
+    assert np.abs(Qc).max() <= 127
+    exp = {}
+    for qi in range(0, 40, 10):
+        scores = []
+        for ci in range(40):
+            if ci == qi:
+                continue
+            dot = float(np.dot(Qc[qi], Qc[ci]))
+            raw = (sc[ci] * sc[qi]) * dot
+            scores.append((int(np.floor(raw * 1e6)), ci))
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s6, ci) in enumerate(scores[:5], 1):
+            exp[(qi, rank)] = (ci, s6)
+    assert got == exp
+
+
+def test_sq8_topk_zero_vector_guard(spark):
+    from htmlcleanup_spark.operators.ann import sq8_topk
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 2.0]), (2, [2.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id = 0").select(
+        "vec_id", "embedding").toDF("query_id", "query_vec")
+    rows = sq8_topk(emb, queries, k=2).collect()
+    # zero vector quantizes to all-zero codes: finite zero scores
+    assert [r.score_e6 for r in rows] == [0, 0]

@@ -422,3 +422,36 @@ def test_politeness_schedule_is_deterministic(spark):
     one = {(r.url, r.slot) for r in politeness_schedule(df).collect()}
     two = {(r.url, r.slot) for r in politeness_schedule(df).collect()}
     assert one == two
+
+
+def test_parse_sitemap_urlset_index_and_malformed(spark):
+    from htmlcleanup_spark.operators.crawl import parse_sitemap
+
+    urlset = ('<?xml version="1.0"?>\n<urlset>\n'
+              ' <url>\n  <loc>https://a.ex/1</loc>\n'
+              '  <lastmod>2024-05-01</lastmod>\n'
+              '  <priority>0.8</priority>\n </url>\n'
+              ' <url><loc>https://a.ex/2</loc>'
+              '<changefreq>weekly</changefreq></url>\n'
+              ' <url>no loc tag at all</url>\n'
+              '</urlset>')
+    index = ('<sitemapindex><sitemap>'
+             '<loc>https://a.ex/sm-1.xml</loc></sitemap></sitemapindex>')
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "not xml")],
+        "doc_id long, xml string")
+    rows = parse_sitemap(df).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append(r)
+    one = sorted(by[1], key=lambda r: r.loc or "")
+    # multiline block captured ((?s)); wrapper <urlset> never matches
+    assert len(one) == 3
+    assert (one[1].loc, one[1].lastmod, one[1].priority) == (
+        "https://a.ex/1", "2024-05-01", "0.8")
+    assert (one[2].loc, one[2].changefreq, one[2].lastmod) == (
+        "https://a.ex/2", "weekly", None)
+    assert one[0].loc is None                 # malformed block -> NULLs
+    assert by[2][0].kind == "sitemap"
+    assert by[2][0].loc == "https://a.ex/sm-1.xml"
+    assert 3 not in by                        # non-XML doc: no entries
