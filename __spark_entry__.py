@@ -2004,6 +2004,65 @@ def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sitemap(d.select("doc_id", xml.alias("xml")))
 
 
+def q_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 bad-words page rule as score + verdict: every 7th doc gets
+    ' nsfw' appended and every 13th ' casino gambling', so flagged
+    counts and the zero-tolerance keep verdict vary by band
+    (operators/corpus.badwords_filter — whole-token match, zero
+    shuffle).  The oracle states counts from the band arithmetic plus
+    the document's own token count."""
+    from htmlcleanup_spark.operators.corpus import badwords_filter
+
+    d = _docs(spark, sf_dir)
+    text = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" nsfw"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" casino gambling"))
+        .otherwise(F.lit("")),
+    )
+    return badwords_filter(d.select("doc_id", text.alias("text")))
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-directive discovery from synthetic robots.txt bodies:
+    every host advertises 1 sitemap, even doc_ids a second (mixed
+    case 'SiteMap:' + trailing comment), band 3 an empty directive
+    that must be dropped (operators/crawl.robots_sitemaps)."""
+    from htmlcleanup_spark.operators.crawl import robots_sitemaps
+
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+    i = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /tmp\n"),
+        F.lit("Sitemap: https://"), host, F.lit(".ex/sm-"), i,
+        F.lit(".xml\n"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("sitemap: https://"), host,
+                        F.lit(".ex/extra-"), i,
+                        F.lit(".xml   # mirror\n")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 3, F.lit("Sitemap:   \n"))
+        .otherwise(F.lit("")),
+    )
+    return robots_sitemaps(
+        d.select(host.alias("host"), body.alias("body"))
+    ).select(F.col("host"), "sitemap_url")
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-frequency recrawl ranking over the collapsed synthetic
+    index (operators/crawl.recrawl_priority): integer-exact change
+    rate from (n_digests-1)/(n_captures-1), staleness from the date
+    ordinal, score = product.  Oracle re-derives per-urlkey stats
+    arithmetically (cdx_latest machinery) then applies the same
+    integer formula."""
+    from htmlcleanup_spark.operators.crawl import recrawl_priority
+
+    return recrawl_priority(q_cdx_latest(spark, sf_dir))
+
+
 def q_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranged-read batching over the collapsed crawl index: the
     cdx_latest captures (7 WARC files, ~20 records each) batch into
@@ -2072,6 +2131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness": q_politeness,
         "ann_sq8_topk": q_ann_sq8_topk,
         "sitemap": q_sitemap,
+        "badwords": q_badwords,
+        "robots_sitemaps": q_robots_sitemaps,
+        "recrawl_priority": q_recrawl_priority,
         "clean_documents": q_clean_documents,
         "clean_fixtures": q_clean_fixtures,
         "dedup_exact": q_dedup_exact,
@@ -4403,6 +4465,70 @@ def oracle_sql() -> dict[str, str]:
         "bpe_learn": _bpe_learn_oracle(8),
         "bpe_encode": _bpe_encode_oracle(8),
         "host_quality": _host_quality_oracle(),
+        "badwords": """
+            WITH t AS (SELECT doc_id,
+                         text
+                         || CASE WHEN doc_id % 7 = 0
+                                 THEN ' nsfw' ELSE '' END
+                         || CASE WHEN doc_id % 13 = 0
+                                 THEN ' casino gambling' ELSE '' END
+                           AS text
+                       FROM documents),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM t),
+            f AS (SELECT doc_id, len(ws) AS nw,
+                     len(list_filter(ws,
+                         x -> lower(x) IN ('porn', 'xxx', 'sex', 'nude', 'nsfw', 'viagra', 'casino', 'gambling', 'escort', 'erotic'))) AS nf
+                  FROM w)
+            SELECT doc_id, CAST(nf AS INT) AS n_flagged,
+                   CAST(floor(CAST(nf AS DOUBLE)
+                        / greatest(CAST(nw AS DOUBLE), 1.0)
+                        * 1000000.0) AS BIGINT) AS flagged_frac_e6,
+                   nf = 0 AS keep
+            FROM f
+        """,
+        "robots_sitemaps": """
+            WITH d AS (SELECT doc_id,
+                         'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+                         CAST(doc_id AS VARCHAR) AS i
+                       FROM documents),
+            a AS (SELECT host, 'https://' || host || '.ex/sm-' || i
+                        || '.xml' AS sitemap_url FROM d),
+            b AS (SELECT host, 'https://' || host || '.ex/extra-' || i
+                        || '.xml' AS sitemap_url FROM d
+                  WHERE doc_id % 2 = 0)
+            SELECT * FROM a UNION ALL SELECT * FROM b
+        """,
+        "recrawl_priority": """
+            WITH caps AS (
+                SELECT doc_id, doc_id % 137 AS uid
+                FROM documents
+                WHERE doc_id % 11 <> 0
+            ),
+            agg AS (
+                SELECT uid, max(doc_id) AS mx,
+                       count(*) AS n_captures,
+                       count(DISTINCT doc_id % 3) AS n_digests
+                FROM caps GROUP BY uid
+            ),
+            s AS (
+                SELECT uid, mx,
+                       CAST(CASE WHEN n_captures > 1
+                            THEN floor((n_digests - 1) * 1000000
+                                       / (n_captures - 1))
+                            ELSE 0 END AS BIGINT) AS change_rate_e6,
+                       20250101 - CAST((20240000000000 + mx) // 1000000
+                                       AS BIGINT) AS age_ord
+                FROM agg
+            )
+            SELECT
+                'example,h' || CAST(uid % 23 AS VARCHAR) || ')/p/'
+                    || CAST(uid AS VARCHAR) AS urlkey,
+                'https://www.h' || CAST(uid % 23 AS VARCHAR)
+                    || '.example/p/' || CAST(uid AS VARCHAR) AS url,
+                change_rate_e6, age_ord,
+                change_rate_e6 * age_ord AS score_e6
+            FROM s
+        """,
         "sitemap": """
             WITH d AS (SELECT doc_id,
                               CAST(doc_id % 15 AS VARCHAR) AS k,

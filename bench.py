@@ -109,6 +109,23 @@ EXTENDED = [
     "quality_classifier",
     "deterministic_shuffle",
     "bpe_pairs",
+    "doc_line_dedup",
+    "inverted_index",
+    "phrase_scores",
+    "audio_meta",
+    "video_meta",
+    "wet_export",
+    "cdx_latest",
+    "surt_keys",
+    "fetch_plan",
+    "bpe_learn",
+    "bpe_encode",
+    "trigram_backoff",
+    "host_quality",
+    "index_merge",
+    "politeness",
+    "ann_sq8_topk",
+    "sitemap",
 ]
 
 

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["c4_filter", "sentence_split", "quality_classifier",
            "deterministic_shuffle", "bpe_pair_counts",
-           "doc_line_dedup"]
+           "doc_line_dedup", "learn_bpe", "apply_bpe",
+           "badwords_filter", "BADWORD_MARKERS"]
 
 # C4's line filter: terminal punctuation (the paper keeps lines ending
 # in a terminal punctuation mark; '"' covers quoted dialogue endings)
@@ -360,4 +361,45 @@ def doc_line_dedup(df: DataFrame, text_col: str = "text",
             F.col("n_lines_kept").cast("int"),
             F.col("n_dupes_removed").cast("int"),
         )
+    )
+
+
+# adult/spam marker subset — the C4 rule uses the public LDNOOBW word
+# list ("List of Dirty, Naughty, Obscene..."); ship-swap the full list
+# here in production.  Kept deliberately small and non-slur in-repo.
+BADWORD_MARKERS = (
+    "porn", "xxx", "sex", "nude", "nsfw", "viagra", "casino",
+    "gambling", "escort", "erotic",
+)
+
+
+def badwords_filter(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    words: tuple[str, ...] = BADWORD_MARKERS) -> DataFrame:
+    """The C4 bad-words page rule (Raffel et al. 2020 §2.2: drop any
+    page containing a word from the public LDNOOBW list), as a SOFT
+    score + hard verdict: (id, n_flagged, flagged_frac_e6, keep) with
+    keep = zero flagged tokens — the C4 semantics; downstream can
+    instead threshold the fraction (the CCNet-style soft policy).
+
+    Matching is whole-token on the whitespace split, lowercased —
+    substring matching ("classic" contains...) is exactly the C4
+    false-positive bug class this avoids.  Pure per-row array lambdas:
+    zero shuffles, zero Python, codegen-resident, composes as a
+    pushed-down filter like c4_filter."""
+    ws = F.split(F.col(text_col), " ")
+    lit_words = F.array(*[F.lit(w) for w in words])
+    flagged = F.filter(
+        ws, lambda w: F.array_contains(lit_words, F.lower(w))
+    )
+    n = F.size(flagged)
+    return df.select(
+        id_col,
+        n.alias("n_flagged"),
+        F.floor(
+            n.cast("double")
+            / F.greatest(F.size(ws).cast("double"), F.lit(1.0))
+            * 1e6
+        ).cast("long").alias("flagged_frac_e6"),
+        (n == 0).alias("keep"),
     )

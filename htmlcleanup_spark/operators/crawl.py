@@ -315,3 +315,63 @@ def parse_sitemap(df: DataFrame, xml_col: str = "xml",
     return _entries("url", "url").unionByName(
         _entries("sitemap", "sitemap")
     )
+
+
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    body_col: str = "body") -> DataFrame:
+    """Extract ``Sitemap:`` directives from robots.txt bodies — the
+    discovery handshake: robots.txt names the sitemaps, parse_sitemap
+    expands them into the frontier.  Per RFC 9309 §2.3 the directive
+    is group-independent (valid anywhere in the file) and repeatable,
+    so this is a flat scan, not group parsing: one
+    ``regexp_extract_all`` over lines (case-insensitive key, trailing
+    comments stripped), one generator explode, zero shuffles.
+    Returns (host, sitemap_url), one row per directive."""
+    urls = F.regexp_extract_all(
+        F.col(body_col),
+        F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\r\n]*)"), F.lit(1),
+    )
+    return robots.select(
+        F.col(host_col),
+        F.explode(urls).alias("_u"),
+    ).select(
+        host_col, F.trim(F.col("_u")).alias("sitemap_url")
+    ).filter(F.col("sitemap_url") != "")
+
+
+def recrawl_priority(latest: DataFrame, now_ts: int = 20250101000000,
+                     min_score_e6: int = 0) -> DataFrame:
+    """Rank urlkeys for the NEXT crawl from their capture history (the
+    latest_captures table): pages that changed often (digest variety /
+    capture count) and haven't been fetched recently score high —
+    the classic change-frequency estimator (Cho & Garcia-Molina 2003)
+    in its integer-exact form:
+
+        change_rate_e6 = (n_digests - 1) * 1e6 div (n_captures - 1)
+                         (0 when a single capture — no evidence)
+        age_ord        = staleness as the difference of 8-digit date
+                         prefixes (a monotone ordinal, NOT calendar
+                         days — cheap, sort-order-correct)
+        score_e6       = change_rate_e6 * age_ord
+
+    Pure column arithmetic over the collapsed index — zero shuffles;
+    the consumer sorts/thresholds (a pushed-down filter at corpus
+    scale, same policy split as ppl_buckets' thresholds path).
+    Returns (urlkey, url, change_rate_e6, age_ord, score_e6).
+    """
+    days = (
+        F.lit(int(str(now_ts)[:8]))
+        - F.substring(F.col("latest_ts"), 1, 8).cast("long")
+    )
+    rate = F.when(
+        F.col("n_captures") > 1,
+        (F.col("n_digests") - 1) * 1000000
+        / (F.col("n_captures") - 1),
+    ).otherwise(F.lit(0))
+    rate_i = F.floor(rate).cast("long")
+    return latest.select(
+        "urlkey", "url",
+        rate_i.alias("change_rate_e6"),
+        days.alias("age_ord"),
+        (rate_i * days).alias("score_e6"),
+    ).filter(F.col("score_e6") >= min_score_e6)

@@ -179,3 +179,18 @@ def test_apply_bpe_uses_rules_in_step_order(spark):
     assert out["aab"].pieces == "aab" and out["aab"].n_pieces == 1
     assert out["aab"].cnt == 2
     assert out["cab"].pieces == "c a b" and out["cab"].n_pieces == 3
+
+
+def test_badwords_filter_whole_token_only(spark):
+    from htmlcleanup_spark.operators.corpus import badwords_filter
+
+    df = spark.createDataFrame(
+        [(1, "a classic sextet essex text"),   # substrings never match
+         (2, "watch PORN now"),                # case-insensitive token
+         (3, "xxx casino xxx")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in badwords_filter(df).collect()}
+    assert (out[1].n_flagged, out[1].keep) == (0, True)
+    assert (out[2].n_flagged, out[2].keep) == (1, False)
+    assert out[3].n_flagged == 3
+    assert out[3].flagged_frac_e6 == 1000000

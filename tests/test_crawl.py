@@ -455,3 +455,39 @@ def test_parse_sitemap_urlset_index_and_malformed(spark):
     assert by[2][0].kind == "sitemap"
     assert by[2][0].loc == "https://a.ex/sm-1.xml"
     assert 3 not in by                        # non-XML doc: no entries
+
+
+def test_robots_sitemaps_directives(spark):
+    from htmlcleanup_spark.operators.crawl import robots_sitemaps
+
+    body = ("User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://a.ex/sm.xml\n"
+            "  sitemap:https://a.ex/sm2.xml   # mirror\n"
+            "SITEMAP:   \n"                 # empty -> dropped
+            "NotASitemap: https://a.ex/no.xml\n")
+    df = spark.createDataFrame([("a.ex", body)], "host string, body string")
+    got = sorted(r.sitemap_url for r in robots_sitemaps(df).collect())
+    assert got == ["https://a.ex/sm.xml", "https://a.ex/sm2.xml"]
+
+
+def test_recrawl_priority_formula(spark):
+    from htmlcleanup_spark.operators.crawl import recrawl_priority
+
+    rows = [
+        # 3 captures, 3 digests -> rate 1e6; latest 2024-06-01
+        ("k1", "20240601000000", "u1", 3, 3),
+        # 5 captures, 1 digest -> rate 0 (never changes)
+        ("k2", "20240601000000", "u2", 5, 1),
+        # single capture -> rate 0 by the no-evidence rule
+        ("k3", "20241231000000", "u3", 1, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "urlkey string, latest_ts string, url string, "
+              "n_captures long, n_digests long")
+    out = {r.urlkey: r
+           for r in recrawl_priority(df, now_ts=20250101000000).collect()}
+    k1 = out["k1"]
+    assert k1.change_rate_e6 == 1000000
+    assert k1.age_ord == 20250101 - 20240601
+    assert k1.score_e6 == 1000000 * k1.age_ord
+    assert out["k2"].score_e6 == 0 and out["k3"].score_e6 == 0
