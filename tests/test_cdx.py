@@ -206,3 +206,53 @@ def test_merge_capture_indexes_newer_wins_counts_add(spark):
     assert k1.n_digests_ub == 3          # 2 old + 1 new (upper bound)
     assert out["k2"].n_captures == 1     # old-only key survives
     assert out["k3"].n_captures == 1     # new-only key appears
+
+
+def test_fetch_warc_ranges_executes_plan(spark, tmp_path):
+    """CDX story end-to-end: capture coordinates -> fetch_plan batches
+    -> ranged reads + parse == the records the coordinates address,
+    for a plain .warc (byte offsets) AND a .warc.gz (gzip-member
+    offsets/lengths, the Common Crawl convention)."""
+    from htmlcleanup_spark.sources.cdx import fetch_plan, fetch_warc_ranges
+    from htmlcleanup_spark.sources.pages import make_html
+
+    def record(i):
+        html = make_html(i, 7)
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + html)
+        hdr = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               + b"WARC-Target-URI: https://x.ex/p/%d\r\n" % i
+               + b"WARC-Date: 2024-01-01T00:00:%02dZ\r\n" % (i % 60)
+               + b"Content-Length: %d\r\n" % len(http))
+        return html, hdr + b"\r\n" + http + b"\r\n\r\n"
+
+    caps = []
+    # plain file: byte offsets into the uncompressed stream
+    off, blob = 0, b""
+    for i in range(6):
+        _, raw = record(i)
+        caps.append(("a.warc", off, len(raw), i))
+        blob += raw
+        off += len(raw)
+    (tmp_path / "a.warc").write_bytes(blob)
+    # gz file: one gzip member per record, member offsets/lengths
+    off, blob = 0, b""
+    for i in range(6, 12):
+        _, raw = record(i)
+        member = gzip.compress(raw)
+        caps.append(("b.warc.gz", off, len(member), i))
+        blob += member
+        off += len(member)
+    (tmp_path / "b.warc.gz").write_bytes(blob)
+
+    cap_df = spark.createDataFrame(
+        [(f, o, n) for f, o, n, _ in caps],
+        "filename string, offset long, length long")
+    plan = fetch_plan(cap_df, max_batch_bytes=2000)   # several batches
+    assert plan.count() > 2
+    pages = fetch_warc_ranges(plan, str(tmp_path)).collect()
+    assert sorted(r.url for r in pages) == sorted(
+        "https://x.ex/p/%d" % i for i in range(12))
+    got = {r.url: bytes(r.html) for r in pages}
+    for i in range(12):
+        assert got["https://x.ex/p/%d" % i] == make_html(i, 7)
