@@ -2063,6 +2063,177 @@ def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl_priority(q_cdx_latest(spark, sf_dir))
 
 
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-ops pipeline in ONE lazy plan: collapse the
+    capture index (latest_captures) -> change-frequency recrawl
+    ranking (recrawl_priority) -> keep the fast-changing tier
+    (score_e6 > 6e9 splits the synthetic population 121/16, so the
+    filter is load-bearing in the hash) -> politeness-scheduled fetch
+    slots per host
+    (politeness_schedule).  Every stage is an already-oracle-checked
+    operator; the oracle chains their SQL twins, checking the
+    COMPOSITION contracts (column handoffs, filter placement)."""
+    from htmlcleanup_spark.operators.crawl import (politeness_schedule,
+                                                   recrawl_priority)
+
+    due = recrawl_priority(q_cdx_latest(spark, sf_dir)) \
+        .filter(F.col("score_e6") > 6000000000)
+    host = F.substring_index(
+        F.substring_index(F.col("url"), "//", -1), "/", 1
+    )
+    return politeness_schedule(
+        due.select("url", host.alias("host")),
+        crawl_delay_s=5, n_workers=16,
+    )
+
+
+_V4_NLL_MAX = 1_650_000  # splits the 103 LM-scored survivors 49/54 (probed at sf0.01)
+
+
+def _training_corpus_v4_oracle() -> str:
+    """Composition twin of q_training_corpus_v4: host-quality gate
+    (quality_signals oracle re-rooted on the appended text), whole-token
+    bad-words drop, the trigram stupid-backoff chain self-trained on the
+    survivors, the nll threshold, and the per-shard pack window."""
+    from htmlcleanup_spark.operators.corpus import BADWORD_MARKERS
+
+    markers = ", ".join("'%s'" % w for w in BADWORD_MARKERS)
+    qs_over_t = _quality_signals_oracle().replace(
+        "FROM documents", "FROM t"
+    )
+    return """
+        WITH t AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id %% 7 = 0
+                                THEN ' nsfw' ELSE '' END AS text
+            FROM documents
+        ),
+        hq AS (
+            SELECT host,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                        AS BIGINT) * 1000000 // count(*) AS kf,
+                   count(*) AS nd
+            FROM (SELECT 'h' || CAST(doc_id %% 50 AS VARCHAR) AS host,
+                         keep
+                  FROM (%(qs)s) q)
+            GROUP BY host
+        ),
+        hk AS (SELECT host FROM hq WHERE nd >= 3 AND kf >= 500000),
+        s1 AS (
+            SELECT doc_id, text
+            FROM t
+            WHERE 'h' || CAST(doc_id %% 50 AS VARCHAR)
+                  IN (SELECT host FROM hk)
+        ),
+        s2 AS MATERIALIZED (
+            SELECT doc_id, text FROM s1
+            WHERE len(list_filter(string_split(text, ' '),
+                      x -> lower(x) IN (%(markers)s))) = 0
+        ),
+        w4 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s2),
+        tris4 AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b,
+                         ws[i + 2] AS c
+                  FROM (SELECT doc_id, ws,
+                          unnest(generate_series(1, len(ws) - 2)) AS i
+                        FROM w4 WHERE len(ws) >= 3)),
+        tc4 AS (SELECT a, b, c, count(*) AS n FROM tris4
+                GROUP BY a, b, c),
+        bc4 AS (SELECT a, b, count(*) AS n FROM
+                  (SELECT ws[i] AS a, ws[i + 1] AS b
+                   FROM (SELECT ws,
+                           unnest(generate_series(1, len(ws) - 1)) AS i
+                         FROM w4 WHERE len(ws) >= 2))
+                GROUP BY a, b),
+        tokc4 AS (SELECT wd, count(*) AS c FROM
+                    (SELECT unnest(ws) AS wd FROM w4)
+                  GROUP BY wd),
+        tot4 AS (SELECT CAST(sum(c) AS DOUBLE) AS tt,
+                        CAST(count(*) AS DOUBLE) AS v
+                 FROM tokc4),
+        sc4 AS (SELECT s.doc_id,
+                   -ln(CASE
+                     WHEN t3.n IS NOT NULL
+                       THEN CAST(t3.n AS DOUBLE) / b_ab.n
+                     WHEN b_bc.n IS NOT NULL
+                       THEN %(al)s * (CAST(b_bc.n AS DOUBLE) / u_b.c)
+                     ELSE %(a2)s
+                          * ((CAST(coalesce(u_c.c, 0) AS DOUBLE) + 1.0)
+                             / ((SELECT tt FROM tot4)
+                                + (SELECT v FROM tot4) + 1.0))
+                   END) AS nll
+                FROM tris4 s
+                LEFT JOIN tc4 t3 ON s.a = t3.a AND s.b = t3.b
+                               AND s.c = t3.c
+                LEFT JOIN bc4 b_ab ON s.a = b_ab.a AND s.b = b_ab.b
+                LEFT JOIN bc4 b_bc ON s.b = b_bc.a AND s.c = b_bc.b
+                LEFT JOIN tokc4 u_b ON s.b = u_b.wd
+                LEFT JOIN tokc4 u_c ON s.c = u_c.wd),
+        nll4 AS (SELECT doc_id,
+                        CAST(floor(avg(nll) * 1000000.0) AS BIGINT)
+                            AS nll_e6
+                 FROM sc4 GROUP BY doc_id),
+        s3 AS (
+            SELECT s2.doc_id, s2.text
+            FROM s2 JOIN nll4 USING (doc_id)
+            WHERE nll_e6 <= %(t)d
+        ),
+        d4 AS (SELECT CAST(doc_id %% 4 AS INT) AS shard, doc_id,
+                      len(string_split(text, ' ')) AS nt
+               FROM s3),
+        c4p AS (SELECT shard, doc_id, nt,
+                  CAST(coalesce(sum(nt) OVER (PARTITION BY shard
+                     ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+                FROM d4)
+        SELECT shard, doc_id, CAST(nt AS INT) AS n_tokens,
+               cum // 512 AS seq_id, cum %% 512 AS offset
+        FROM c4p
+    """ % {"qs": qs_over_t, "markers": markers,
+           "al": repr(0.4), "a2": repr(0.4 * 0.4), "t": _V4_NLL_MAX}
+
+
+def q_training_corpus_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROUND-5 corpus recipe in ONE lazy plan: host reputation gate
+    (host_quality over doc_id%50 hosts, fail-closed) -> C4 bad-words
+    drop (every 7th doc carries ' nsfw') -> trigram stupid-backoff
+    quality cut self-trained on the survivors (nll_e6 <= _V4_NLL_MAX)
+    -> GPT sequence packing per 4-way shard.  Every stage is an
+    already-oracle-checked round-5 operator; the oracle chains their
+    SQL twins as CTEs, checking the COMPOSITION contracts.  One phase
+    boundary: the bad-words survivor set feeds the LM train AND the
+    scoring join (the multi-consumer pin rule)."""
+    from htmlcleanup_spark.functions.text import host_quality
+    from htmlcleanup_spark.operators.corpus import badwords_filter
+    from htmlcleanup_spark.operators.lm import stupid_backoff_nll
+    from htmlcleanup_spark.operators.sample import pack_sequences
+
+    d = _docs(spark, sf_dir)
+    text = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" nsfw"))
+        .otherwise(F.lit("")),
+    )
+    pages = d.select(
+        "doc_id", text.alias("text"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"))
+        .alias("host"),
+    )
+    hosts_ok = host_quality(pages).filter("host_keep").select("host")
+    s1 = pages.join(F.broadcast(hosts_ok), "host")
+    s2 = s1.join(
+        badwords_filter(s1).filter("keep").select("doc_id"), "doc_id"
+    ).select("doc_id", "text").localCheckpoint(eager=True)
+    nll = stupid_backoff_nll(s2)
+    s3 = s2.join(
+        nll.filter(F.col("nll_e6") <= _V4_NLL_MAX).select("doc_id"),
+        "doc_id",
+    )
+    return pack_sequences(
+        s3.withColumn("shard", (F.col("doc_id") % 4).cast("int")),
+        seq_len=512, shard_col="shard",
+    )
+
+
 def q_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranged-read batching over the collapsed crawl index: the
     cdx_latest captures (7 WARC files, ~20 records each) batch into
@@ -2132,6 +2303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": q_ann_sq8_topk,
         "sitemap": q_sitemap,
         "badwords": q_badwords,
+        "crawl_schedule": q_crawl_schedule,
+        "training_corpus_v4": q_training_corpus_v4,
         "robots_sitemaps": q_robots_sitemaps,
         "recrawl_priority": q_recrawl_priority,
         "clean_documents": q_clean_documents,
@@ -4463,6 +4636,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY filename, cum // 16384
         """,
         "bpe_learn": _bpe_learn_oracle(8),
+        "training_corpus_v4": _training_corpus_v4_oracle(),
         "bpe_encode": _bpe_encode_oracle(8),
         "host_quality": _host_quality_oracle(),
         "badwords": """
@@ -4497,6 +4671,49 @@ def oracle_sql() -> dict[str, str]:
                         || '.xml' AS sitemap_url FROM d
                   WHERE doc_id % 2 = 0)
             SELECT * FROM a UNION ALL SELECT * FROM b
+        """,
+        "crawl_schedule": """
+            WITH caps AS (
+                SELECT doc_id, doc_id % 137 AS uid
+                FROM documents
+                WHERE doc_id % 11 <> 0
+            ),
+            agg AS (
+                SELECT uid, max(doc_id) AS mx,
+                       count(*) AS n_captures,
+                       count(DISTINCT doc_id % 3) AS n_digests
+                FROM caps GROUP BY uid
+            ),
+            s AS (
+                SELECT uid,
+                       CAST(CASE WHEN n_captures > 1
+                            THEN floor((n_digests - 1) * 1000000
+                                       / (n_captures - 1))
+                            ELSE 0 END AS BIGINT) AS change_rate_e6,
+                       20250101 - CAST((20240000000000 + mx) // 1000000
+                                       AS BIGINT) AS age_ord
+                FROM agg
+            ),
+            due AS (
+                SELECT 'https://www.h' || CAST(uid % 23 AS VARCHAR)
+                           || '.example/p/' || CAST(uid AS VARCHAR)
+                           AS url,
+                       'www.h' || CAST(uid % 23 AS VARCHAR)
+                           || '.example' AS host
+                FROM s WHERE change_rate_e6 * age_ord > 6000000000
+            ),
+            r AS (
+                SELECT url, host,
+                       CAST(row_number() OVER (PARTITION BY host
+                            ORDER BY md5(url) ASC, url ASC) - 1
+                            AS BIGINT) AS slot
+                FROM due
+            )
+            SELECT url, host, slot,
+                   slot * 5 AS fetch_at_s,
+                   CAST(CAST('0x' || substr(md5(host), 1, 4) AS BIGINT)
+                        % 16 AS INT) AS worker
+            FROM r
         """,
         "recrawl_priority": """
             WITH caps AS (
