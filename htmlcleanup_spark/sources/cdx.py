@@ -129,12 +129,16 @@ def latest_captures(captures: DataFrame,
     capture's coordinates plus per-key history stats (n_captures,
     n_digests — how often the page changed).
 
-    ONE aggregate keyed by urlkey, all branches map-side combined
-    (``max_by`` on the timestamp, count, approx/exact distinct) — no
+    ONE logical aggregate keyed by urlkey, all branches map-side
+    combined (``max_by`` on the timestamp, count, exact distinct) — no
     window function, so no per-key sort and no giant-partition risk on
     mega-hosts: a host's captures spread over urlkeys, and one urlkey's
-    history is bounded by recrawl cadence.  ``ok_only`` drops non-200
-    captures BEFORE the shuffle (pushed-down filter)."""
+    history is bounded by recrawl cadence.  Physically the exact
+    distinct expands to two hash-keyed phases ((urlkey, digest) then
+    urlkey — plan-gated); swap ``approx_count_distinct`` in to fuse
+    them back to one when the exact digest count doesn't matter.
+    ``ok_only`` drops non-200 captures BEFORE the shuffle (pushed-down
+    filter)."""
     if ok_only:
         captures = captures.filter(F.col("status") == 200)
     return captures.groupBy("urlkey").agg(

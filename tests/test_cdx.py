@@ -256,3 +256,37 @@ def test_fetch_warc_ranges_executes_plan(spark, tmp_path):
     got = {r.url: bytes(r.html) for r in pages}
     for i in range(12):
         assert got["https://x.ex/p/%d" % i] == make_html(i, 7)
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fetch_plan_single_exchange_reused_by_rollup(spark):
+    """The per-file window's hashpartitioning(filename) must satisfy the
+    (filename, batch_id) groupBy too — ONE exchange total, no second
+    shuffle for the batch rollup."""
+    from htmlcleanup_spark.sources.cdx import fetch_plan
+
+    caps = spark.createDataFrame(
+        [("f", i * 100, 50) for i in range(8)],
+        "filename string, offset long, length long")
+    plan = _executed_plan(fetch_plan(caps, max_batch_bytes=120))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(filename" in plan
+
+
+def test_latest_captures_has_no_window_and_keyed_exchanges_only(spark):
+    """The collapse is one logical aggregate — no Window operator in
+    the physical plan (the window idiom would sort every urlkey
+    group).  Physically the exact countDistinct expands to two
+    phases: a (urlkey, digest)-keyed exchange then a urlkey-keyed
+    merge — both hash-keyed, never SinglePartition."""
+    from htmlcleanup_spark.sources.cdx import latest_captures
+
+    plan = _executed_plan(latest_captures(_captures(spark)))
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 2
+    import re
+    assert re.search(r"hashpartitioning\(urlkey#\d+, digest#\d+", plan)
+    assert "SinglePartition" not in plan
