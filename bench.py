@@ -126,6 +126,11 @@ EXTENDED = [
     "politeness",
     "ann_sq8_topk",
     "sitemap",
+    "badwords",
+    "robots_sitemaps",
+    "recrawl_priority",
+    "crawl_schedule",
+    "training_corpus_v4",
 ]
 
 

@@ -42,10 +42,12 @@ def surt_key(url: Column | str) -> Column:
     of a host and its subdomains are lexicographic neighbors, which is
     what makes range queries over a sorted CDX index work.
 
-    Deliberate subset of the full SURT spec (no per-scheme port
-    defaults, query-param reordering, or session-id stripping) — each
-    is another expression in this same chain when needed.  Pure JVM:
-    lower/split/reverse/concat, codegen-resident, zero Python.
+    Query parameters are SORTED (the SURT normalization that makes
+    ``?a=1&b=2`` and ``?b=2&a=1`` the same capture key).  Deliberate
+    subset of the full spec (no per-scheme port defaults or session-id
+    stripping) — each is another expression in this same chain when
+    needed.  Pure JVM: lower/split/sort/reverse/concat,
+    codegen-resident, zero Python.
     """
     u = F.lower(F.col(url) if isinstance(url, str) else url)
     # strip scheme, then fragment
@@ -63,6 +65,16 @@ def surt_key(url: Column | str) -> Column:
     path = F.when(
         F.instr(u, "/") > 0, F.substring(u, F.instr(u, "/"), F.lit(1 << 30))
     ).otherwise(F.lit("/"))
+    # sort query params: base?k1=v1&k2=v2 with the k=v pairs ordered
+    qpos = F.instr(path, "?")
+    base = path.substr(F.lit(1), qpos - 1)
+    qsorted = F.array_join(
+        F.array_sort(F.split(path.substr(qpos + 1, F.lit(1 << 30)), "&")),
+        "&",
+    )
+    path = F.when(
+        qpos > 0, F.concat(base, F.lit("?"), qsorted)
+    ).otherwise(path)
     rev_host = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
     return F.concat(rev_host, port, F.lit(")"), path)
 

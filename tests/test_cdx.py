@@ -290,3 +290,14 @@ def test_latest_captures_has_no_window_and_keyed_exchanges_only(spark):
     import re
     assert re.search(r"hashpartitioning\(urlkey#\d+, digest#\d+", plan)
     assert "SinglePartition" not in plan
+
+
+def test_surt_key_sorts_query_params(spark):
+    got = _surt(spark, [
+        "https://example.com/p?b=2&a=1&c",
+        "https://example.com/p?a=1&b=2&c",     # same key either order
+        "https://example.com/p?single=1",
+    ])
+    assert got[0] == "com,example)/p?a=1&b=2&c"
+    assert got[0] == got[1]
+    assert got[2] == "com,example)/p?single=1"
