@@ -2248,6 +2248,29 @@ def q_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                       max_batch_bytes=16384)
 
 
+_BM25_QUERIES = [
+    (0, "spark"), (0, "window"), (0, "agg"),
+    (1, "customer"), (1, "query"),
+    (2, "hash"), (2, "stream"), (2, "vector"),
+    (3, "merge"), (3, "the"), (3, "sort"), (3, "filter"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval of 4 multi-term queries against the
+    documents corpus (operators/index.bm25_topk — broadcast query
+    terms cut the token stream before any shuffle; per-term weights
+    integer-quantized BEFORE the per-doc sum so float addition order
+    can't flip the hash; salted two-stage top-k, never a full-corpus
+    per-query window).  The oracle mirrors the same ln/divide shape
+    per term and the same integer sum."""
+    from htmlcleanup_spark.operators.index import bm25_topk
+
+    d = _docs(spark, sf_dir)
+    q = spark.createDataFrame(_BM25_QUERIES, "qid int, term string")
+    return bm25_topk(d, q, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -2357,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_flags": q_robots_flags,
         "tfidf_terms": q_tfidf_terms,
         "gopher_rules": q_gopher_rules,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -4910,4 +4934,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(avg(nll) * 1000000.0) AS BIGINT) AS nll_e6
             FROM sc GROUP BY doc_id
         """ % {"al": repr(0.4), "a2": repr(0.4 * 0.4)},
+        # BM25: per-term weights floor-quantized to int64 BEFORE the
+        # per-doc sum (integer addition is order-independent — the same
+        # trick as ann_sq8_topk); the float part mirrors the Spark
+        # expression shape op-for-op (same left-assoc */ chains, same
+        # double casts) so ln/divide round identically.
+        "bm25_topk": """
+            WITH q(qid, term) AS (VALUES %(qvals)s),
+            base AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w <> '')) AS dl,
+                       text
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, dl,
+                       unnest(string_split(text, ' ')) AS term
+                FROM base
+            ),
+            toks2 AS (SELECT * FROM toks WHERE term <> ''),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(dl) AS BIGINT) AS tot
+                FROM base
+            ),
+            dft AS (
+                SELECT term,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS dfreq
+                FROM toks2
+                WHERE term IN (SELECT term FROM q)
+                GROUP BY term
+            ),
+            tf AS (
+                SELECT q.qid, t.doc_id, t.term,
+                       CAST(count(*) AS BIGINT) AS tf,
+                       min(t.dl) AS dl
+                FROM toks2 t JOIN q ON q.term = t.term
+                GROUP BY q.qid, t.doc_id, t.term
+            ),
+            pt AS (
+                SELECT tf.qid, tf.doc_id,
+                  CAST(floor(
+                    ln(1.0 + (CAST(s.n AS DOUBLE) - dft.dfreq + 0.5)
+                             / (dft.dfreq + 0.5))
+                    * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                    / (tf.tf + CAST(1.2 AS DOUBLE)
+                       * (1.0 - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * tf.dl
+                            / (CAST(s.tot AS DOUBLE)
+                               / CAST(s.n AS DOUBLE))))
+                    * 1000000.0) AS BIGINT) AS w_e6
+                FROM tf
+                JOIN dft ON dft.term = tf.term
+                CROSS JOIN stats s
+            ),
+            sc AS (
+                SELECT qid, doc_id,
+                       CAST(sum(w_e6) AS BIGINT) AS score_e6
+                FROM pt GROUP BY qid, doc_id
+            )
+            SELECT qid, doc_id, score_e6, rank FROM (
+                SELECT qid, doc_id, score_e6,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY score_e6 DESC, doc_id ASC)
+                        AS INT) AS rank
+                FROM sc)
+            WHERE rank <= 10
+        """ % {
+            "qvals": ", ".join(
+                "(%d, '%s')" % qt for qt in _BM25_QUERIES
+            ),
+        },
     }

@@ -131,6 +131,7 @@ EXTENDED = [
     "recrawl_priority",
     "crawl_schedule",
     "training_corpus_v4",
+    "bm25_topk",
 ]
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["inverted_index", "phrase_scores"]
+__all__ = ["inverted_index", "phrase_scores", "bm25_topk"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -158,4 +158,113 @@ def phrase_scores(df: DataFrame, text_col: str = "text",
             .cast("long")
             .alias("score_e6"),
         )
+    )
+
+
+def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 top-k retrieval (Robertson-Sparck Jones; the Lucene
+    ``(1 + (N - df + 0.5)/(df + 0.5))`` idf variant) of a few queries
+    against the whole corpus.
+
+        w(t, d) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                  * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    ``queries`` is a tiny (qid, term) table.  Returns
+    (qid, doc_id, score_e6, rank) — each query's top ``k`` documents by
+    summed per-term score, rank 1-based, ties broken by ascending doc id.
+
+    Engine-portability: each PER-TERM weight is floor-quantized to an
+    int64 ``* 1e6`` BEFORE the per-document sum, so the sum is integer
+    and therefore partition-order independent — float addition order
+    across terms can never flip the hash (same trick as the SQ8 ANN
+    scorer).  The float part of each term weight is a fixed-shape
+    expression both engines evaluate identically.
+
+    Scale shape (10^12 docs, handful of queries):
+    - query terms broadcast-join the token stream BEFORE any shuffle, so
+      only postings of queried terms ever leave the scan (a ~|terms|/|V|
+      volume cut); tf is a map-combined (qid, doc, term) groupBy;
+    - df_t is a map-combined term-keyed count over distinct (doc, term)
+      for the queried terms only (≤ |terms| result rows, broadcast back);
+    - dl rides along from the scan as a computed column (zero joins);
+    - N / total-token scalars attach as a broadcast 1-row cross join;
+    - top-k is the SALTED two-stage cut: rank within
+      (qid, spark_partition_id) first — every partition contributes at
+      most k rows per query — then the global per-qid window ranks
+      ~partitions * k rows, never the corpus.  A bare
+      ``Window.partitionBy(qid)`` over all scored docs would put one
+      query's whole posting universe in a single reduce task (the
+      mixture_sample anti-pattern); the local cut keeps every exchange
+      group bounded.
+    """
+    from pyspark.sql import Window
+
+    dl = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    )
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        dl.alias("_dl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+
+    stats = df.select(dl.alias("_dl")).agg(
+        F.count("*").alias("_n"), F.sum("_dl").alias("_tot")
+    )
+
+    qterms = queries.select("qid", "term")
+    uniq_terms = qterms.select("term").distinct()
+
+    # document frequency of queried terms only
+    df_t = (
+        toks.join(F.broadcast(uniq_terms), "term")
+        .groupBy("term", "_doc").agg(F.lit(1).alias("_one"))
+        .groupBy("term").agg(F.count("*").alias("_df"))
+    )
+
+    tf = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "_doc", "term")
+        .agg(F.count("*").alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+
+    k1c, bc = F.lit(float(k1)), F.lit(float(b))
+    avgdl = F.col("_tot").cast("double") / F.col("_n").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n").cast("double") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    wgt = (
+        idf
+        * (F.col("_tf") * (k1c + F.lit(1.0)))
+        / (
+            F.col("_tf")
+            + k1c * (F.lit(1.0) - bc + bc * F.col("_dl") / avgdl)
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid", "_doc",
+            F.floor(wgt * F.lit(1000000.0)).cast("long").alias("_w_e6"),
+        )
+    )
+    scored = per_term.groupBy("qid", "_doc").agg(
+        F.sum("_w_e6").alias("score_e6")
+    )
+
+    order = [F.col("score_e6").desc(), F.col("_doc").asc()]
+    local = Window.partitionBy("qid", "_p").orderBy(*order)
+    final = Window.partitionBy("qid").orderBy(*order)
+    return (
+        scored.withColumn("_p", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local))
+        .filter(F.col("_lr") <= k)
+        .withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("_doc").alias("doc_id"), "score_e6", "rank")
     )

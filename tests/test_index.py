@@ -99,3 +99,72 @@ def test_doc_line_dedup_is_intra_document_only(spark):
     # is dedup.line_dedup's job, not this operator's)
     assert out[0] == "shared line\nown a"
     assert out[1] == "shared line\nown b"
+
+
+def _bm25_expected(docs, queries, k=10, k1=1.2, b=0.75):
+    """Reference BM25 in pure Python mirroring the operator's
+    quantize-then-sum arithmetic."""
+    import math
+
+    toks = {i: [w for w in t.split(" ") if w] for i, t in docs}
+    n = len(docs)
+    tot = sum(len(ws) for ws in toks.values())
+    avgdl = tot / n
+    dfreq = {}
+    for ws in toks.values():
+        for t in set(ws):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    scored = {}
+    for qid, term in queries:
+        for i, ws in toks.items():
+            tf = ws.count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            w = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(ws) / avgdl))
+            scored[(qid, i)] = scored.get((qid, i), 0) + math.floor(w * 1e6)
+    out = {}
+    for (qid, i), s in scored.items():
+        out.setdefault(qid, []).append((-s, i))
+    exp = []
+    for qid, rows in out.items():
+        for rank, (neg, i) in enumerate(sorted(rows)[:k], 1):
+            exp.append((qid, i, -neg, rank))
+    return sorted(exp)
+
+
+def test_bm25_topk_matches_reference(spark):
+    from htmlcleanup_spark.operators.index import bm25_topk
+
+    docs = [
+        (0, "spark window agg spark spark"),
+        (1, "window window table"),
+        (2, "agg   spark table window"),
+        (3, "table table table"),
+        (4, "spark"),
+        (5, ""),
+    ]
+    queries = [(0, "spark"), (0, "window"), (1, "table")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    q = spark.createDataFrame(queries, "qid int, term string")
+    got = sorted(
+        (r.qid, r.doc_id, r.score_e6, r.rank)
+        for r in bm25_topk(df, q, k=3).collect()
+    )
+    assert got == _bm25_expected(docs, queries, k=3)
+
+
+def test_bm25_topk_two_stage_cut_plan(spark):
+    """The top-k must be the salted two-stage cut: a local window keyed
+    (qid, _p) precedes the final per-qid window — never one window over
+    the full scored set per query (the mixture_sample anti-pattern)."""
+    from htmlcleanup_spark.operators.index import bm25_topk
+    import re
+
+    df = spark.createDataFrame(
+        [(i, "spark window") for i in range(20)], "doc_id long, text string")
+    q = spark.createDataFrame([(0, "spark")], "qid int, term string")
+    plan = bm25_topk(df, q, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(qid#\d+, _p#\d+", plan)
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
