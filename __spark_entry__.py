@@ -2271,6 +2271,32 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, q, k=10)
 
 
+def q_capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 recrawl ledger: the synthetic capture log (the cdx-family
+    ``doc_id % 137`` url universe, digest changing every ~3 captures
+    via ``doc_id div 411``) collapses to one row per content version
+    with [valid_from, valid_to) intervals and collapsed-recrawl counts
+    (sources/cdx.capture_history — every window urlkey-partitioned,
+    gaps-and-islands, no few-key window).  The oracle runs the same
+    lag/flag/running-sum/lead shape in SQL."""
+    from htmlcleanup_spark.sources.cdx import capture_history
+
+    d = _docs(spark, sf_dir)
+    uid = F.col("doc_id") % 137
+    caps = d.filter(F.col("doc_id") % 11 != 0).select(
+        F.concat(
+            F.lit("example,h"), (uid % 7).cast("string"),
+            F.lit(")/p/"), uid.cast("string"),
+        ).alias("urlkey"),
+        (F.lit(20240000000000) + F.col("doc_id")).alias("ts"),
+        F.concat(
+            F.lit("sha1:"),
+            (F.expr("doc_id DIV 411") % 3).cast("string"),
+        ).alias("digest"),
+    )
+    return capture_history(caps)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -2381,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "gopher_rules": q_gopher_rules,
         "bm25_topk": q_bm25_topk,
+        "capture_history": q_capture_history,
     }
 
 
@@ -5007,4 +5034,45 @@ def oracle_sql() -> dict[str, str]:
                 "(%d, '%s')" % qt for qt in _BM25_QUERIES
             ),
         },
+        # SCD-2 gaps-and-islands: same lag -> change flag -> running-sum
+        # island id -> min/count per island -> lead(valid_from) shape.
+        "capture_history": """
+            WITH caps AS (
+                SELECT 'example,h'
+                           || CAST((doc_id % 137) % 7 AS VARCHAR)
+                           || ')/p/'
+                           || CAST(doc_id % 137 AS VARCHAR) AS urlkey,
+                       CAST(20240000000000 + doc_id AS BIGINT) AS ts,
+                       'sha1:' || CAST((doc_id // 411) % 3 AS VARCHAR)
+                           AS digest
+                FROM documents WHERE doc_id % 11 <> 0
+            ),
+            r AS (
+                SELECT urlkey, ts, digest,
+                       CASE WHEN lag(digest) OVER w IS NULL
+                                 OR lag(digest) OVER w <> digest
+                            THEN 1 ELSE 0 END AS chg
+                FROM caps WINDOW w AS (PARTITION BY urlkey ORDER BY ts)
+            ),
+            v AS (
+                SELECT urlkey, ts, digest,
+                       CAST(SUM(chg) OVER (
+                           PARTITION BY urlkey ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS INT) AS version
+                FROM r
+            ),
+            i AS (
+                SELECT urlkey, version,
+                       min(ts) AS valid_from,
+                       min(digest) AS digest,
+                       CAST(count(*) AS BIGINT) AS n_captures
+                FROM v GROUP BY urlkey, version
+            )
+            SELECT urlkey, version, valid_from,
+                   lead(valid_from) OVER (
+                       PARTITION BY urlkey ORDER BY version) AS valid_to,
+                   digest, n_captures
+            FROM i
+        """,
     }

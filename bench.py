@@ -132,6 +132,7 @@ EXTENDED = [
     "crawl_schedule",
     "training_corpus_v4",
     "bm25_topk",
+    "capture_history",
 ]
 
 

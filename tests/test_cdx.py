@@ -301,3 +301,46 @@ def test_surt_key_sorts_query_params(spark):
     assert got[0] == "com,example)/p?a=1&b=2&c"
     assert got[0] == got[1]
     assert got[2] == "com,example)/p?single=1"
+
+
+def test_capture_history_islands(spark):
+    from htmlcleanup_spark.sources.cdx import capture_history
+
+    caps = spark.createDataFrame(
+        [
+            # u1: A A B A  -> versions A[1,3) x2, B[3,4) x1, A[4,-) x1
+            ("u1", 1, "A"), ("u1", 2, "A"), ("u1", 3, "B"), ("u1", 4, "A"),
+            # u2: single capture -> one open version
+            ("u2", 7, "Z"),
+        ],
+        "urlkey string, ts long, digest string",
+    )
+    rows = sorted(
+        (r.urlkey, r.version, r.valid_from, r.valid_to, r.digest,
+         r.n_captures)
+        for r in capture_history(caps).collect()
+    )
+    assert rows == [
+        ("u1", 1, 1, 3, "A", 2),
+        ("u1", 2, 3, 4, "B", 1),
+        ("u1", 3, 4, None, "A", 1),
+        ("u2", 1, 7, None, "Z", 1),
+    ]
+
+
+def test_capture_history_windows_all_urlkey_partitioned(spark):
+    """Every window/groupBy in the plan must be urlkey-keyed — no
+    SinglePartition window (the few-key anti-pattern) anywhere."""
+    from htmlcleanup_spark.sources.cdx import capture_history
+    import re
+
+    caps = spark.createDataFrame(
+        [("u%d" % (i % 5), i, "d%d" % (i % 2)) for i in range(40)],
+        "urlkey string, ts long, digest string",
+    )
+    plan = (
+        capture_history(caps)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(urlkey#\d+", plan)
