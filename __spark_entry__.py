@@ -2297,6 +2297,22 @@ def q_capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capture_history(caps)
 
 
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level webgraph rollup of the harvested outlink table
+    (operators/links.host_graph — one (src_host, dst_host)-keyed
+    exact-distinct aggregate over the same engine-DOM harvest as
+    outlinks/pagerank).  The oracle rolls up the recipe-derived
+    outlink CTE with the same counts."""
+    from htmlcleanup_spark.operators.links import (
+        extract_outlinks,
+        host_graph,
+    )
+
+    return host_graph(
+        extract_outlinks(_synth_linked_pages(spark, sf_dir))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -2408,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "bm25_topk": q_bm25_topk,
         "capture_history": q_capture_history,
+        "host_graph": q_host_graph,
     }
 
 
@@ -5075,4 +5092,15 @@ def oracle_sql() -> dict[str, str]:
                    digest, n_captures
             FROM i
         """,
+        # host webgraph: the recipe-derived outlink CTE rolled up to
+        # (src_host, dst_host) with exact distinct counts.
+        "host_graph": """
+            WITH ol AS (%s)
+            SELECT src_host, host AS dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT src_doc) AS BIGINT) AS n_src_pages,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_dst_urls,
+                   src_host = host AS intra_host
+            FROM ol GROUP BY src_host, host
+        """ % _outlinks_oracle(),
     }

@@ -133,6 +133,7 @@ EXTENDED = [
     "training_corpus_v4",
     "bm25_topk",
     "capture_history",
+    "host_graph",
 ]
 
 

@@ -453,3 +453,39 @@ def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 4,
         F.floor(F.col("h") * 1e9).cast("long").alias("hub_e9"),
         F.floor(F.col("a") * 1e9).cast("long").alias("auth_e9"),
     )
+
+
+def host_graph(outlinks: DataFrame, src_col: str = "src_host",
+               dst_col: str = "host") -> DataFrame:
+    """Host-level webgraph rollup of the page-level outlink harvest —
+    the aggregation Common Crawl publishes as its host webgraph and
+    the granularity domain-reputation / spam-farm analysis runs at.
+
+    Returns (src_host, dst_host, n_links, n_src_pages, n_dst_urls,
+    intra_host): total edge multiplicity, how many distinct source
+    pages and distinct target urls carry it, and whether the edge is a
+    self-loop at host granularity (site chrome: nav/footer links).
+
+    Scale shape (10^12 edges): ONE aggregate keyed (src_host,
+    dst_host) — the host-pair universe is ~linear in hosts, and even a
+    mega-host pair holds one output row.  The two exact distinct
+    counts make Spark plan an Expand (3x the pre-shuffle rows) — still
+    map-side partially aggregated and pair-keyed; at the extreme tail
+    swap them for approx_count_distinct (HLL, one pass) — this keeps
+    the exact variant because the oracle is exact.  No window, no
+    join, no few-key shuffle.
+    """
+    return (
+        outlinks.groupBy(
+            F.col(src_col).alias("src_host"),
+            F.col(dst_col).alias("dst_host"),
+        )
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("src_doc").alias("n_src_pages"),
+            F.countDistinct("url").alias("n_dst_urls"),
+        )
+        .withColumn(
+            "intra_host", F.col("src_host") == F.col("dst_host")
+        )
+    )

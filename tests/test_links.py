@@ -327,3 +327,49 @@ def test_hits_hub_authority_structure(spark):
     # L1 normalization: each vector sums to ~1 (floor slack <= 1e-9 * n)
     assert sum(r.auth_e9 for r in out.values()) >= 10**9 - 4
     assert sum(r.hub_e9 for r in out.values()) >= 10**9 - 4
+
+
+def test_host_graph_rollup(spark):
+    from htmlcleanup_spark.operators.links import host_graph
+
+    ol = spark.createDataFrame(
+        [
+            (0, "a.com", "b.com", "http://b.com/1"),
+            (0, "a.com", "b.com", "http://b.com/1"),   # same url twice
+            (1, "a.com", "b.com", "http://b.com/2"),
+            (1, "a.com", "a.com", "http://a.com/nav"),  # chrome self-loop
+        ],
+        "src_doc long, src_host string, host string, url string",
+    )
+    rows = {
+        (r.src_host, r.dst_host): r for r in host_graph(ol).collect()
+    }
+    ab = rows[("a.com", "b.com")]
+    assert (ab.n_links, ab.n_src_pages, ab.n_dst_urls) == (3, 2, 2)
+    assert not ab.intra_host
+    aa = rows[("a.com", "a.com")]
+    assert (aa.n_links, aa.n_src_pages, aa.n_dst_urls) == (1, 1, 1)
+    assert aa.intra_host
+
+
+def test_host_graph_plan_is_single_pair_keyed_aggregate(spark):
+    from htmlcleanup_spark.operators.links import host_graph
+    import re
+
+    ol = spark.createDataFrame(
+        [(i, "h%d" % (i % 3), "h%d" % (i % 5), "u%d" % i)
+         for i in range(30)],
+        "src_doc long, src_host string, host string, url string",
+    )
+    plan = host_graph(ol)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # two-phase exact-distinct aggregate: first exchange keyed
+    # (pair + distinct cols + gid) — spreads even a mega host-pair —
+    # then the pair-keyed final; nothing else shuffles
+    assert re.search(
+        r"hashpartitioning\(src_host#\d+, host#\d+, url#\d+, src_doc#\d+",
+        plan,
+    )
+    assert re.search(r"hashpartitioning\(src_host#\d+, host#\d+, \d+\)",
+                     plan)
+    assert plan.count("Exchange hashpartitioning") == 2
