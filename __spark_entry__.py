@@ -2313,6 +2313,28 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster.idx secondary index over the sorted synthetic capture
+    log, one row per 40-line block (sources/cdx.cluster_index — the
+    distributed enumerate: range-sort, per-partition Arrow counter,
+    driver prefix-sum of ~|partitions| counts broadcast back; never a
+    global ROW_NUMBER window).  The oracle uses the SQL global window
+    directly — correct at oracle scale, and exactly what the operator
+    refuses to do distributed."""
+    from htmlcleanup_spark.sources.cdx import cluster_index
+
+    d = _docs(spark, sf_dir)
+    uid = F.col("doc_id") % 137
+    caps = d.filter(F.col("doc_id") % 11 != 0).select(
+        F.concat(
+            F.lit("example,h"), (uid % 7).cast("string"),
+            F.lit(")/p/"), uid.cast("string"),
+        ).alias("urlkey"),
+        (F.lit(20240000000000) + F.col("doc_id")).alias("ts"),
+    )
+    return cluster_index(caps, every=40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -2425,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "capture_history": q_capture_history,
         "host_graph": q_host_graph,
+        "cluster_idx": q_cluster_idx,
     }
 
 
@@ -5103,4 +5126,26 @@ def oracle_sql() -> dict[str, str]:
                    src_host = host AS intra_host
             FROM ol GROUP BY src_host, host
         """ % _outlinks_oracle(),
+        # cluster.idx: the oracle takes the global-window shortcut the
+        # distributed operator deliberately avoids.
+        "cluster_idx": """
+            WITH caps AS (
+                SELECT 'example,h'
+                           || CAST((doc_id % 137) % 7 AS VARCHAR)
+                           || ')/p/'
+                           || CAST(doc_id % 137 AS VARCHAR) AS urlkey,
+                       CAST(20240000000000 + doc_id AS BIGINT) AS ts
+                FROM documents WHERE doc_id % 11 <> 0
+            ),
+            r AS (
+                SELECT urlkey, ts,
+                       ROW_NUMBER() OVER (ORDER BY urlkey, ts) AS rn
+                FROM caps
+            )
+            SELECT CAST((rn - 1) // 40 AS BIGINT) AS block,
+                   arg_min(urlkey, rn) AS first_urlkey,
+                   arg_min(ts, rn) AS first_ts,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM r GROUP BY (rn - 1) // 40
+        """,
     }

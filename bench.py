@@ -134,6 +134,7 @@ EXTENDED = [
     "bm25_topk",
     "capture_history",
     "host_graph",
+    "cluster_idx",
 ]
 
 

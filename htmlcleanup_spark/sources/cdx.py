@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 __all__ = ["CDX_JSON_DDL", "surt_key", "parse_cdxj", "read_cdx",
            "latest_captures", "to_cdxj_lines", "fetch_plan",
            "merge_capture_indexes", "fetch_warc_ranges",
-           "capture_history"]
+           "capture_history", "cluster_index"]
 
 # capture-info JSON fields, as Common Crawl's cc-index ships them
 # (numbers arrive as JSON strings there; parse to typed columns here)
@@ -353,4 +353,103 @@ def fetch_warc_ranges(plan: DataFrame, warc_dir: str,
     )
     return raw.select(
         "url", F.to_timestamp("_ts").alias("warc_ts"), "html"
+    )
+
+
+def _enumerate_sorted(captures: DataFrame,
+                      num_ranges: int | None = None) -> DataFrame:
+    """Stages 1-2 of the distributed enumerate (see cluster_index):
+    range-sort on (urlkey, ts), then one Arrow pass per partition
+    carrying a local line counter across batches.  Split out so plan
+    tests can gate the pre-checkpoint physical plan (the checkpoint
+    cuts lineage)."""
+    import pandas as pd
+
+    n_parts = num_ranges or captures.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    sorted_caps = (
+        captures.select("urlkey", "ts")
+        .repartitionByRange(int(n_parts), "urlkey", "ts")
+        .sortWithinPartitions("urlkey", "ts")
+    )
+
+    def enumerate_partition(batches):
+        seen = 0
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "urlkey": pdf["urlkey"],
+                    "ts": pdf["ts"],
+                    "_local_rn": range(seen + 1, seen + 1 + len(pdf)),
+                }
+            )
+            seen += len(pdf)
+            yield out
+
+    return sorted_caps.mapInPandas(
+        enumerate_partition, "urlkey string, ts long, _local_rn long"
+    ).withColumn("_pid", F.spark_partition_id())
+
+
+def cluster_index(captures: DataFrame, every: int = 3000,
+                  num_ranges: int | None = None) -> DataFrame:
+    """Secondary index over the sorted CDX — Common Crawl's
+    ``cluster.idx``: the main index is written in (urlkey, ts) order
+    and every ``every``-th line starts a new block; the secondary
+    index holds one row per block (its first key and line span) so a
+    range lookup binary-searches ~300k index rows instead of scanning
+    the 10^11-line main index.
+
+    Returns (block, first_urlkey, first_ts, n_lines), block 0-based in
+    key order.
+
+    Scale shape — distributed enumerate WITHOUT a global window: a
+    ``ROW_NUMBER() OVER (ORDER BY urlkey, ts)`` would funnel the whole
+    index through one reduce task, so instead:
+    1. range-repartition + sort within partitions on (urlkey, ts) —
+       Spark's distributed sort (sampled range bounds, skew spread
+       across ``num_ranges`` tasks);
+    2. ONE Arrow pass per partition emits a partition-local line
+       number (a counter carried across the partition's batches —
+       mapInPandas is invoked once per partition), zero shuffle;
+    3. per-partition row counts (a ~|partitions|-row aggregate on the
+       pinned frame) prefix-sum on the driver into exclusive offsets —
+       bounded by task count, never data size — and broadcast-join
+       back, making the line number global: ranges are disjoint, so
+       offset + local rank is the exact global rank;
+    4. block id = (rn - 1) div every; the final agg is block-keyed
+       (min_by first key, count) — ~n/every rows.
+    The same offsets close each index SHARD's byte ranges at write
+    time; this operator keys blocks by line number, the shape the
+    lookup needs.
+    """
+    local = _enumerate_sorted(captures, num_ranges).localCheckpoint(
+        eager=True
+    )
+
+    counts = sorted(
+        (r["_pid"], r["_n"])
+        for r in local.groupBy("_pid").agg(F.count("*").alias("_n"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = local.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long"
+    )
+
+    rn = F.col("_off") + F.col("_local_rn")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn("block", ((rn - 1) / every).cast("long"))
+        .withColumn("_rn", rn)
+        .groupBy("block")
+        .agg(
+            F.expr("min_by(urlkey, _rn)").alias("first_urlkey"),
+            F.expr("min_by(ts, _rn)").alias("first_ts"),
+            F.count("*").alias("n_lines"),
+        )
     )

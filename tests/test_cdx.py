@@ -344,3 +344,43 @@ def test_capture_history_windows_all_urlkey_partitioned(spark):
     )
     assert "SinglePartition" not in plan
     assert re.search(r"hashpartitioning\(urlkey#\d+", plan)
+
+
+def test_cluster_index_matches_global_enumeration(spark):
+    from htmlcleanup_spark.sources.cdx import cluster_index
+
+    rows = [("k%03d" % (i % 37), 1000 + i) for i in range(200)]
+    caps = spark.createDataFrame(rows, "urlkey string, ts long")
+    got = sorted(
+        (r.block, r.first_urlkey, r.first_ts, r.n_lines)
+        for r in cluster_index(caps, every=16, num_ranges=7).collect()
+    )
+    # reference: single-process sort + enumerate
+    srt = sorted(rows)
+    exp = {}
+    for rn0, (k, ts) in enumerate(srt):
+        b = rn0 // 16
+        if b not in exp:
+            exp[b] = [b, k, ts, 0]
+        exp[b][3] += 1
+    assert got == sorted(tuple(v) for v in exp.values())
+
+
+def test_cluster_index_has_no_single_partition_sort(spark):
+    """The enumerate must stay distributed: range partitioning for the
+    sort stage, no SinglePartition window/exchange in either the
+    enumerate stage (pre-checkpoint) or the final rollup."""
+    from htmlcleanup_spark.sources.cdx import _enumerate_sorted, cluster_index
+
+    caps = spark.createDataFrame(
+        [("k%d" % (i % 11), i) for i in range(50)],
+        "urlkey string, ts long",
+    )
+    stage = _enumerate_sorted(caps, num_ranges=5)
+    splan = stage._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(urlkey" in splan
+    assert "SinglePartition" not in splan
+    out = cluster_index(caps, every=8, num_ranges=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
