@@ -2335,6 +2335,43 @@ def q_cluster_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_index(caps, every=40)
 
 
+def q_incremental_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger-driven incremental extraction: collapse the capture log
+    to CURRENT content versions (capture_history, valid_to IS NULL),
+    then anti-join the (urlkey, digest) ledger of what a previous run
+    already processed — even-uid pages are in the ledger, but
+    uid % 4 == 0 pages changed since (stale digest recorded), so the
+    output is exactly the odd-uid pages plus the changed ones.  This
+    is the resume path at index granularity: re-extract touches only
+    new/changed urls, never the processed history.  Scale: both sides
+    urlkey-keyed, one co-partitioned LEFT ANTI hash join."""
+    from htmlcleanup_spark.sources.cdx import capture_history
+
+    d = _docs(spark, sf_dir)
+    uid = F.col("doc_id") % 137
+    caps = d.filter(F.col("doc_id") % 11 != 0).select(
+        F.concat(
+            F.lit("example,h"), (uid % 7).cast("string"),
+            F.lit(")/p/"), uid.cast("string"),
+        ).alias("urlkey"),
+        (F.lit(20240000000000) + F.col("doc_id")).alias("ts"),
+        F.concat(
+            F.lit("sha1:"),
+            (F.expr("doc_id DIV 411") % 3).cast("string"),
+        ).alias("digest"),
+    )
+    current = capture_history(caps).filter(F.col("valid_to").isNull())
+    u = F.substring_index(F.col("urlkey"), "/", -1).cast("long")
+    ledger = current.filter(u % 2 == 0).select(
+        "urlkey",
+        F.when(u % 4 == 0, F.lit("sha1:stale"))
+        .otherwise(F.col("digest")).alias("digest"),
+    )
+    return current.join(
+        ledger, ["urlkey", "digest"], "left_anti"
+    ).select("urlkey", "version", "valid_from", "digest", "n_captures")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -2448,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_history": q_capture_history,
         "host_graph": q_host_graph,
         "cluster_idx": q_cluster_idx,
+        "incremental_captures": q_incremental_captures,
     }
 
 
@@ -5147,5 +5185,64 @@ def oracle_sql() -> dict[str, str]:
                    arg_min(ts, rn) AS first_ts,
                    CAST(count(*) AS BIGINT) AS n_lines
             FROM r GROUP BY (rn - 1) // 40
+        """,
+        # incremental extraction: current versions (capture_history
+        # with open valid_to) NOT EXISTS the processed ledger.
+        "incremental_captures": """
+            WITH caps AS (
+                SELECT 'example,h'
+                           || CAST((doc_id % 137) % 7 AS VARCHAR)
+                           || ')/p/'
+                           || CAST(doc_id % 137 AS VARCHAR) AS urlkey,
+                       CAST(20240000000000 + doc_id AS BIGINT) AS ts,
+                       'sha1:' || CAST((doc_id // 411) % 3 AS VARCHAR)
+                           AS digest
+                FROM documents WHERE doc_id % 11 <> 0
+            ),
+            r AS (
+                SELECT urlkey, ts, digest,
+                       CASE WHEN lag(digest) OVER w IS NULL
+                                 OR lag(digest) OVER w <> digest
+                            THEN 1 ELSE 0 END AS chg
+                FROM caps WINDOW w AS (PARTITION BY urlkey ORDER BY ts)
+            ),
+            v AS (
+                SELECT urlkey, ts, digest,
+                       CAST(SUM(chg) OVER (
+                           PARTITION BY urlkey ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS INT) AS version
+                FROM r
+            ),
+            i AS (
+                SELECT urlkey, version,
+                       min(ts) AS valid_from,
+                       min(digest) AS digest,
+                       CAST(count(*) AS BIGINT) AS n_captures
+                FROM v GROUP BY urlkey, version
+            ),
+            h AS (
+                SELECT urlkey, version, valid_from,
+                       lead(valid_from) OVER (
+                           PARTITION BY urlkey ORDER BY version)
+                           AS valid_to,
+                       digest, n_captures
+                FROM i
+            ),
+            cur AS (SELECT * FROM h WHERE valid_to IS NULL),
+            led AS (
+                SELECT urlkey,
+                       CASE WHEN CAST(string_split(urlkey, '/')[-1]
+                                      AS BIGINT) % 4 = 0
+                            THEN 'sha1:stale' ELSE digest END AS digest
+                FROM cur
+                WHERE CAST(string_split(urlkey, '/')[-1] AS BIGINT)
+                      % 2 = 0
+            )
+            SELECT urlkey, version, valid_from, digest, n_captures
+            FROM cur c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM led l
+                WHERE l.urlkey = c.urlkey AND l.digest = c.digest)
         """,
     }

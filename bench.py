@@ -135,6 +135,7 @@ EXTENDED = [
     "capture_history",
     "host_graph",
     "cluster_idx",
+    "incremental_captures",
 ]
 
 
