@@ -2372,6 +2372,39 @@ def q_incremental_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("urlkey", "version", "valid_from", "digest", "n_captures")
 
 
+def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata-record rendering (Common Crawl's envelope+metadata
+    JSON artifact; completes the WARC/WAT/WET trio with wet_export and
+    warc_ingest): title + two arithmetic outlinks per page, the JSON
+    payload byte-built by to_json over an ordered struct.  The oracle
+    concatenates the exact JSON and record framing in SQL."""
+    from htmlcleanup_spark.sources.wet import to_wat_records
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+
+    def link(t):
+        return F.concat(
+            F.lit("https://h"), (t % 50).cast("string"),
+            F.lit(".example/p/"), t.cast("string"),
+        )
+
+    pages = d.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+        .alias("title"),
+        F.array(
+            link((F.col("doc_id") * 7 + 13) % n),
+            link((F.col("doc_id") * 11 + 17) % n),
+        ).alias("links"),
+    )
+    return to_wat_records(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -2486,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "cluster_idx": q_cluster_idx,
         "incremental_captures": q_incremental_captures,
+        "wat_export": q_wat_export,
     }
 
 
@@ -5244,5 +5278,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM led l
                 WHERE l.urlkey = c.urlkey AND l.digest = c.digest)
+        """,
+        # WAT records: the JSON payload byte-concatenated in struct-field
+        # order (Spark to_json emits keys in struct order, no spaces).
+        "wat_export": """
+            WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+                        FROM documents),
+            p AS (
+                SELECT doc_id,
+                       'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       (doc_id * 7 + 13) % (SELECT n FROM nn) AS t1,
+                       (doc_id * 11 + 17) % (SELECT n FROM nn) AS t2,
+                       chr(13) || chr(10) AS crlf
+                FROM documents
+            ),
+            j AS (
+                SELECT doc_id, url, crlf,
+                       '{"Envelope":{"WARC-Header-Metadata":'
+                       || '{"WARC-Target-URI":"' || url
+                       || '","WARC-Date":"2024-01-01T00:00:00Z"},'
+                       || '"Payload-Metadata":{"HTML-Metadata":'
+                       || '{"Head":{"Title":"Doc '
+                       || CAST(doc_id AS VARCHAR)
+                       || '"},"Links":[{"url":"https://h'
+                       || CAST(t1 % 50 AS VARCHAR) || '.example/p/'
+                       || CAST(t1 AS VARCHAR)
+                       || '"},{"url":"https://h'
+                       || CAST(t2 % 50 AS VARCHAR) || '.example/p/'
+                       || CAST(t2 AS VARCHAR)
+                       || '"}]}}}}' AS meta
+                FROM p
+            ),
+            r AS (
+                SELECT url,
+                       'WARC/1.0' || crlf
+                       || 'WARC-Type: metadata' || crlf
+                       || 'WARC-Target-URI: ' || url || crlf
+                       || 'WARC-Date: 2024-01-01T00:00:00Z' || crlf
+                       || 'Content-Type: application/json' || crlf
+                       || 'Content-Length: '
+                       || CAST(strlen(meta) AS VARCHAR)
+                       || crlf || crlf || meta || crlf || crlf AS record
+                FROM j
+            )
+            SELECT url, record,
+                   CAST(strlen(record) AS BIGINT) AS record_bytes
+            FROM r
         """,
     }

@@ -136,6 +136,7 @@ EXTENDED = [
     "host_graph",
     "cluster_idx",
     "incremental_captures",
+    "wat_export",
 ]
 
 

@@ -68,3 +68,32 @@ def test_wet_reader_ignores_response_records(spark, tmp_path):
     assert out.count() == 3
     assert all(u.startswith("https://") for u in
                [r.url for r in out.collect()])
+
+
+def test_wat_record_framing_and_json(spark):
+    import json
+
+    from htmlcleanup_spark.sources.wet import to_wat_records
+
+    df = spark.createDataFrame(
+        [("http://a.example/x", "2024-03-05 06:07:08", "A Title",
+          ["http://b.example/1", "http://c.example/2"])],
+        "url string, ts string, title string, links array<string>",
+    ).selectExpr("url", "CAST(ts AS TIMESTAMP) AS warc_ts", "title",
+                 "links")
+    r = to_wat_records(df).collect()[0]
+    head, _, rest = r.record.partition("\r\n\r\n")
+    body = rest[:-4]          # strip the record separator
+    assert rest.endswith("\r\n\r\n")
+    assert "WARC-Type: metadata" in head
+    assert "Content-Type: application/json" in head
+    assert "Content-Length: %d" % len(body.encode()) in head
+    assert "WARC-Date: 2024-03-05T06:07:08Z" in head
+    env = json.loads(body)["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == \
+        "http://a.example/x"
+    pm = env["Payload-Metadata"]["HTML-Metadata"]
+    assert pm["Head"]["Title"] == "A Title"
+    assert [d["url"] for d in pm["Links"]] == \
+        ["http://b.example/1", "http://c.example/2"]
+    assert r.record_bytes == len(r.record.encode())
