@@ -2405,6 +2405,31 @@ def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_wat_records(pages)
 
 
+def q_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record planning over the synthetic capture log
+    (41 payload digests shared across urls — the same content at many
+    urls/recrawls): first capture per digest stays a full response,
+    repeats become revisit records with refers-to coordinates and
+    saved payload bytes (sources/warc.revisit_dedup — one digest-keyed
+    min_by agg + one digest-keyed join, no window)."""
+    from htmlcleanup_spark.sources.warc import revisit_dedup
+
+    d = _docs(spark, sf_dir)
+    uid = F.col("doc_id") % 137
+    caps = d.filter(F.col("doc_id") % 11 != 0).select(
+        F.concat(
+            F.lit("example,h"), (uid % 7).cast("string"),
+            F.lit(")/p/"), uid.cast("string"),
+        ).alias("urlkey"),
+        (F.lit(20240000000000) + F.col("doc_id")).alias("ts"),
+        F.concat(
+            F.lit("sha1:"), (F.col("doc_id") % 41).cast("string")
+        ).alias("digest"),
+        (F.lit(1000) + F.col("doc_id") % 5000).alias("length"),
+    )
+    return revisit_dedup(caps)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -2520,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_idx": q_cluster_idx,
         "incremental_captures": q_incremental_captures,
         "wat_export": q_wat_export,
+        "revisit_dedup": q_revisit_dedup,
     }
 
 
@@ -5326,5 +5352,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, record,
                    CAST(strlen(record) AS BIGINT) AS record_bytes
             FROM r
+        """,
+        # WARC revisit planning: arg_min original per digest, CASE on
+        # original-vs-repeat.
+        "revisit_dedup": """
+            WITH caps AS (
+                SELECT 'example,h'
+                           || CAST((doc_id % 137) % 7 AS VARCHAR)
+                           || ')/p/'
+                           || CAST(doc_id % 137 AS VARCHAR) AS urlkey,
+                       CAST(20240000000000 + doc_id AS BIGINT) AS ts,
+                       'sha1:' || CAST(doc_id % 41 AS VARCHAR)
+                           AS digest,
+                       CAST(1000 + doc_id % 5000 AS BIGINT) AS length
+                FROM documents WHERE doc_id % 11 <> 0
+            ),
+            o AS (
+                SELECT digest AS d, min(ts) AS o_ts,
+                       arg_min(urlkey, ts) AS o_urlkey
+                FROM caps GROUP BY digest
+            )
+            SELECT c.urlkey, c.ts, c.digest,
+                   CASE WHEN c.urlkey = o.o_urlkey AND c.ts = o.o_ts
+                        THEN 'response' ELSE 'revisit' END AS warc_type,
+                   CASE WHEN c.urlkey = o.o_urlkey AND c.ts = o.o_ts
+                        THEN NULL ELSE o.o_urlkey
+                        END AS refers_to_urlkey,
+                   CASE WHEN c.urlkey = o.o_urlkey AND c.ts = o.o_ts
+                        THEN NULL ELSE o.o_ts END AS refers_to_ts,
+                   CASE WHEN c.urlkey = o.o_urlkey AND c.ts = o.o_ts
+                        THEN 0 ELSE c.length END AS saved_bytes
+            FROM caps c JOIN o ON c.digest = o.d
         """,
     }

@@ -137,6 +137,7 @@ EXTENDED = [
     "cluster_idx",
     "incremental_captures",
     "wat_export",
+    "revisit_dedup",
 ]
 
 

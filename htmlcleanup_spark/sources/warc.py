@@ -264,3 +264,65 @@ def write_synth_warc(path: str, n_docs: int, seed: int = 42,
         data = buf.getvalue()
     with open(path, "wb") as f:
         f.write(data)
+
+
+def revisit_dedup(captures, key_col="urlkey", ts_col="ts",
+                  digest_col="digest", length_col="length"):
+    """WARC revisit-record planning — the archive-side storage dedup of
+    ISO 28500 §6.7.2 / WARC 1.1 "identical-payload-digest" profile: the
+    FIRST capture of each payload digest is stored as a full
+    ``response`` record; every later capture of the same digest becomes
+    a ``revisit`` record that points at the original (WARC-Refers-To),
+    storing headers only.
+
+    Returns the capture log annotated: (urlkey, ts, digest, warc_type,
+    refers_to_urlkey, refers_to_ts, saved_bytes) — ``refers_to_*`` NULL
+    on originals, ``saved_bytes`` the payload length a revisit avoids
+    re-storing (0 for originals).
+
+    Scale shape (10^11 captures): originals = ONE digest-keyed
+    map-combined ``min_by`` aggregate ((ts, urlkey) struct min — total
+    order, deterministic under capture-time ties); the annotate is ONE
+    digest-keyed equi join back — both sides hash-partition on digest,
+    and the originals side is |distinct digests| rows (≤ captures).
+    No window: a viral payload (the same 404 page captured 10^7 times)
+    is one agg group with a 1-row result, and its join fan-out is
+    output-sized.  Column-only compare — page bytes never move.
+    """
+    from pyspark.sql import functions as F
+
+    originals = (
+        captures.groupBy(F.col(digest_col).alias("_d"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(ts_col).alias("ts"),
+                    F.col(key_col).alias("urlkey"),
+                )
+            ).alias("_o")
+        )
+        .select(
+            "_d",
+            F.col("_o.urlkey").alias("_o_urlkey"),
+            F.col("_o.ts").alias("_o_ts"),
+        )
+    )
+    j = captures.join(
+        originals, captures[digest_col] == originals["_d"]
+    )
+    is_orig = (F.col(key_col) == F.col("_o_urlkey")) & (
+        F.col(ts_col) == F.col("_o_ts")
+    )
+    return j.select(
+        F.col(key_col).alias("urlkey"),
+        F.col(ts_col).alias("ts"),
+        F.col(digest_col).alias("digest"),
+        F.when(is_orig, F.lit("response"))
+        .otherwise(F.lit("revisit")).alias("warc_type"),
+        F.when(is_orig, F.lit(None).cast("string"))
+        .otherwise(F.col("_o_urlkey")).alias("refers_to_urlkey"),
+        F.when(is_orig, F.lit(None).cast("long"))
+        .otherwise(F.col("_o_ts")).alias("refers_to_ts"),
+        F.when(is_orig, F.lit(0).cast("long"))
+        .otherwise(F.col(length_col).cast("long")).alias("saved_bytes"),
+    )

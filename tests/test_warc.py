@@ -111,3 +111,44 @@ def test_read_warc_to_pages_and_extract(spark, tmp_path):
     for i in (0, 5):
         local = clean_html(make_html(i, 42))
         assert got["https://host%d.example/p/%d" % (i, i)] == local.text
+
+
+def test_revisit_dedup_semantics(spark):
+    from htmlcleanup_spark.sources.warc import revisit_dedup
+
+    caps = spark.createDataFrame(
+        [
+            ("u1", 10, "dA", 500),
+            ("u2", 20, "dA", 500),   # same payload, later -> revisit
+            ("u1", 30, "dA", 500),   # recrawl, unchanged -> revisit
+            ("u3", 15, "dB", 700),   # unique payload -> response
+        ],
+        "urlkey string, ts long, digest string, length long",
+    )
+    rows = {(r.urlkey, r.ts): r for r in revisit_dedup(caps).collect()}
+    orig = rows[("u1", 10)]
+    assert orig.warc_type == "response" and orig.saved_bytes == 0
+    assert orig.refers_to_urlkey is None and orig.refers_to_ts is None
+    for k in [("u2", 20), ("u1", 30)]:
+        r = rows[k]
+        assert r.warc_type == "revisit"
+        assert (r.refers_to_urlkey, r.refers_to_ts) == ("u1", 10)
+        assert r.saved_bytes == 500
+    assert rows[("u3", 15)].warc_type == "response"
+
+
+def test_revisit_dedup_plan_digest_keyed_no_window(spark):
+    from htmlcleanup_spark.sources.warc import revisit_dedup
+    import re
+
+    caps = spark.createDataFrame(
+        [("u%d" % i, i, "d%d" % (i % 3), 100) for i in range(30)],
+        "urlkey string, ts long, digest string, length long",
+    )
+    plan = (
+        revisit_dedup(caps)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(digest#\d+", plan)
