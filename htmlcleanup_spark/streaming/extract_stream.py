@@ -233,3 +233,63 @@ def cdx_latest_stream(lines: DataFrame, ok_only: bool = True) -> DataFrame:
         F.count("*").alias("n_captures"),
         F.approx_count_distinct("digest").alias("n_digests_approx"),
     )
+
+
+def capture_history_stream(captures: DataFrame) -> DataFrame:
+    """Streaming twin of sources/cdx.capture_history: the capture log
+    arrives as a stream and each urlkey's SCD-2 ledger maintains itself
+    in per-key state (applyInPandasWithState) — a version-OPEN event
+    (urlkey, version, valid_from, digest) is emitted the moment a
+    capture's digest differs from the key's last stored digest.
+
+    Append-mode semantics: the stream emits version openings; closing
+    timestamps (valid_to) and collapsed-recrawl counts are a batch
+    reconciliation (the batch twin computes them from the same log) —
+    an open interval can't be finalized online without update mode.
+    State per urlkey is (last_digest, version) — two fields, bounded by
+    the URL universe, the RocksDB-state-store regime at corpus scale;
+    per crawl-window runs + batch folds keep it smaller.  Capture
+    order: rows are processed in ts order within each micro-batch
+    group; cross-batch order follows arrival, which for a crawler
+    publishing index shards as it writes them IS capture order —
+    late-arriving out-of-order captures belong to the batch twin.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def ledger(key, pdfs, state):
+        if state.exists:
+            last_digest, version = state.get
+        else:
+            last_digest, version = None, 0
+        out_v, out_f, out_d = [], [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for row in pdf.sort_values("ts").itertuples():
+                if row.digest != last_digest:
+                    version += 1
+                    last_digest = row.digest
+                    out_v.append(version)
+                    out_f.append(row.ts)
+                    out_d.append(row.digest)
+        state.update((last_digest, version))
+        if out_v:
+            yield pd.DataFrame(
+                {
+                    "urlkey": key[0],
+                    "version": pd.array(out_v, dtype="int32"),
+                    "valid_from": pd.array(out_f, dtype="int64"),
+                    "digest": out_d,
+                }
+            )
+
+    return captures.groupBy("urlkey").applyInPandasWithState(
+        ledger,
+        outputStructType=(
+            "urlkey string, version int, valid_from long, digest string"
+        ),
+        stateStructType="last_digest string, version int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

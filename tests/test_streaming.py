@@ -252,3 +252,50 @@ def test_cdx_latest_stream_matches_batch(spark, tmp_path):
         assert (g.latest_ts, g.offset, g.n_captures,
                 g.n_digests_approx) == (
             e.latest_ts, e.offset, e.n_captures, e.n_digests_approx)
+
+
+def test_capture_history_stream_matches_batch_open_events(spark, tmp_path):
+    """The stateful streaming SCD-2 ledger emits exactly the batch
+    twin's version-open rows (urlkey, version, valid_from, digest),
+    with state carried across micro-batches (one file per trigger,
+    captures for the same url split across files in ts order)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from htmlcleanup_spark.sources.cdx import capture_history
+    from htmlcleanup_spark.streaming.extract_stream import (
+        capture_history_stream,
+    )
+
+    src = str(tmp_path / "caps_in")
+    os.makedirs(src)
+    # u0..u4, 6 captures each, digest flips every 2 captures for even
+    # urls / every 3 for odd; batch f holds capture round f (ts order
+    # across files = arrival order)
+    for f in range(6):
+        path = os.path.join(src, "round-%d.csv" % f)
+        with open(path, "w") as fh:
+            for u in range(5):
+                period = 2 if u % 2 == 0 else 3
+                fh.write("u%d,%d,d%d\n" % (u, 100 + f, f // period))
+        # the file source drains oldest-mtime first: pin strictly
+        # increasing mtimes so micro-batch order IS capture order
+        os.utime(path, (1700000000 + f * 10, 1700000000 + f * 10))
+
+    schema = "urlkey string, ts long, digest string"
+    stream = (spark.readStream.option("maxFilesPerTrigger", 1)
+              .schema(schema).csv(src))
+    q = (capture_history_stream(stream)
+         .writeStream.format("memory").queryName("cap_hist_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batch = capture_history(
+        spark.read.schema(schema).csv(src)
+    ).select("urlkey", "version", "valid_from", "digest")
+    expected = sorted(map(tuple, batch.collect()))
+    got = sorted(map(tuple, spark.sql(
+        "SELECT * FROM cap_hist_s").collect()))
+    assert got == expected
+    assert len(got) == 5 * 3 - 2   # even urls 3 versions, odd urls 2
