@@ -2430,6 +2430,53 @@ def q_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revisit_dedup(caps)
 
 
+def q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style (image url, alt caption) pair mining over synthetic
+    pages carrying 0-3 <img> tags in three src forms (absolute
+    double-quoted, site-absolute single-quoted, protocol-relative
+    bare) — operators/content.image_alt_pairs, pure JVM regex +
+    posexplode, zero shuffle.  The oracle re-derives every pair from
+    the tag-recipe arithmetic, not by re-running the regexes."""
+    from htmlcleanup_spark.operators.content import image_alt_pairs
+
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id") % 4
+
+    def t(i):
+        return (F.col("doc_id") * 5 + i * 7) % 97
+
+    def tag(i):
+        ts = t(i).cast("string")
+        cdn = F.concat(
+            F.lit("img"), (t(i) % 20).cast("string"),
+            F.lit(".cdn.example/i/"), ts, F.lit(".jpg"),
+        )
+        return (
+            F.when(i % 3 == 0, F.concat(
+                F.lit('<img src="https://'), cdn,
+                F.lit('" alt="photo '), ts, F.lit('">')))
+            .when(i % 3 == 1, F.concat(
+                F.lit("<img src='/i/"), ts,
+                F.lit(".jpg' alt='diagram "), ts, F.lit("'>")))
+            .otherwise(F.concat(
+                F.lit("<img src=//"), cdn,
+                F.lit(' alt="icon '), ts, F.lit('">')))
+        )
+
+    imgs = F.when(
+        k > 0,
+        F.array_join(F.transform(F.sequence(F.lit(0), k - 1), tag), ""),
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("<html><body><p>text</p>"), imgs,
+                 F.lit("</body></html>")).alias("html"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example")).alias("host"),
+    )
+    return image_alt_pairs(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -2546,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_captures": q_incremental_captures,
         "wat_export": q_wat_export,
         "revisit_dedup": q_revisit_dedup,
+        "image_alt_pairs": q_image_alt_pairs,
     }
 
 
@@ -5383,5 +5431,38 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.urlkey = o.o_urlkey AND c.ts = o.o_ts
                         THEN 0 ELSE c.length END AS saved_bytes
             FROM caps c JOIN o ON c.digest = o.d
+        """,
+        # image/alt pairs: rows re-derived from the tag-recipe
+        # arithmetic (k = doc_id % 4 tags, src form by seq % 3).
+        "image_alt_pairs": """
+            WITH i AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, doc_id % 4 - 1)) AS seq
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, seq,
+                       (doc_id * 5 + seq * 7) % 97 AS t,
+                       seq % 3 AS form,
+                       'h' || CAST(doc_id % 50 AS VARCHAR)
+                           || '.example' AS host
+                FROM i
+            )
+            SELECT doc_id, CAST(seq AS INT) AS seq,
+                   CASE form
+                     WHEN 0 THEN 'https://img'
+                          || CAST(t % 20 AS VARCHAR) || '.cdn.example/i/'
+                          || CAST(t AS VARCHAR) || '.jpg'
+                     WHEN 1 THEN 'https://' || host || '/i/'
+                          || CAST(t AS VARCHAR) || '.jpg'
+                     ELSE 'https://img'
+                          || CAST(t % 20 AS VARCHAR) || '.cdn.example/i/'
+                          || CAST(t AS VARCHAR) || '.jpg'
+                   END AS img_url,
+                   CASE form WHEN 0 THEN 'photo '
+                             WHEN 1 THEN 'diagram '
+                             ELSE 'icon ' END
+                       || CAST(t AS VARCHAR) AS alt
+            FROM b
         """,
     }

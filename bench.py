@@ -138,6 +138,7 @@ EXTENDED = [
     "incremental_captures",
     "wat_export",
     "revisit_dedup",
+    "image_alt_pairs",
 ]
 
 

@@ -112,3 +112,46 @@ def test_page_metadata_extraction(spark):
     assert out[0].n_h1 == 2 and out[0].first_h1 == "First"
     assert out[1].meta_description == "single quoted"   # case + quotes
     assert out[2].title == "" and out[2].n_h1 == 0
+
+
+def test_image_alt_pairs_forms_and_resolution(spark):
+    from htmlcleanup_spark.operators.content import image_alt_pairs
+
+    html = (
+        '<p>x</p>'
+        '<IMG SRC="https://cdn.ex/a.jpg" ALT="abs pic">'
+        "<img src='/rel/b.png' alt='site pic'>"
+        '<img src=//proto.ex/c.gif alt="proto pic">'
+        '<img src="d.webp" alt="rel pic">'
+        '<img src="https://cdn.ex/noalt.jpg">'          # no alt -> drop
+        '<img alt="no src">'                            # no src -> drop
+        '<img src="https://cdn.ex/e.jpg" alt="">'       # empty alt -> drop
+    )
+    df = spark.createDataFrame(
+        [(1, html, "site.example")], "doc_id long, html string, host string"
+    )
+    rows = sorted(
+        (r.seq, r.img_url, r.alt)
+        for r in image_alt_pairs(df).collect()
+    )
+    assert rows == [
+        (0, "https://cdn.ex/a.jpg", "abs pic"),
+        (1, "https://site.example/rel/b.png", "site pic"),
+        (2, "https://proto.ex/c.gif", "proto pic"),
+        (3, "https://site.example/d.webp", "rel pic"),
+    ]
+
+
+def test_image_alt_pairs_zero_shuffle_plan(spark):
+    from htmlcleanup_spark.operators.content import image_alt_pairs
+
+    df = spark.createDataFrame(
+        [(1, '<img src="https://a/b.jpg" alt="x">', "h")],
+        "doc_id long, html string, host string",
+    )
+    plan = (
+        image_alt_pairs(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" in plan     # the posexplode generator
