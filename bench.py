@@ -152,6 +152,8 @@ EXTRA_SCALING = [
     "host_boilerplate",
     "hits",
     "pagerank",
+    "bm25_topk",
+    "cluster_idx",
 ]
 
 
