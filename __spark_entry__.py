@@ -2477,6 +2477,59 @@ def q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_alt_pairs(pages)
 
 
+def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table mining over synthetic pages (4 of 5 docs carry one
+    table: a <th> header row + 1-3 data rows x 2-3 cols, first data
+    column bold-wrapped and padded to exercise tag-strip + whitespace
+    collapse) — operators/content.table_extract, three chained
+    regex+posexplode generators, zero shuffle.  The oracle re-derives
+    every cell from the recipe arithmetic."""
+    from htmlcleanup_spark.operators.content import table_extract
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    r, c = 1 + did % 3, 2 + did % 2
+
+    hdr = F.concat(
+        F.lit("<tr>"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), c - 1),
+                lambda j: F.concat(F.lit("<th>H"), j.cast("string"),
+                                   F.lit("</th>")),
+            ), ""),
+        F.lit("</tr>"),
+    )
+
+    def cell(i, j):
+        v = F.concat(F.lit("v"),
+                     ((did + i * 7 + j) % 100).cast("string"))
+        return F.when(
+            j == 0,
+            F.concat(F.lit("<td> <b>"), v, F.lit("</b> </td>")),
+        ).otherwise(F.concat(F.lit("<td>"), v, F.lit("</td>")))
+
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), r - 1),
+            lambda i: F.concat(
+                F.lit("<tr>"),
+                F.array_join(
+                    F.transform(F.sequence(F.lit(0), c - 1),
+                                lambda j: cell(i, j)), ""),
+                F.lit("</tr>"),
+            ),
+        ), "")
+    html = F.when(
+        did % 5 == 0,
+        F.lit("<html><body><p>no tables</p></body></html>"),
+    ).otherwise(
+        F.concat(F.lit('<html><body><table class="x">'), hdr, body,
+                 F.lit("</table></body></html>"))
+    )
+    return table_extract(d.select("doc_id", html.alias("html")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -2594,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_export": q_wat_export,
         "revisit_dedup": q_revisit_dedup,
         "image_alt_pairs": q_image_alt_pairs,
+        "table_extract": q_table_extract,
     }
 
 
@@ -5464,5 +5518,33 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 'icon ' END
                        || CAST(t AS VARCHAR) AS alt
             FROM b
+        """,
+        # web tables: cells re-derived from the row/col recipe; header
+        # row is row_idx 0.
+        "table_extract": """
+            WITH d AS (
+                SELECT doc_id, 1 + doc_id % 3 AS r, 2 + doc_id % 2 AS c
+                FROM documents WHERE doc_id % 5 <> 0
+            ),
+            rows AS (
+                SELECT doc_id, r, c,
+                       unnest(generate_series(0, r)) AS row_idx
+                FROM d
+            ),
+            cells AS (
+                SELECT doc_id, row_idx,
+                       unnest(generate_series(0, c - 1)) AS col_idx
+                FROM rows
+            )
+            SELECT doc_id, CAST(0 AS INT) AS table_idx,
+                   CAST(row_idx AS INT) AS row_idx,
+                   CAST(col_idx AS INT) AS col_idx,
+                   CASE WHEN row_idx = 0
+                        THEN 'H' || CAST(col_idx AS VARCHAR)
+                        ELSE 'v' || CAST((doc_id + (row_idx - 1) * 7
+                                          + col_idx) % 100 AS VARCHAR)
+                   END AS cell_text,
+                   row_idx = 0 AS is_header
+            FROM cells
         """,
     }

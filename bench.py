@@ -139,6 +139,7 @@ EXTENDED = [
     "wat_export",
     "revisit_dedup",
     "image_alt_pairs",
+    "table_extract",
 ]
 
 

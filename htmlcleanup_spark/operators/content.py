@@ -140,3 +140,55 @@ def image_alt_pairs(df: DataFrame, html_col: str = "html",
         .filter((F.col("_src") != "") & (F.col("alt") != ""))
         .select("doc_id", "seq", img_url.alias("img_url"), "alt")
     )
+
+
+def table_extract(df: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """HTML table mining — the web-table corpus harvest (TURL /
+    WikiTables-style): every ``<table>`` flattens to one row per cell,
+    (doc_id, table_idx, row_idx, col_idx, cell_text, is_header), with
+    inner markup stripped and whitespace collapsed.
+
+    Scale shape: three chained JVM regex extract-all + posexplode
+    generators (table -> tr -> td/th) — zero Python, ZERO shuffles,
+    output volume is the cell count.  Nested/malformed tables degrade
+    softly: the non-greedy ``</table>`` match closes an inner table at
+    its first close tag (the common-crawl reality; a DOM-fidelity pass
+    is the engine cascade's job, THIS op is the bulk structured-data
+    miner).
+    """
+    from pyspark.sql import functions as F
+
+    tables = F.regexp_extract_all(
+        F.col(html_col), F.lit("(?is)<table\\b.*?</table>"), F.lit(0)
+    )
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tables).alias("table_idx", "_tbl"),
+    )
+    rows = F.regexp_extract_all(
+        F.col("_tbl"), F.lit("(?is)<tr\\b.*?</tr>"), F.lit(0)
+    )
+    r = t.select(
+        "doc_id", "table_idx",
+        F.posexplode(rows).alias("row_idx", "_row"),
+    )
+    cells = F.regexp_extract_all(
+        F.col("_row"), F.lit("(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]>"),
+        F.lit(1),
+    )
+    c = r.select(
+        "doc_id", "table_idx", "row_idx",
+        F.col("_row").rlike("(?i)<th\\b").alias("is_header"),
+        F.posexplode(cells).alias("col_idx", "_cell"),
+    )
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_cell"), "<[^>]*>", ""),
+            "\\s+", " ",
+        )
+    )
+    return c.select(
+        "doc_id", "table_idx", "row_idx", "col_idx",
+        text.alias("cell_text"), "is_header",
+    )

@@ -155,3 +155,42 @@ def test_image_alt_pairs_zero_shuffle_plan(spark):
     )
     assert "Exchange" not in plan
     assert "Generate" in plan     # the posexplode generator
+
+
+def test_table_extract_cells_and_headers(spark):
+    from htmlcleanup_spark.operators.content import table_extract
+
+    html = (
+        '<p>pre</p>'
+        '<table><tr><th>Name</th><th>Age</th></tr>'
+        '<tr><td> <b>Ada</b> </td><td>36</td></tr>'
+        '<tr><td>Grace</td><td>45</td></tr></table>'
+        '<div><table id="t2"><tr><td>solo</td></tr></table></div>'
+    )
+    df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+    rows = sorted(
+        (r.table_idx, r.row_idx, r.col_idx, r.cell_text, r.is_header)
+        for r in table_extract(df).collect()
+    )
+    assert rows == [
+        (0, 0, 0, "Name", True),
+        (0, 0, 1, "Age", True),
+        (0, 1, 0, "Ada", False),
+        (0, 1, 1, "36", False),
+        (0, 2, 0, "Grace", False),
+        (0, 2, 1, "45", False),
+        (1, 0, 0, "solo", False),
+    ]
+
+
+def test_table_extract_no_tables_and_zero_shuffle(spark):
+    from htmlcleanup_spark.operators.content import table_extract
+
+    df = spark.createDataFrame(
+        [(1, "<p>plain page</p>"), (2, "<table></table>")],
+        "doc_id long, html string",
+    )
+    out = table_extract(df)
+    assert out.count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
