@@ -2530,6 +2530,41 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_extract(d.select("doc_id", html.alias("html")))
 
 
+def q_code_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-block mining over synthetic pages carrying 0-2 <pre>
+    blocks (one language-hinted with escaped entities, one bare) —
+    operators/content.code_blocks: regex generator + entity-decode
+    chain, zero shuffle.  The oracle constructs the DECODED expected
+    code directly from the recipe."""
+    from htmlcleanup_spark.operators.content import code_blocks
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    k = did % 3
+
+    def blk(i):
+        ts = ((did + i * 11) % 50).cast("string")
+        return F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit('<pre><code class="language-python">\nif x &lt; '),
+                ts,
+                F.lit(':\n    y = &quot;a&amp;b&quot;\n</code></pre>'),
+            ),
+        ).otherwise(
+            F.concat(F.lit("<pre>\nint main() { return "), ts,
+                     F.lit("; }\n</pre>"))
+        )
+
+    blocks = F.when(
+        k > 0,
+        F.array_join(F.transform(F.sequence(F.lit(0), k - 1), blk), ""),
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><body><p>doc</p>"), blocks,
+                    F.lit("</body></html>"))
+    return code_blocks(d.select("doc_id", html.alias("html")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -2648,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_dedup": q_revisit_dedup,
         "image_alt_pairs": q_image_alt_pairs,
         "table_extract": q_table_extract,
+        "code_blocks": q_code_blocks,
     }
 
 
@@ -5546,5 +5582,29 @@ def oracle_sql() -> dict[str, str]:
                    END AS cell_text,
                    row_idx = 0 AS is_header
             FROM cells
+        """,
+        # code blocks: expected DECODED code re-derived from the recipe.
+        "code_blocks": """
+            WITH i AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, doc_id % 3 - 1)) AS seq
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, seq,
+                       CAST((doc_id + seq * 11) % 50 AS VARCHAR) AS ts
+                FROM i
+            )
+            SELECT doc_id, CAST(seq AS INT) AS seq,
+                   CASE WHEN seq % 2 = 0 THEN 'python' ELSE '' END
+                       AS lang,
+                   CASE WHEN seq % 2 = 0
+                        THEN 'if x < ' || ts || ':' || chr(10)
+                             || '    y = "a&b"'
+                        ELSE 'int main() { return ' || ts || '; }'
+                   END AS code,
+                   CAST(CASE WHEN seq % 2 = 0 THEN 2 ELSE 1 END
+                        AS INT) AS n_lines
+            FROM b
         """,
     }

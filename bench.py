@@ -140,6 +140,7 @@ EXTENDED = [
     "revisit_dedup",
     "image_alt_pairs",
     "table_extract",
+    "code_blocks",
 ]
 
 

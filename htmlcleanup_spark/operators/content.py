@@ -192,3 +192,43 @@ def table_extract(df: DataFrame, html_col: str = "html",
         "doc_id", "table_idx", "row_idx", "col_idx",
         text.alias("cell_text"), "is_header",
     )
+
+
+def code_blocks(df: DataFrame, html_col: str = "html",
+                id_col: str = "doc_id") -> DataFrame:
+    """Code-block mining — the web-sourced code-corpus harvest (how
+    Stack-style datasets pull code out of tutorials/docs/forums): every
+    ``<pre>`` block yields (doc_id, seq, lang, code, n_lines), ``lang``
+    from the conventional ``language-<x>`` class hint ('' when absent),
+    ``code`` with the wrapper ``<pre>``/``<code>`` tags dropped and the
+    five standard HTML entities decoded (&amp; LAST, per the spec, so
+    double-escapes survive single decode).
+
+    Scale shape: one JVM regex extract-all + posexplode generator and a
+    codegen chain of literal replaces — zero Python, ZERO shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    blocks = F.regexp_extract_all(
+        F.col(html_col), F.lit("(?is)<pre\\b[^>]*>.*?</pre>"), F.lit(0)
+    )
+    e = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(blocks).alias("seq", "_blk"),
+    )
+    lang = F.regexp_extract(
+        F.col("_blk"), "(?i)language-([a-zA-Z0-9_+#-]+)", 1
+    )
+    code = F.regexp_replace(
+        F.col("_blk"), "(?is)</?pre\\b[^>]*>|</?code\\b[^>]*>", ""
+    )
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")]:
+        code = F.replace(code, F.lit(ent), F.lit(ch))
+    # trim ALL whitespace (Spark's trim is space-only; pre blocks start
+    # with the newline after the open tag)
+    code = F.regexp_replace(code, "^\\s+|\\s+$", "")
+    return e.select(
+        "doc_id", "seq", lang.alias("lang"), code.alias("code"),
+        F.size(F.split(code, "\n")).alias("n_lines"),
+    )

@@ -194,3 +194,27 @@ def test_table_extract_no_tables_and_zero_shuffle(spark):
     assert out.count() == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_code_blocks_decode_lang_and_lines(spark):
+    from htmlcleanup_spark.operators.content import code_blocks
+
+    html = (
+        '<p>tutorial</p>'
+        '<pre><code class="language-c++">\n'
+        'if (a &lt; b &amp;&amp; c &gt; d) {\n'
+        '  s = &quot;x&#39;y&quot;;\n'
+        '}\n'
+        '</code></pre>'
+        '<pre>  plain block  </pre>'
+        '<p>no pre here: <code>inline()</code></p>'
+    )
+    df = spark.createDataFrame([(3, html)], "doc_id long, html string")
+    rows = sorted(
+        (r.seq, r.lang, r.code, r.n_lines)
+        for r in code_blocks(df).collect()
+    )
+    assert rows == [
+        (0, "c++", 'if (a < b && c > d) {\n  s = "x\'y";\n}', 3),
+        (1, "", "plain block", 1),
+    ]
