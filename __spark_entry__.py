@@ -2430,20 +2430,22 @@ def q_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revisit_dedup(caps)
 
 
-def q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LAION-style (image url, alt caption) pair mining over synthetic
-    pages carrying 0-3 <img> tags in three src forms (absolute
-    double-quoted, site-absolute single-quoted, protocol-relative
-    bare) — operators/content.image_alt_pairs, pure JVM regex +
-    posexplode, zero shuffle.  The oracle re-derives every pair from
-    the tag-recipe arithmetic, not by re-running the regexes."""
-    from htmlcleanup_spark.operators.content import image_alt_pairs
-
-    d = _docs(spark, sf_dir)
+def _synth_img_pages(d: DataFrame, nsfw_band: bool = False) -> DataFrame:
+    """Deterministic image-carrying pages: k = doc_id %% 4 <img> tags,
+    src form by index %% 3 (absolute double-quoted / site-absolute
+    single-quoted / protocol-relative bare), alt label by form; with
+    ``nsfw_band``, tags whose t %% 13 == 0 get the label word 'nsfw'
+    (the caption-policy filter's load-bearing band)."""
     k = F.col("doc_id") % 4
 
     def t(i):
         return (F.col("doc_id") * 5 + i * 7) % 97
+
+    def label(i, base):
+        word = F.lit(base)
+        if nsfw_band:
+            word = F.when(t(i) % 13 == 0, F.lit("nsfw")).otherwise(word)
+        return word
 
     def tag(i):
         ts = t(i).cast("string")
@@ -2454,27 +2456,79 @@ def q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             F.when(i % 3 == 0, F.concat(
                 F.lit('<img src="https://'), cdn,
-                F.lit('" alt="photo '), ts, F.lit('">')))
+                F.lit('" alt="'), label(i, "photo"), F.lit(" "), ts,
+                F.lit('">')))
             .when(i % 3 == 1, F.concat(
                 F.lit("<img src='/i/"), ts,
-                F.lit(".jpg' alt='diagram "), ts, F.lit("'>")))
+                F.lit(".jpg' alt='"), label(i, "diagram"), F.lit(" "),
+                ts, F.lit("'>")))
             .otherwise(F.concat(
                 F.lit("<img src=//"), cdn,
-                F.lit(' alt="icon '), ts, F.lit('">')))
+                F.lit(' alt="'), label(i, "icon"), F.lit(" "), ts,
+                F.lit('">')))
         )
 
     imgs = F.when(
         k > 0,
         F.array_join(F.transform(F.sequence(F.lit(0), k - 1), tag), ""),
     ).otherwise(F.lit(""))
-    pages = d.select(
+    return d.select(
         "doc_id",
         F.concat(F.lit("<html><body><p>text</p>"), imgs,
                  F.lit("</body></html>")).alias("html"),
         F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"),
                  F.lit(".example")).alias("host"),
     )
-    return image_alt_pairs(pages)
+
+
+def q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style (image url, alt caption) pair mining over synthetic
+    pages carrying 0-3 <img> tags in three src forms (absolute
+    double-quoted, site-absolute single-quoted, protocol-relative
+    bare) — operators/content.image_alt_pairs, pure JVM regex +
+    posexplode, zero shuffle.  The oracle re-derives every pair from
+    the tag-recipe arithmetic, not by re-running the regexes."""
+    from htmlcleanup_spark.operators.content import image_alt_pairs
+
+    return image_alt_pairs(_synth_img_pages(_docs(spark, sf_dir)))
+
+
+def q_caption_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed image-caption corpus recipe (the LAION pipeline shape):
+    mine (img_url, alt) pairs from pages (image_alt_pairs over the
+    nsfw-banded synth) -> drop pairs whose caption carries a bad-words
+    marker (the C4 whole-token idiom inline over the alt text; the
+    t %% 13 == 0 band makes it load-bearing) -> exact-dedup per
+    img_url keeping the lexicographically first (doc_id, seq) witness
+    -> attach img_host (what the image fetcher's politeness grouping
+    keys on).  One img_url-keyed shuffle total; the mine and filter
+    stages are zero-shuffle column work."""
+    from htmlcleanup_spark.operators.content import image_alt_pairs
+    from htmlcleanup_spark.operators.corpus import BADWORD_MARKERS
+
+    pairs = image_alt_pairs(
+        _synth_img_pages(_docs(spark, sf_dir), nsfw_band=True)
+    )
+    markers = F.array(*[F.lit(w) for w in BADWORD_MARKERS])
+    flagged = F.filter(
+        F.split(F.col("alt"), " "),
+        lambda w: F.array_contains(markers, F.lower(w)),
+    )
+    kept = pairs.filter(F.size(flagged) == 0)
+    return (
+        kept.groupBy("img_url")
+        .agg(F.min(F.struct("doc_id", "seq", "alt")).alias("_f"))
+        .select(
+            "img_url",
+            F.col("_f.doc_id").alias("doc_id"),
+            F.col("_f.seq").alias("seq"),
+            F.col("_f.alt").alias("alt"),
+        )
+        .withColumn(
+            "img_host",
+            F.regexp_extract("img_url", "^https://([^/]+)", 1),
+        )
+    )
 
 
 def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2684,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_alt_pairs": q_image_alt_pairs,
         "table_extract": q_table_extract,
         "code_blocks": q_code_blocks,
+        "caption_corpus": q_caption_corpus,
     }
 
 
@@ -5606,5 +5661,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN seq % 2 = 0 THEN 2 ELSE 1 END
                         AS INT) AS n_lines
             FROM b
+        """,
+        # caption corpus: the pair recipe with the nsfw band, policy
+        # filter by the band arithmetic, per-url first-witness dedup.
+        "caption_corpus": """
+            WITH i AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, doc_id % 4 - 1)) AS seq
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, seq,
+                       (doc_id * 5 + seq * 7) % 97 AS t,
+                       seq % 3 AS form,
+                       'h' || CAST(doc_id % 50 AS VARCHAR)
+                           || '.example' AS host
+                FROM i
+            ),
+            p AS (
+                SELECT doc_id, CAST(seq AS INT) AS seq, t,
+                       CASE WHEN form = 1
+                            THEN 'https://' || host || '/i/'
+                                 || CAST(t AS VARCHAR) || '.jpg'
+                            ELSE 'https://img'
+                                 || CAST(t % 20 AS VARCHAR)
+                                 || '.cdn.example/i/'
+                                 || CAST(t AS VARCHAR) || '.jpg'
+                       END AS img_url,
+                       (CASE WHEN t % 13 = 0 THEN 'nsfw'
+                             WHEN form = 0 THEN 'photo'
+                             WHEN form = 1 THEN 'diagram'
+                             ELSE 'icon' END)
+                           || ' ' || CAST(t AS VARCHAR) AS alt
+                FROM b
+            ),
+            f AS (SELECT * FROM p WHERE t % 13 <> 0),
+            r AS (
+                SELECT img_url, doc_id, seq, alt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY img_url
+                           ORDER BY doc_id, seq) AS rn
+                FROM f
+            )
+            SELECT img_url, doc_id, seq, alt,
+                   string_split(img_url, '/')[3] AS img_host
+            FROM r WHERE rn = 1
         """,
     }

@@ -141,6 +141,7 @@ EXTENDED = [
     "image_alt_pairs",
     "table_extract",
     "code_blocks",
+    "caption_corpus",
 ]
 
 
