@@ -2493,6 +2493,46 @@ def q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_alt_pairs(_synth_img_pages(_docs(spark, sf_dir)))
 
 
+def q_social_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph card + feed discovery over synthetic heads (og triple
+    present for 2/3 of docs with rotating quote styles, RSS link for
+    1/4) — operators/content.social_meta, one anchored JVM regex per
+    field, zero shuffle.  The oracle re-derives each field from the
+    band arithmetic."""
+    from htmlcleanup_spark.operators.content import social_meta
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    img = F.concat(F.lit("https://img"), (did % 20).cast("string"),
+                   F.lit(".cdn.example/og/"), ids, F.lit(".jpg"))
+    og = F.when(
+        did % 3 != 0,
+        F.concat(
+            F.lit('<meta property="og:title" content="OG Doc '), ids,
+            F.lit('">'),
+            F.when(
+                did % 3 == 2,
+                F.concat(F.lit("<meta property=og:image content='"),
+                         img, F.lit("'>")),
+            ).otherwise(
+                F.concat(F.lit('<meta property="og:image" content="'),
+                         img, F.lit('">'))
+            ),
+            F.lit('<meta property="og:description" content="Desc '),
+            (did % 7).cast("string"), F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    feed = F.when(
+        did % 4 == 0,
+        F.lit('<link rel="alternate" type="application/rss+xml" '
+              'href="/feed.xml">'),
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><head><title>t</title>"), og, feed,
+                    F.lit("</head><body>x</body></html>"))
+    return social_meta(d.select("doc_id", html.alias("html")))
+
+
 def q_caption_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed image-caption corpus recipe (the LAION pipeline shape):
     mine (img_url, alt) pairs from pages (image_alt_pairs over the
@@ -2739,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_extract": q_table_extract,
         "code_blocks": q_code_blocks,
         "caption_corpus": q_caption_corpus,
+        "social_meta": q_social_meta,
     }
 
 
@@ -5706,5 +5747,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT img_url, doc_id, seq, alt,
                    string_split(img_url, '/')[3] AS img_host
             FROM r WHERE rn = 1
+        """,
+        # social meta: every field re-derived from the band arithmetic.
+        "social_meta": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 <> 0
+                        THEN 'OG Doc ' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS og_title,
+                   CASE WHEN doc_id % 3 <> 0
+                        THEN 'https://img'
+                             || CAST(doc_id % 20 AS VARCHAR)
+                             || '.cdn.example/og/'
+                             || CAST(doc_id AS VARCHAR) || '.jpg'
+                        ELSE '' END AS og_image,
+                   CASE WHEN doc_id % 3 <> 0
+                        THEN 'Desc ' || CAST(doc_id % 7 AS VARCHAR)
+                        ELSE '' END AS og_description,
+                   CASE WHEN doc_id % 4 = 0 THEN '/feed.xml'
+                        ELSE '' END AS feed_url
+            FROM documents
         """,
     }

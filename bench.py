@@ -142,6 +142,7 @@ EXTENDED = [
     "table_extract",
     "code_blocks",
     "caption_corpus",
+    "social_meta",
 ]
 
 

@@ -232,3 +232,47 @@ def code_blocks(df: DataFrame, html_col: str = "html",
         "doc_id", "seq", lang.alias("lang"), code.alias("code"),
         F.size(F.split(code, "\n")).alias("n_lines"),
     )
+
+
+def social_meta(df: DataFrame, html_col: str = "html",
+                id_col: str = "doc_id") -> DataFrame:
+    """OpenGraph + feed discovery — the head-metadata pulls a web
+    pipeline mines beside title/description: ``og:title`` /
+    ``og:image`` / ``og:description`` (the Facebook-spec social card,
+    a second image-caption source beside <img alt>) and the first
+    RSS/Atom ``<link rel=alternate>`` feed url (what a crawler
+    registers for change discovery).
+
+    Returns (doc_id, og_title, og_image, og_description, feed_url),
+    '' where absent.  Pure JVM: one anchored regex per field over the
+    raw html via the shared quote-variant attribute puller — zero
+    Python, zero shuffles, codegen-resident like page_metadata.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.robots import _attr
+
+    c = F.col(html_col)
+
+    def og(prop):
+        tag = F.regexp_extract(
+            c,
+            "(?is)<meta\\b[^>]*\\bproperty\\s*=\\s*[\"']?og:%s[\"']?"
+            "[^>]*>" % prop,
+            0,
+        )
+        return _attr(tag, "content")
+
+    feed_tag = F.regexp_extract(
+        c,
+        "(?is)<link\\b[^>]*\\btype\\s*=\\s*[\"']?application/"
+        "(?:rss|atom)\\+xml[\"']?[^>]*>",
+        0,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        og("title").alias("og_title"),
+        og("image").alias("og_image"),
+        og("description").alias("og_description"),
+        _attr(feed_tag, "href").alias("feed_url"),
+    )

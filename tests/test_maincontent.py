@@ -218,3 +218,30 @@ def test_code_blocks_decode_lang_and_lines(spark):
         (0, "c++", 'if (a < b && c > d) {\n  s = "x\'y";\n}', 3),
         (1, "", "plain block", 1),
     ]
+
+
+def test_social_meta_fields_and_absence(spark):
+    from htmlcleanup_spark.operators.content import social_meta
+
+    html = (
+        '<html><head>'
+        '<meta property="og:title" content="A Card Title">'
+        "<meta property='og:image' content='https://c.ex/i.jpg'>"
+        '<meta property=og:description content="A desc here">'
+        '<link rel="alternate" type="application/atom+xml" '
+        "href='/atom.xml'>"
+        '</head><body></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<html><head></head></html>")],
+        "doc_id long, html string",
+    )
+    rows = {r.doc_id: r for r in social_meta(df).collect()}
+    r1 = rows[1]
+    assert r1.og_title == "A Card Title"
+    assert r1.og_image == "https://c.ex/i.jpg"
+    assert r1.og_description == "A desc here"
+    assert r1.feed_url == "/atom.xml"
+    r2 = rows[2]
+    assert (r2.og_title, r2.og_image, r2.og_description,
+            r2.feed_url) == ("", "", "", "")
