@@ -2533,6 +2533,69 @@ def q_social_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return social_meta(d.select("doc_id", html.alias("html")))
 
 
+def q_jsonld_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD harvest over synthetic heads: odd docs carry
+    an Article (headline fallback exercised), doc%6==2 a Product
+    (name), doc%6==4 a MALFORMED block (PERMISSIVE nulls -> '' — the
+    never-fail-a-task band), doc%6==0 none.
+    operators/content.jsonld_meta, regex generator + from_json, zero
+    shuffle; oracle from band arithmetic."""
+    from htmlcleanup_spark.operators.content import jsonld_meta
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    block = (
+        F.when(did % 2 == 1, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@context":"https://schema.org",'
+                  '"@type":"Article","headline":"Story '),
+            ids, F.lit('"}</script>')))
+        .when(did % 6 == 2, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Product","name":"Item '),
+            (did % 30).cast("string"), F.lit('"}</script>')))
+        .when(did % 6 == 4,
+              F.lit('<script type="application/ld+json">'
+                    '{not json at all</script>'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<html><head>"), block,
+                    F.lit("</head><body>x</body></html>"))
+    return jsonld_meta(d.select("doc_id", html.alias("html")))
+
+
+def q_alternate_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang cluster + pagination link discovery over synthetic
+    heads (doc%3==0 carries an en/fr hreflang pair in two quote
+    styles, doc%5!=0 a rel=next, doc%7==0 a rel=prev — seq is document
+    order across whichever bands fire).
+    operators/content.alternate_links, zero shuffle; oracle derives
+    every row and its seq from the band arithmetic."""
+    from htmlcleanup_spark.operators.content import alternate_links
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    alt = F.when(did % 3 == 0, F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="/en/'), ids,
+        F.lit('">'),
+        F.lit("<link rel=alternate hreflang='fr' href='/fr/"), ids,
+        F.lit("'>"),
+    )).otherwise(F.lit(""))
+    nxt = F.when(did % 5 != 0, F.concat(
+        F.lit('<link rel="next" href="/p/'), (did + 1).cast("string"),
+        F.lit('">'),
+    )).otherwise(F.lit(""))
+    prv = F.when(did % 7 == 0, F.concat(
+        F.lit("<link rel='prev' href='/p/"), (did - 1).cast("string"),
+        F.lit("'>"),
+    )).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><head>"), alt, nxt, prv,
+                    F.lit("</head><body>x</body></html>"))
+    return alternate_links(d.select("doc_id", html.alias("html")))
+
+
 def q_caption_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed image-caption corpus recipe (the LAION pipeline shape):
     mine (img_url, alt) pairs from pages (image_alt_pairs over the
@@ -2780,6 +2843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_blocks": q_code_blocks,
         "caption_corpus": q_caption_corpus,
         "social_meta": q_social_meta,
+        "jsonld_meta": q_jsonld_meta,
+        "alternate_links": q_alternate_links,
     }
 
 
@@ -5766,5 +5831,47 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 4 = 0 THEN '/feed.xml'
                         ELSE '' END AS feed_url
             FROM documents
+        """,
+        # JSON-LD: band-derived; the malformed band yields '' fields.
+        "jsonld_meta": """
+            SELECT doc_id, CAST(0 AS INT) AS seq,
+                   'Article' AS ld_type,
+                   'Story ' || CAST(doc_id AS VARCHAR) AS name
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id, CAST(0 AS INT), 'Product',
+                   'Item ' || CAST(doc_id % 30 AS VARCHAR)
+            FROM documents WHERE doc_id % 6 = 2
+            UNION ALL
+            SELECT doc_id, CAST(0 AS INT), '', ''
+            FROM documents WHERE doc_id % 6 = 4
+        """,
+        # alternate/next/prev links: rows and their document-order seq
+        # from the band arithmetic.
+        "alternate_links": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END
+                           AS n_alt,
+                       CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END
+                           AS n_next
+                FROM documents
+            )
+            SELECT doc_id, CAST(0 AS INT) AS seq,
+                   'alternate' AS rel, 'en' AS hreflang,
+                   '/en/' || CAST(doc_id AS VARCHAR) AS href
+            FROM d WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INT), 'alternate', 'fr',
+                   '/fr/' || CAST(doc_id AS VARCHAR)
+            FROM d WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, CAST(n_alt AS INT), 'next', '',
+                   '/p/' || CAST(doc_id + 1 AS VARCHAR)
+            FROM d WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id, CAST(n_alt + n_next AS INT), 'prev', '',
+                   '/p/' || CAST(doc_id - 1 AS VARCHAR)
+            FROM d WHERE doc_id % 7 = 0
         """,
     }

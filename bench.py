@@ -143,6 +143,8 @@ EXTENDED = [
     "code_blocks",
     "caption_corpus",
     "social_meta",
+    "jsonld_meta",
+    "alternate_links",
 ]
 
 

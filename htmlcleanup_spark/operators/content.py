@@ -276,3 +276,78 @@ def social_meta(df: DataFrame, html_col: str = "html",
         og("description").alias("og_description"),
         _attr(feed_tag, "href").alias("feed_url"),
     )
+
+
+def jsonld_meta(df: DataFrame, html_col: str = "html",
+                id_col: str = "doc_id") -> DataFrame:
+    """schema.org JSON-LD harvesting — the third head-metadata family
+    beside <meta name=...> (page_metadata) and OpenGraph (social_meta),
+    and the backbone of article/recipe/product web datasets: every
+    ``<script type="application/ld+json">`` block yields (doc_id, seq,
+    ld_type, name) — ``@type`` plus the first of name/headline.
+
+    Scale shape: one JVM regex generator + ``from_json`` (PERMISSIVE:
+    a malformed block yields NULL fields, never a failed task) — zero
+    Python, zero shuffles.  Pull more schema.org fields by widening the
+    DDL, the plan shape is unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    blocks = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit("(?is)<script\\b[^>]*type\\s*=\\s*[\"']application/"
+              "ld\\+json[\"'][^>]*>(.*?)</script>"),
+        F.lit(1),
+    )
+    e = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(blocks).alias("seq", "_json"),
+    )
+    parsed = F.from_json(
+        F.col("_json"), "`@type` string, name string, headline string"
+    )
+    return e.select(
+        "doc_id", "seq",
+        F.coalesce(parsed["@type"], F.lit("")).alias("ld_type"),
+        F.coalesce(parsed["name"], parsed["headline"], F.lit(""))
+        .alias("name"),
+    )
+
+
+def alternate_links(df: DataFrame, html_col: str = "html",
+                    id_col: str = "doc_id") -> DataFrame:
+    """rel=alternate / next / prev link discovery — what a crawler
+    reads for language variants (hreflang clusters: one content unit,
+    N language urls — the multilingual-corpus grouping key) and for
+    pagination chains (next/prev frontier expansion).
+
+    Every matching ``<link>`` yields (doc_id, seq, rel, hreflang,
+    href), seq in document order, hreflang '' when absent; tags with
+    no href are dropped.  One JVM regex generator + quote-variant
+    attribute pulls, zero Python, zero shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.robots import _attr
+
+    tags = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit("(?i)<link\\b[^>]*\\brel\\s*=\\s*[\"']?"
+              "(?:alternate|next|prev)[\"']?[^>]*>"),
+        F.lit(0),
+    )
+    e = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tags).alias("seq", "_tag"),
+    )
+    href = _attr(F.col("_tag"), "href")
+    return (
+        e.withColumn("_href", href)
+        .filter(F.col("_href") != "")
+        .select(
+            "doc_id", "seq",
+            F.lower(_attr(F.col("_tag"), "rel")).alias("rel"),
+            _attr(F.col("_tag"), "hreflang").alias("hreflang"),
+            F.col("_href").alias("href"),
+        )
+    )

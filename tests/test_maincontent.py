@@ -245,3 +245,47 @@ def test_social_meta_fields_and_absence(spark):
     r2 = rows[2]
     assert (r2.og_title, r2.og_image, r2.og_description,
             r2.feed_url) == ("", "", "", "")
+
+
+def test_jsonld_meta_parse_and_malformed(spark):
+    from htmlcleanup_spark.operators.content import jsonld_meta
+
+    html = (
+        '<script type="application/ld+json">'
+        '{"@type":"Recipe","name":"Soup"}</script>'
+        '<script type="application/ld+json">'
+        '{"@type":"Article","headline":"Fallback Head"}</script>'
+        '<script type="application/ld+json">{broken</script>'
+        '<script type="text/javascript">{"@type":"NotLd"}</script>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = sorted(
+        (r.seq, r.ld_type, r.name) for r in jsonld_meta(df).collect()
+    )
+    assert rows == [
+        (0, "Recipe", "Soup"),
+        (1, "Article", "Fallback Head"),
+        (2, "", ""),
+    ]
+
+
+def test_alternate_links_rel_hreflang_order(spark):
+    from htmlcleanup_spark.operators.content import alternate_links
+
+    html = (
+        '<link rel="stylesheet" href="/css">'
+        '<link rel="alternate" hreflang="de" href="/de/1">'
+        '<link rel=next href=/p/2>'
+        "<link rel='prev' href='/p/0'>"
+        '<link rel="alternate" type="application/rss+xml">'  # no href
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = sorted(
+        (r.seq, r.rel, r.hreflang, r.href)
+        for r in alternate_links(df).collect()
+    )
+    assert rows == [
+        (0, "alternate", "de", "/de/1"),
+        (1, "next", "", "/p/2"),
+        (2, "prev", "", "/p/0"),
+    ]
