@@ -2722,6 +2722,141 @@ def q_code_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_blocks(d.select("doc_id", html.alias("html")))
 
 
+def q_microdata_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org microdata harvest (Web-Data-Commons flat triples)
+    over synthetic bodies: doc%3==1 carries a typed Article scope with
+    a body-valued name (bold wrapper exercises tag-strip) and a meta
+    position; doc%3==2 a bare <link itemprop=url>; doc%3==0 none.
+    operators/content.microdata_triples — one alternation-regex
+    generator, zero shuffle; oracle from the band arithmetic."""
+    from htmlcleanup_spark.operators.content import microdata_triples
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    scope = F.when(did % 3 == 1, F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Article">'
+              '<span itemprop="name">Item  <b>'), ids,
+        F.lit('</b></span><meta itemprop="position" content="'),
+        (did % 9).cast("string"),
+        F.lit('"></div>'),
+    )).when(did % 3 == 2, F.concat(
+        F.lit("<link itemprop='url' href='/u/"), ids, F.lit("'>"),
+    )).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><body>"), scope,
+                    F.lit("<p>x</p></body></html>"))
+    return microdata_triples(d.select("doc_id", html.alias("html")))
+
+
+def q_license_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-aware corpus gating over synthetic pages: doc%4==0 a
+    rel=license CC BY-SA 4.0 link, ==1 a rel=license non-CC terms
+    anchor, ==2 a plain CC BY 3.0 anchor WITHOUT the rel (deed parse
+    fires, rel flag does not), ==3 nothing.
+    operators/content.license_flags — two JVM regexps, zero shuffle;
+    oracle is a pure CASE over the bands."""
+    from htmlcleanup_spark.operators.content import license_flags
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    body = (
+        F.when(did % 4 == 0, F.lit(
+            '<link rel="license" '
+            'href="https://creativecommons.org/licenses/by-sa/4.0/">'))
+        .when(did % 4 == 1,
+              F.lit("<a rel=license href='/terms'>terms</a>"))
+        .when(did % 4 == 2, F.lit(
+            '<a href="https://creativecommons.org/licenses/by/3.0/">'
+            "CC BY</a>"))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<html><body>"), body,
+                    F.lit("<p>x</p></body></html>"))
+    return license_flags(d.select("doc_id", html.alias("html")))
+
+
+def q_headings_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-outline mining over synthetic bodies: odd docs carry
+    h1+h2 (seq order), doc%4==2 an h3 with inline markup + padding
+    (strip/collapse exercised), doc%4==0 none — the two bands are
+    disjoint (odd vs even).  operators/content.headings_outline, one
+    regex generator, zero shuffle; oracle from band arithmetic."""
+    from htmlcleanup_spark.operators.content import headings_outline
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    hs = (
+        F.when(did % 2 == 1, F.concat(
+            F.lit("<h1>Title "), ids, F.lit("</h1><p>x</p><h2>Sec "),
+            (did % 5).cast("string"), F.lit("</h2>"),
+        ))
+        .when(did % 4 == 2, F.concat(
+            F.lit("<h3>A <b>B"), (did % 7).cast("string"),
+            F.lit("</b> </h3>"),
+        ))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<html><body>"), hs,
+                    F.lit("</body></html>"))
+    return headings_outline(d.select("doc_id", html.alias("html")))
+
+
+def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translation-pair URL mining over synthetic hreflang clusters:
+    doc%3==0 declares en/fr/de variants (3 unordered language pairs,
+    lang_a < lang_b), doc%3==1 a single-language cluster (no pairs),
+    doc%3==2 none.  operators/content.bitext_pairs — harvest is zero
+    shuffle, ONE doc-keyed collect_list, array combinatorics expand
+    the cluster (never a self-join); oracle from band arithmetic."""
+    from htmlcleanup_spark.operators.content import bitext_pairs
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+
+    def link(lang):
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="%s" href="/%s/'
+                  % (lang, lang)), ids, F.lit('">'))
+
+    cluster = (
+        F.when(did % 3 == 0,
+               F.concat(link("en"), link("fr"), link("de")))
+        .when(did % 3 == 1, link("en"))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<html><head>"), cluster,
+                    F.lit("</head><body>x</body></html>"))
+    return bitext_pairs(d.select("doc_id", html.alias("html")))
+
+
+def q_host_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-degree profile over a synthetic host webgraph: one edge
+    per doc, src h(doc%10) -> dst h((3*doc+1)%10) with weight
+    1+doc%3 (never a self-loop: 2d+1 is odd mod 10), plus an explicit
+    self-loop band (doc%7==0, weight 9) the operator must EXCLUDE.
+    operators/links.host_degrees — two map-combined host-keyed aggs +
+    one full-outer equi join; oracle mirrors the arithmetic."""
+    from htmlcleanup_spark.operators.links import host_degrees
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    h = lambda e: F.concat(F.lit("h"), e.cast("string"))  # noqa: E731
+    edges = d.select(
+        h(did % 10).alias("src_host"),
+        h((did * 3 + 1) % 10).alias("dst_host"),
+        (1 + did % 3).cast("long").alias("n_links"),
+    ).unionAll(
+        d.filter(did % 7 == 0).select(
+            h(did % 10).alias("src_host"),
+            h(did % 10).alias("dst_host"),
+            F.lit(9).cast("long").alias("n_links"),
+        )
+    )
+    return host_degrees(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -2845,6 +2980,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_meta": q_social_meta,
         "jsonld_meta": q_jsonld_meta,
         "alternate_links": q_alternate_links,
+        "microdata_meta": q_microdata_meta,
+        "license_flags": q_license_flags,
+        "headings_outline": q_headings_outline,
+        "bitext_pairs": q_bitext_pairs,
+        "host_degrees": q_host_degrees,
     }
 
 
@@ -5873,5 +6013,101 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_alt + n_next AS INT), 'prev', '',
                    '/p/' || CAST(doc_id - 1 AS VARCHAR)
             FROM d WHERE doc_id % 7 = 0
+        """,
+        # microdata flat triples: each band's rows + seqs are fixed.
+        "microdata_meta": """
+            SELECT doc_id, CAST(0 AS INT) AS seq, '@type' AS prop,
+                   'https://schema.org/Article' AS value
+            FROM documents WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INT), 'name',
+                   'Item ' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT doc_id, CAST(2 AS INT), 'position',
+                   CAST(doc_id % 9 AS VARCHAR)
+            FROM documents WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT doc_id, CAST(0 AS INT), 'url',
+                   '/u/' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE doc_id % 3 = 2
+        """,
+        "license_flags": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                        WHEN 0 THEN
+                          'https://creativecommons.org/licenses/by-sa/4.0/'
+                        WHEN 1 THEN '/terms' ELSE '' END AS license_url,
+                   CASE doc_id % 4 WHEN 0 THEN 'by-sa'
+                        WHEN 2 THEN 'by' ELSE '' END AS cc_kind,
+                   CASE doc_id % 4 WHEN 0 THEN '4.0'
+                        WHEN 2 THEN '3.0' ELSE '' END AS cc_version,
+                   doc_id % 4 IN (0, 1) AS has_license_rel
+            FROM documents
+        """,
+        "headings_outline": """
+            SELECT doc_id, CAST(0 AS INT) AS seq, CAST(1 AS INT)
+                   AS level, 'Title ' || CAST(doc_id AS VARCHAR) AS text
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INT), CAST(2 AS INT),
+                   'Sec ' || CAST(doc_id % 5 AS VARCHAR)
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id, CAST(0 AS INT), CAST(3 AS INT),
+                   'A B' || CAST(doc_id % 7 AS VARCHAR)
+            FROM documents WHERE doc_id % 4 = 2
+        """,
+        # hreflang cluster en/fr/de -> the 3 unordered pairs with
+        # lang_a < lang_b alphabetically.
+        "bitext_pairs": """
+            SELECT doc_id,
+                   'de' AS lang_a,
+                   '/de/' || CAST(doc_id AS VARCHAR) AS href_a,
+                   'en' AS lang_b,
+                   '/en/' || CAST(doc_id AS VARCHAR) AS href_b
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, 'de', '/de/' || CAST(doc_id AS VARCHAR),
+                   'fr', '/fr/' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, 'en', '/en/' || CAST(doc_id AS VARCHAR),
+                   'fr', '/fr/' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        # degree profile over the synthetic host graph; the self-loop
+        # band (doc%7==0) must be EXCLUDED by the operator and is
+        # excluded here by the src <> dst filter.
+        "host_degrees": """
+            WITH e AS (
+                SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS src,
+                       'h' || CAST((doc_id * 3 + 1) % 10 AS VARCHAR)
+                           AS dst,
+                       CAST(1 + doc_id % 3 AS BIGINT) AS w
+                FROM documents
+                UNION ALL
+                SELECT 'h' || CAST(doc_id % 10 AS VARCHAR),
+                       'h' || CAST(doc_id % 10 AS VARCHAR),
+                       CAST(9 AS BIGINT)
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            ne AS (SELECT * FROM e WHERE src <> dst),
+            o AS (
+                SELECT src AS host, COUNT(DISTINCT dst) AS out_deg,
+                       CAST(SUM(w) AS BIGINT) AS n_out_links
+                FROM ne GROUP BY src
+            ),
+            i AS (
+                SELECT dst AS host, COUNT(DISTINCT src) AS in_deg,
+                       CAST(SUM(w) AS BIGINT) AS n_in_links
+                FROM ne GROUP BY dst
+            )
+            SELECT COALESCE(o.host, i.host) AS host,
+                   COALESCE(out_deg, 0) AS out_deg,
+                   COALESCE(in_deg, 0) AS in_deg,
+                   COALESCE(n_out_links, 0) AS n_out_links,
+                   COALESCE(n_in_links, 0) AS n_in_links
+            FROM o FULL OUTER JOIN i ON o.host = i.host
         """,
     }

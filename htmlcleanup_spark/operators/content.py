@@ -314,6 +314,192 @@ def jsonld_meta(df: DataFrame, html_col: str = "html",
     )
 
 
+def microdata_triples(df: DataFrame, html_col: str = "html",
+                      id_col: str = "doc_id") -> DataFrame:
+    """schema.org microdata harvesting — the fourth head/body metadata
+    family (page_metadata <meta>, social_meta OpenGraph, jsonld_meta
+    JSON-LD, THIS itemscope/itemprop), and the format the Web Data
+    Commons corpus extracts at web scale: every microdata-bearing tag
+    yields one flat triple row (doc_id, seq, prop, value) in document
+    order —
+
+    - an ``itemscope`` open tag -> prop ``@type``, value its
+      ``itemtype`` url ('' when absent);
+    - ``<meta itemprop=..>`` -> value from ``content``;
+    - ``<link itemprop=..>`` -> value from ``href``;
+    - a body-valued ``<x itemprop=..>body</x>`` -> value = inner text,
+      markup stripped and whitespace collapsed.
+
+    A tag carrying BOTH itemscope and itemprop (a nested item used as
+    a property) emits its ``@type`` row; the child's own properties
+    arrive from their own tags — flat triples, nesting is the
+    consumer's reconstruction (exactly the WDC N-Quads convention).
+
+    Scale shape: ONE alternation regex extract-all + posexplode
+    generator, then per-row codegen pulls — zero Python, zero
+    shuffles."""
+    from pyspark.sql import functions as F
+
+    from ..functions.robots import _attr
+
+    pat = (
+        "(?is)<(?:meta|link)\\b[^>]*\\bitemprop\\b[^>]*>"
+        "|<([a-z][a-z0-9]*)\\b[^>]*\\bitemprop\\b[^>]*>.*?</\\1\\s*>"
+        "|<[a-z][a-z0-9]*\\b[^>]*\\bitemscope\\b[^>]*>"
+    )
+    e = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(pat), F.lit(0))
+        ).alias("seq", "_m"),
+    )
+    open_tag = F.regexp_extract(F.col("_m"), "(?s)^<[^>]*>", 0)
+    is_scope = open_tag.rlike("(?i)\\bitemscope\\b")
+    is_void = open_tag.rlike("(?i)^<(?:meta|link)\\b")
+    body = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("_m"), "(?s)<[^>]*>", " "), "\\s+", " "
+    ))
+    content = _attr(open_tag, "content")
+    href = _attr(open_tag, "href")
+    value = (
+        F.when(is_scope, _attr(open_tag, "itemtype"))
+        .when(is_void & (content != ""), content)
+        .when(is_void, href)
+        .otherwise(body)
+    )
+    prop = F.when(is_scope, F.lit("@type")).otherwise(
+        _attr(open_tag, "itemprop")
+    )
+    return e.select(
+        "doc_id", "seq", prop.alias("prop"), value.alias("value")
+    )
+
+
+def license_flags(df: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """License detection — the license-aware corpus gate (what a
+    permissively-licensed training set filters on): per page,
+
+    - ``license_url``: href of the first ``rel="license"`` <a>/<link>
+      (the microformats convention) — '' when absent;
+    - ``cc_kind`` / ``cc_version``: the Creative Commons deed parsed
+      from the FIRST ``creativecommons.org/licenses/<kind>/<ver>/``
+      url anywhere in the page (rel=license href, a plain anchor, or
+      badge src all count — the CC-corpus mining convention), '' when
+      none;
+    - ``has_license_rel``: whether the rel=license tag existed.
+
+    Pure JVM: two anchored regexps over the raw html — zero Python,
+    zero shuffles, codegen-resident beside page_metadata."""
+    from pyspark.sql import functions as F
+
+    from ..functions.robots import _attr
+
+    c = F.col(html_col)
+    lic_tag = F.regexp_extract(
+        c,
+        "(?is)<(?:a|link)\\b[^>]*\\brel\\s*=\\s*[\"']?license[\"']?"
+        "[^>]*>",
+        0,
+    )
+    cc = "creativecommons\\.org/licenses/([a-z][a-z-]*)/([0-9]+\\.[0-9]+)"
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _attr(lic_tag, "href").alias("license_url"),
+        F.regexp_extract(c, cc, 1).alias("cc_kind"),
+        F.regexp_extract(c, cc, 2).alias("cc_version"),
+        (lic_tag != "").alias("has_license_rel"),
+    )
+
+
+def headings_outline(df: DataFrame, html_col: str = "html",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Document-outline mining: every ``<h1>``..``<h6>`` yields
+    (doc_id, seq, level, text) in document order, inner markup
+    stripped and whitespace collapsed — the structure signal markdown
+    conversion, section chunking (chunk-at-headings beats fixed-width
+    for RAG corpora) and title/quality heuristics share.
+
+    One JVM regex extract-all + posexplode generator, zero Python,
+    zero shuffles."""
+    from pyspark.sql import functions as F
+
+    e = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(html_col),
+                F.lit("(?is)<h[1-6][^>]*>.*?</h[1-6]\\s*>"), F.lit(0),
+            )
+        ).alias("seq", "_h"),
+    )
+    level = F.regexp_extract(
+        F.col("_h"), "(?i)^<h([1-6])", 1
+    ).cast("int")
+    text = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("_h"), "(?s)<[^>]*>", " "), "\\s+", " "
+    ))
+    return e.select(
+        "doc_id", "seq", level.alias("level"), text.alias("text")
+    )
+
+
+def bitext_pairs(df: DataFrame, html_col: str = "html",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Translation-pair URL mining (the ParaCrawl / CCMatrix first
+    stage): a page's hreflang cluster declares "this content exists in
+    these languages at these urls" — every unordered pair of DISTINCT
+    languages in one page's cluster is a bitext candidate (doc_id,
+    lang_a, href_a, lang_b, href_b), lang_a < lang_b alphabetically,
+    pairs in (seq_a, seq_b) document order.
+
+    Scale shape: harvest via :func:`alternate_links` (zero shuffle),
+    then ONE doc-keyed collect_list — per-page clusters are tiny (a
+    site lists ≤ ~50 language variants), so the pair expansion is
+    in-memory array combinatorics (flatten/transform, pure codegen),
+    never a self-join: one shuffle total and no quadratic blow-up
+    risk beyond the per-page cluster size itself."""
+    from pyspark.sql import functions as F
+
+    links = alternate_links(df, html_col=html_col, id_col=id_col)
+    clusters = (
+        links.filter(
+            (F.col("rel") == "alternate") & (F.col("hreflang") != "")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("seq", "hreflang", "href"))
+            ).alias("_c")
+        )
+    )
+    n = F.size(F.col("_c"))
+    idx_pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, n - 1),
+            lambda j: F.struct(
+                F.col("_c")[i].alias("a"), F.col("_c")[j].alias("b")
+            ),
+        ),
+    ))
+    p = clusters.filter(n >= 2).select(
+        "doc_id", F.explode(idx_pairs).alias("_p")
+    ).filter(F.col("_p.a.hreflang") != F.col("_p.b.hreflang"))
+    first_is_a = F.col("_p.a.hreflang") < F.col("_p.b.hreflang")
+    pick = lambda side: F.when(first_is_a, F.col("_p.a." + side)) \
+        .otherwise(F.col("_p.b." + side))  # noqa: E731
+    other = lambda side: F.when(first_is_a, F.col("_p.b." + side)) \
+        .otherwise(F.col("_p.a." + side))  # noqa: E731
+    return p.select(
+        "doc_id",
+        pick("hreflang").alias("lang_a"),
+        pick("href").alias("href_a"),
+        other("hreflang").alias("lang_b"),
+        other("href").alias("href_b"),
+    )
+
+
 def alternate_links(df: DataFrame, html_col: str = "html",
                     id_col: str = "doc_id") -> DataFrame:
     """rel=alternate / next / prev link discovery — what a crawler

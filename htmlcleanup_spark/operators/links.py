@@ -489,3 +489,40 @@ def host_graph(outlinks: DataFrame, src_col: str = "src_host",
             "intra_host", F.col("src_host") == F.col("dst_host")
         )
     )
+
+
+def host_degrees(edges: DataFrame, src_col: str = "src_host",
+                 dst_col: str = "dst_host",
+                 weight_col: str = "n_links") -> DataFrame:
+    """Per-host degree profile over the host webgraph (the
+    :func:`host_graph` rollup): for every host appearing on either
+    side, (host, out_deg, in_deg, n_out_links, n_in_links) — distinct
+    neighbor counts plus weighted link totals, self-loops excluded
+    from BOTH sides (site chrome isn't connectivity).
+
+    The degree distribution is the spam-farm / link-scheme detector's
+    first input (farms: huge out_deg, near-zero in_deg; hubs the
+    reverse) and the PageRank-convergence sanity check.
+
+    Scale shape: two map-combined aggregates (one src-keyed, one
+    dst-keyed — each emits ONE row per host) and a full-outer equi
+    join of the two host-sized results; AQE broadcasts when one side
+    is small.  No window, no skew exposure beyond the host key itself
+    — a mega-host is still one row out of each agg."""
+    e = edges.filter(F.col(src_col) != F.col(dst_col))
+    out = e.groupBy(F.col(src_col).alias("host")).agg(
+        F.countDistinct(dst_col).alias("out_deg"),
+        F.sum(weight_col).alias("n_out_links"),
+    )
+    inn = e.groupBy(F.col(dst_col).alias("host")).agg(
+        F.countDistinct(src_col).alias("in_deg"),
+        F.sum(weight_col).alias("n_in_links"),
+    )
+    z = F.lit(0).cast("long")
+    return out.join(inn, "host", "full_outer").select(
+        "host",
+        F.coalesce(F.col("out_deg"), z).alias("out_deg"),
+        F.coalesce(F.col("in_deg"), z).alias("in_deg"),
+        F.coalesce(F.col("n_out_links"), z).alias("n_out_links"),
+        F.coalesce(F.col("n_in_links"), z).alias("n_in_links"),
+    )

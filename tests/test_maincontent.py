@@ -289,3 +289,125 @@ def test_alternate_links_rel_hreflang_order(spark):
         (1, "next", "", "/p/2"),
         (2, "prev", "", "/p/0"),
     ]
+
+
+def test_microdata_triples_families_and_order(spark):
+    from htmlcleanup_spark.operators.content import microdata_triples
+
+    html = (
+        '<div itemscope itemtype="https://schema.org/Article">'
+        '<span itemprop="name">A  <b>Good</b> Story</span>'
+        '<meta itemprop="position" content="3">'
+        "<link itemprop='url' href='/a/1'>"
+        "</div>"
+        "<p itemscope>untyped</p>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<html><body>none</body></html>")],
+        "doc_id long, html string",
+    )
+    rows = sorted(
+        (r.seq, r.prop, r.value)
+        for r in microdata_triples(df).collect()
+    )
+    assert rows == [
+        (0, "@type", "https://schema.org/Article"),
+        (1, "name", "A Good Story"),
+        (2, "position", "3"),
+        (3, "url", "/a/1"),
+        (4, "@type", ""),
+    ]
+
+
+def test_license_flags_bands(spark):
+    from htmlcleanup_spark.operators.content import license_flags
+
+    cc = "https://creativecommons.org/licenses/by-sa/4.0/"
+    df = spark.createDataFrame(
+        [
+            (0, '<link rel="license" href="%s">' % cc),
+            (1, "<a rel=license href='/terms'>terms</a>"),
+            (2, '<a href="https://creativecommons.org/licenses/by/3.0/"'
+                ">CC BY</a>"),
+            (3, "<p>plain</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    rows = {r.doc_id: r for r in license_flags(df).collect()}
+    assert rows[0].license_url == cc
+    assert (rows[0].cc_kind, rows[0].cc_version) == ("by-sa", "4.0")
+    assert rows[0].has_license_rel
+    assert rows[1].license_url == "/terms"
+    assert (rows[1].cc_kind, rows[1].cc_version) == ("", "")
+    assert rows[1].has_license_rel
+    assert not rows[2].has_license_rel
+    assert (rows[2].cc_kind, rows[2].cc_version) == ("by", "3.0")
+    assert (rows[3].license_url, rows[3].cc_kind,
+            rows[3].has_license_rel) == ("", "", False)
+
+
+def test_headings_outline_levels_and_strip(spark):
+    from htmlcleanup_spark.operators.content import headings_outline
+
+    html = (
+        "<h1 class='t'>Main   Title</h1><p>x</p>"
+        "<h2>Part <em>one</em></h2>"
+        "<h3> deep </h3>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<p>no headings</p>")],
+        "doc_id long, html string",
+    )
+    rows = sorted(
+        (r.seq, r.level, r.text) for r in headings_outline(df).collect()
+    )
+    assert rows == [
+        (0, 1, "Main Title"), (1, 2, "Part one"), (2, 3, "deep"),
+    ]
+
+
+def test_bitext_pairs_cluster_expansion(spark):
+    from htmlcleanup_spark.operators.content import bitext_pairs
+
+    tri = (
+        '<link rel="alternate" hreflang="en" href="/en">'
+        '<link rel="alternate" hreflang="fr" href="/fr">'
+        '<link rel="alternate" hreflang="de" href="/de">'
+    )
+    solo = '<link rel="alternate" hreflang="en" href="/only">'
+    dupe = (
+        '<link rel="alternate" hreflang="en" href="/en1">'
+        '<link rel="alternate" hreflang="en" href="/en2">'
+    )
+    df = spark.createDataFrame(
+        [(1, tri), (2, solo), (3, dupe)], "doc_id long, html string"
+    )
+    rows = sorted(
+        (r.doc_id, r.lang_a, r.href_a, r.lang_b, r.href_b)
+        for r in bitext_pairs(df).collect()
+    )
+    assert rows == [
+        (1, "de", "/de", "en", "/en"),
+        (1, "de", "/de", "fr", "/fr"),
+        (1, "en", "/en", "fr", "/fr"),
+    ]
+
+
+def test_host_degrees_excludes_self_loops(spark):
+    from htmlcleanup_spark.operators.links import host_degrees
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 3), ("a", "c", 1), ("b", "a", 2),
+            ("a", "a", 9),  # self-loop: excluded from both sides
+            ("d", "a", 5),  # d never a dst -> in_deg 0 via full-outer
+        ],
+        "src_host string, dst_host string, n_links long",
+    )
+    rows = {r.host: r for r in host_degrees(edges).collect()}
+    assert (rows["a"].out_deg, rows["a"].in_deg) == (2, 2)
+    assert (rows["a"].n_out_links, rows["a"].n_in_links) == (4, 7)
+    assert (rows["b"].out_deg, rows["b"].in_deg) == (1, 1)
+    assert (rows["c"].out_deg, rows["c"].in_deg) == (0, 1)
+    assert (rows["d"].out_deg, rows["d"].n_out_links,
+            rows["d"].in_deg) == (1, 5, 0)
