@@ -2857,6 +2857,38 @@ def q_host_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_degrees(edges)
 
 
+def q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free EXIF metadata over deterministic synthetic JPEG
+    bytes: Python WRITES real APP1/TIFF EXIF segments per doc_id
+    (multimodal.synth_exif_bytes — byte order II/MM by doc%2,
+    orientation/make/datetime from band arithmetic, doc%4==3 a plain
+    no-EXIF JPEG), the Spark-side parser READS them back
+    (multimodal.exif_meta, Arrow-batched stateless map), and the
+    oracle recomputes every field arithmetically from doc_id."""
+    import pandas as pd
+
+    from htmlcleanup_spark.operators.multimodal import (
+        exif_meta,
+        synth_exif_bytes,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_exif_bytes(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    imgs = d.mapInPandas(gen, "doc_id bigint, payload binary")
+    return exif_meta(imgs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -2985,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "headings_outline": q_headings_outline,
         "bitext_pairs": q_bitext_pairs,
         "host_degrees": q_host_degrees,
+        "exif_meta": q_exif_meta,
     }
 
 
@@ -6109,5 +6142,26 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n_out_links, 0) AS n_out_links,
                    COALESCE(n_in_links, 0) AS n_in_links
             FROM o FULL OUTER JOIN i ON o.host = i.host
+        """,
+        # EXIF bands: no-EXIF at doc%4==3, otherwise byte order II/MM
+        # by doc%2 and orientation/make/datetime band arithmetic.
+        "exif_meta": """
+            SELECT doc_id,
+                   doc_id % 4 <> 3 AS has_exif,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        WHEN doc_id % 2 = 0 THEN 'II'
+                        ELSE 'MM' END AS byte_order,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE CAST(1 + doc_id % 8 AS INT)
+                        END AS orientation,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR)
+                        END AS make,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE '2026:01:'
+                             || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                     2, '0')
+                             || ' 12:00:00' END AS dt
+            FROM documents
         """,
     }

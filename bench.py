@@ -145,6 +145,12 @@ EXTENDED = [
     "social_meta",
     "jsonld_meta",
     "alternate_links",
+    "microdata_meta",
+    "license_flags",
+    "headings_outline",
+    "bitext_pairs",
+    "host_degrees",
+    "exif_meta",
 ]
 
 

@@ -496,3 +496,143 @@ def synth_video_bytes(i: int) -> bytes:
     trak = _box(b"trak", _box(b"tkhd", tkhd_p))
     moov = _box(b"moov", _box(b"mvhd", mvhd_p) + trak * n_tracks)
     return ftyp + moov
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata: JPEG APP1 segment walk + TIFF IFD0 parse, no codec libraries
+# ---------------------------------------------------------------------------
+
+EXIF_META_DDL = (
+    "doc_id bigint, has_exif boolean, byte_order string, orientation int, "
+    "make string, dt string"
+)
+
+_EXIF_TAGS = {0x010F: "make", 0x0112: "orientation", 0x0132: "dt"}
+
+
+def parse_exif(b: bytes):
+    """(has_exif, byte_order, orientation, make, dt) from a JPEG's APP1
+    EXIF segment, or (False, None, None, None, None) when absent/corrupt.
+
+    The TIFF structure inside APP1 is walked directly: byte-order mark
+    (II little / MM big), magic 42, IFD0 entry table; tags pulled are
+    Orientation (0x0112, SHORT inline), Make (0x010F, ASCII) and
+    DateTime (0x0132, ASCII) — the rotation/provenance/timestamp triple
+    an image-corpus pipeline filters and shards on WITHOUT decoding a
+    pixel (same decode-free discipline as parse_image_header).  ASCII
+    values longer than 4 bytes live at an offset relative to the TIFF
+    header; trailing NULs are stripped.  Never raises on garbage.
+    """
+    none = (False, None, None, None, None)
+    if b[:2] != b"\xff\xd8":
+        return none
+    i, n = 2, len(b)
+    tiff = None
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return none
+        marker = b[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return none
+        if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = b[i + 10 : i + 2 + seg_len]
+            break
+        i += 2 + seg_len
+    if tiff is None or len(tiff) < 8:
+        return none
+    if tiff[:2] == b"II":
+        order = "little"
+    elif tiff[:2] == b"MM":
+        order = "big"
+    else:
+        return none
+    if int.from_bytes(tiff[2:4], order) != 42:
+        return none
+    ifd = int.from_bytes(tiff[4:8], order)
+    if ifd + 2 > len(tiff):
+        return none
+    count = int.from_bytes(tiff[ifd : ifd + 2], order)
+    out = {"orientation": None, "make": None, "dt": None}
+    for k in range(count):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(tiff):
+            break
+        tag = int.from_bytes(tiff[e : e + 2], order)
+        name = _EXIF_TAGS.get(tag)
+        if name is None:
+            continue
+        typ = int.from_bytes(tiff[e + 2 : e + 4], order)
+        cnt = int.from_bytes(tiff[e + 4 : e + 8], order)
+        val = tiff[e + 8 : e + 12]
+        if name == "orientation" and typ == 3:  # SHORT, inline
+            out[name] = int.from_bytes(val[:2], order)
+        elif typ == 2:  # ASCII: inline <= 4 bytes, else offset
+            if cnt <= 4:
+                raw = val[:cnt]
+            else:
+                off = int.from_bytes(val, order)
+                raw = tiff[off : off + cnt]
+            out[name] = raw.rstrip(b"\x00").decode("ascii", "replace")
+    return (True, "II" if order == "little" else "MM",
+            out["orientation"], out["make"], out["dt"])
+
+
+def exif_meta(df: DataFrame, payload_col: str = "payload",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-image EXIF metadata via Arrow-batched byte parsing: (doc_id,
+    has_exif, byte_order, orientation, make, dt).  Stateless map, zero
+    shuffles — rides the scan partitioning like image_meta; the
+    orientation column is what a training pipeline's rotate-normalize
+    step keys on, make/dt the provenance shard keys."""
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                has, bo, ori, make, dt = parse_exif(payload)
+                rows.append((int(doc_id), has, bo, ori, make, dt))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "has_exif", "byte_order",
+                         "orientation", "make", "dt"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fe, EXIF_META_DDL)
+
+
+def synth_exif_bytes(i: int) -> bytes:
+    """Deterministic JPEG-with-EXIF bytes for doc #i: byte order II/MM
+    by i%2, orientation 1 + i%8, make 'Cam<i%5>', datetime day
+    1 + i%28; the i%4==3 band emits a plain JPEG with NO APP1 so the
+    absence path is load-bearing.  The SQL oracle recomputes every
+    field from i arithmetically."""
+    if i % 4 == 3:
+        return synth_image_bytes(3 * i + 1)  # some non-EXIF image
+    order = "little" if i % 2 == 0 else "big"
+    mark = b"II" if i % 2 == 0 else b"MM"
+    make = ("Cam%d" % (i % 5)).encode() + b"\x00"       # 5 bytes
+    dt = ("2026:01:%02d 12:00:00" % (1 + i % 28)).encode() + b"\x00"
+
+    def u(v, n):
+        return v.to_bytes(n, order)
+
+    # IFD0: 3 entries, data area starts at 8 + 2 + 36 + 4 = 50
+    make_off, dt_off = 50, 50 + len(make)
+    entries = (
+        u(0x010F, 2) + u(2, 2) + u(len(make), 4) + u(make_off, 4)
+        + u(0x0112, 2) + u(3, 2) + u(1, 4) + u(1 + i % 8, 2) + b"\x00\x00"
+        + u(0x0132, 2) + u(2, 2) + u(len(dt), 4) + u(dt_off, 4)
+    )
+    tiff = mark + u(42, 2) + u(8, 4) + u(3, 2) + entries + u(0, 4) \
+        + make + dt
+    app1 = b"\xff\xe1" + (2 + 6 + len(tiff)).to_bytes(2, "big") \
+        + b"Exif\x00\x00" + tiff
+    return b"\xff\xd8" + app1 + b"\xff\xd9"

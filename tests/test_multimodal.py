@@ -225,3 +225,44 @@ def test_video_meta_spark_plan(spark):
     assert rows[2].duration_e3 == 5003 and rows[2].width == 1920
     assert rows[5].duration_e3 == 3005  # version-1 mvhd path
     assert rows[38].format is None  # junk band (19*2)
+
+
+def test_parse_exif_roundtrip_and_absence():
+    from htmlcleanup_spark.operators.multimodal import (
+        parse_exif,
+        synth_exif_bytes,
+    )
+
+    for i in (0, 1, 2, 5, 28, 103):
+        got = parse_exif(synth_exif_bytes(i))
+        if i % 4 == 3:
+            assert got == (False, None, None, None, None)
+        else:
+            assert got == (
+                True, "II" if i % 2 == 0 else "MM", 1 + i % 8,
+                "Cam%d" % (i % 5),
+                "2026:01:%02d 12:00:00" % (1 + i % 28),
+            )
+    # corrupt inputs never raise and never claim EXIF
+    for junk in (b"", b"\xff\xd8", b"plainly not a jpeg",
+                 b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00ZZ\x00\x2a"):
+        assert parse_exif(junk)[0] is False
+
+
+def test_exif_meta_spark(spark):
+    import pandas as pd
+
+    from htmlcleanup_spark.operators.multimodal import (
+        exif_meta,
+        synth_exif_bytes,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 3],
+        "payload": [synth_exif_bytes(i) for i in (0, 1, 3)],
+    })
+    rows = {r.doc_id: r for r in exif_meta(
+        spark.createDataFrame(pdf)).collect()}
+    assert rows[0].byte_order == "II" and rows[0].orientation == 1
+    assert rows[1].byte_order == "MM" and rows[1].make == "Cam1"
+    assert rows[3].has_exif is False and rows[3].orientation is None
