@@ -2889,6 +2889,49 @@ def q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exif_meta(imgs)
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection over synthetic urls (5 hosts x 4 path
+    bands: a /blog/YYYY/M/post-id calendar shape, an /item/id with a
+    session query param, a static /about, a shallow /p/k): digit runs
+    collapse to N, counts roll up per (host, template), is_trap fires
+    at >= 20 urls on a digit-bearing template.
+    functions/url.url_path_templates — one map-combined (host,
+    template) groupBy, no window/join; oracle re-derives urls and
+    templates from the band arithmetic (regexp_replace 'g')."""
+    from htmlcleanup_spark.functions.url import url_path_templates
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    host = F.concat(F.lit("h"), (did % 5).cast("string"),
+                    F.lit(".example"))
+    path = (
+        F.when(did % 4 == 0, F.concat(
+            F.lit("/blog/"), (2000 + did % 25).cast("string"),
+            F.lit("/"), (1 + did % 12).cast("string"),
+            F.lit("/post-"), ids))
+        .when(did % 4 == 1, F.concat(F.lit("/item/"), ids))
+        .when(did % 4 == 2, F.lit("/about"))
+        .otherwise(F.concat(F.lit("/p/"), (did % 7).cast("string")))
+    )
+    q = F.when(did % 4 == 1, F.lit("?session=abc")).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://"), host, path, q)
+    return url_path_templates(
+        d.select(url.alias("url")), trap_min_urls=20
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease over the REAL documents text (organic
+    regex-parity check, not a synth band): sentence/word/vowel-group
+    counts + e3-quantized score, NULL on empty docs.
+    functions/text.readability — pure column exprs, zero shuffle;
+    the oracle runs the identical estimators in DuckDB."""
+    from htmlcleanup_spark.functions.text import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3018,6 +3061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_pairs": q_bitext_pairs,
         "host_degrees": q_host_degrees,
         "exif_meta": q_exif_meta,
+        "url_templates": q_url_templates,
+        "readability": q_readability,
     }
 
 
@@ -6163,5 +6208,71 @@ def oracle_sql() -> dict[str, str]:
                                      2, '0')
                              || ' 12:00:00' END AS dt
             FROM documents
+        """,
+        # crawler-trap templates: urls from band arithmetic, digit
+        # runs -> N with the global-replace flag.
+        "url_templates": """
+            WITH u AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+                         AS host,
+                     CASE doc_id % 4
+                       WHEN 0 THEN '/blog/'
+                            || CAST(2000 + doc_id % 25 AS VARCHAR)
+                            || '/' || CAST(1 + doc_id % 12 AS VARCHAR)
+                            || '/post-' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN '/item/' || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN '/about'
+                       ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR)
+                     END AS path,
+                     CASE WHEN doc_id % 4 = 1 THEN '?session=abc'
+                          ELSE '' END AS q
+              FROM documents
+            ),
+            r AS (
+              SELECT host,
+                     regexp_replace(path, '[0-9]+', 'N', 'g')
+                         AS template,
+                     'https://' || host || path || q AS url
+              FROM u
+            ),
+            g AS (
+              SELECT host, template, COUNT(*) AS n_urls,
+                     MIN(url) AS sample_url
+              FROM r GROUP BY host, template
+            )
+            SELECT host, template,
+                   CAST(len(string_split(template, '/')) - 1 AS INT)
+                       AS depth,
+                   n_urls, sample_url,
+                   n_urls >= 20 AND contains(template, 'N') AS is_trap
+            FROM g
+        """,
+        # Flesch reading-ease twin: identical regex estimators, e3
+        # floor quantization, NULL on zero sentences/words.
+        "readability": """
+            SELECT doc_id, n_sents, n_words, n_syllables,
+                   CASE WHEN n_sents > 0 AND n_words > 0 THEN
+                     -- literals CAST to DOUBLE: DuckDB would otherwise
+                     -- run DECIMAL arithmetic and floor() can land one
+                     -- integer off Spark's double path at a boundary
+                     CAST(floor(CAST(1000.0 AS DOUBLE)
+                          * (CAST(206.835 AS DOUBLE)
+                          - CAST(1.015 AS DOUBLE)
+                            * n_words / n_sents
+                          - CAST(84.6 AS DOUBLE)
+                            * n_syllables / n_words)) AS BIGINT)
+                   END AS flesch_e3
+            FROM (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                         string_split_regex(text, '[.!?]+'),
+                         s -> trim(s) <> '')) AS BIGINT) AS n_sents,
+                     CAST(len(string_split_regex(text, '\\s+'))
+                         AS BIGINT) AS n_words,
+                     CAST(len(regexp_extract_all(lower(text),
+                         '[aeiouy]+')) AS BIGINT) AS n_syllables
+              FROM documents
+            )
         """,
     }

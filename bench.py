@@ -151,6 +151,8 @@ EXTENDED = [
     "bitext_pairs",
     "host_degrees",
     "exif_meta",
+    "url_templates",
+    "readability",
 ]
 
 

@@ -711,3 +711,42 @@ def length_percentiles(df, value_col: str = "n_chars",
         )
         out = sel if out is None else out.unionByName(sel)
     return out
+
+
+def readability(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Flesch reading-ease per document (Flesch 1948 — the classic
+    readability screen; extreme scores flag machine-generated or
+    keyword-stuffed pages the length/symbol Gopher rules miss):
+
+        206.835 - 1.015 * words/sentences - 84.6 * syllables/words
+
+    with the standard regex estimators: sentences = non-empty
+    ``[.!?]+`` segments, words = whitespace tokens, syllables = vowel
+    groups ``[aeiouy]+`` over the lowercased text (the sum over words
+    equals one whole-text count — no per-word loop).  Score is
+    integer-quantized to e3 (floor) so the SQL twin is bit-exact;
+    NULL when a doc has zero sentences or words.
+
+    Pure column expressions — zero shuffles, codegen-resident; the
+    three counts are reusable signals on their own."""
+    t = F.col(text_col)
+    n_sents = F.size(F.filter(
+        F.split(t, "[.!?]+"), lambda s: F.trim(s) != ""
+    )).cast("long")
+    n_words = F.size(F.split(t, "\\s+")).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    score = F.floor(1000.0 * (
+        F.lit(206.835)
+        - 1.015 * n_words.cast("double") / n_sents.cast("double")
+        - 84.6 * n_syll.cast("double") / n_words.cast("double")
+    )).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_sents.alias("n_sents"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        F.when((n_sents > 0) & (n_words > 0), score)
+        .alias("flesch_e3"),
+    )

@@ -101,3 +101,51 @@ def blocklist_filter(df, hosts=None, path_patterns=None,
             )
         out = out.drop("_hp")
     return out
+
+
+def url_path_templates(df, url_col: str = "url",
+                       trap_min_urls: int = 100):
+    """URL path-template mining — the crawler-trap detector (calendar
+    pages, session-id paths, infinite pagination): collapse every url
+    to its PATH SKELETON (query/fragment dropped, digit runs -> ``N``)
+    and count urls per (host, template).  A template absorbing a huge
+    url count while containing ``N`` is the classic infinite-space
+    signature; ``is_trap`` applies the count threshold so the output
+    feeds a frontier filter directly.
+
+    Returns (host, template, depth, n_urls, sample_url, is_trap) —
+    sample_url the lexicographic min (a deterministic witness), depth
+    the template's segment count.
+
+    Scale shape: pure column exprs into ONE map-combined groupBy on
+    (host, template) — the template universe is tiny next to the url
+    universe (that's the point), so the shuffle output is small;
+    min(url) rides the same agg.  No window, no join."""
+    host = F.regexp_extract(F.col(url_col), "^[a-z]+://([^/:?#]+)", 1)
+    path = F.regexp_extract(
+        F.col(url_col), "^[a-z]+://[^/]+(/[^?#]*)?", 1
+    )
+    template = F.regexp_replace(
+        F.when(path == "", "/").otherwise(path), "[0-9]+", "N"
+    )
+    out = (
+        df.select(
+            host.alias("host"),
+            template.alias("template"),
+            F.col(url_col).alias("_u"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("_u").alias("sample_url"),
+        )
+    )
+    depth = (F.size(F.split(F.col("template"), "/")) - 1).cast("int")
+    return out.select(
+        "host", "template", depth.alias("depth"), "n_urls",
+        "sample_url",
+        (
+            (F.col("n_urls") >= trap_min_urls)
+            & F.col("template").contains("N")
+        ).alias("is_trap"),
+    )

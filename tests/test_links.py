@@ -373,3 +373,21 @@ def test_host_graph_plan_is_single_pair_keyed_aggregate(spark):
     assert re.search(r"hashpartitioning\(src_host#\d+, host#\d+, \d+\)",
                      plan)
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_url_path_templates_trap_detection(spark):
+    from htmlcleanup_spark.functions.url import url_path_templates
+
+    rows = [("https://a.ex/item/%d?s=1" % i,) for i in range(30)]
+    rows += [("https://a.ex/about",), ("https://b.ex/item/7",)]
+    df = spark.createDataFrame(rows, "url string")
+    out = {(r.host, r.template): r
+           for r in url_path_templates(df, trap_min_urls=10).collect()}
+    trap = out[("a.ex", "/item/N")]
+    assert trap.n_urls == 30 and trap.is_trap
+    assert trap.sample_url == "https://a.ex/item/0?s=1"
+    assert trap.depth == 2
+    about = out[("a.ex", "/about")]
+    assert about.n_urls == 1 and not about.is_trap and about.depth == 1
+    # below threshold: digit template but only 1 url
+    assert not out[("b.ex", "/item/N")].is_trap

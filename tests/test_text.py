@@ -298,3 +298,26 @@ def test_host_quality_rollup_and_fail_closed_min_docs(spark):
     b = out["B"]
     # 100% keep but below min_docs: fail closed
     assert (b.n_docs, b.keep_frac_e6, b.host_keep) == (2, 1000000, False)
+
+
+def test_readability_flesch(spark):
+    from htmlcleanup_spark.functions.text import readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, ""),
+            (3, "word"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in readability(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_sents, r1.n_words) == (2, 6)
+    # syllable groups: e/a/a/e/o/a -> 6
+    assert r1.n_syllables == 6
+    import math
+    exp = math.floor(1000 * (206.835 - 1.015 * 6 / 2 - 84.6 * 6 / 6))
+    assert r1.flesch_e3 == exp
+    assert rows[2].flesch_e3 is None and rows[2].n_sents == 0
+    assert rows[3].flesch_e3 is not None  # 1 word, 1 "sentence"
