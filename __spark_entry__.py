@@ -2932,6 +2932,92 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(_docs(spark, sf_dir))
 
 
+def q_refinedweb_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb line-wise corrections (Penedo et al. 2023 Appx G.2)
+    over the real documents text: uppercase-majority / numeric-only /
+    social-counter / single-word lines removed, whole doc dropped when
+    removed chars exceed 5%.
+    operators/corpus.refinedweb_line_rules — per-row array lambdas,
+    zero shuffle; the oracle CASE is generated from COUNTER_NOUNS."""
+    from htmlcleanup_spark.operators.corpus import refinedweb_line_rules
+
+    return refinedweb_line_rules(_docs(spark, sf_dir))
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope over the top-200 vocabulary: corpus-
+    health regression monitor (natural text ~ -1).
+    functions/text.zipf_fit — one vocab-keyed combine + global top-n
+    heap; regression sums are exact BIGINTs of e4-quantized log points
+    (integer-quantize-before-aggregate), final slope/intercept single
+    double divisions, e6-floored."""
+    from htmlcleanup_spark.functions.text import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_n=200)
+
+
+def q_extraction_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractor-upgrade QA: diff each document's stored text against a
+    whitespace-collapsed re-extraction (the deterministic stand-in for
+    a new cascade version), flag churn by relative length change or
+    400-char-prefix Levenshtein.
+    functions/text.extraction_churn — pure JVM exprs incl. the capped
+    levenshtein builtin, zero shuffle."""
+    from htmlcleanup_spark.functions.text import extraction_churn
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("text").alias("old_text"),
+        F.trim(F.regexp_replace(F.col("text"), "\\s+", " "))
+        .alias("new_text"),
+    )
+    return extraction_churn(d)
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style diversity sampling (Tirumala et al. 2023): IVF-assign
+    every embedding to its nearest of 16 md5-sampled centroids, keep
+    the 10 md5-smallest per cluster.
+    operators/ann.cluster_sample — two-level bucketed in-cluster rank
+    (mixture_sample idiom) so no hot cluster becomes one window
+    partition; oracle re-derives centroids, argmax assignment, and the
+    md5 pick end-to-end."""
+    from htmlcleanup_spark.operators.ann import cluster_sample
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return cluster_sample(emb, n_centroids=16, cap=10)
+
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME routing over synthesized binary payloads (8
+    bands: pdf/png/jpeg/gzip/html/mp4 magics + a plain-ascii and a
+    binary-junk fallback band) — both engines construct identical blobs
+    from the doc_id, then sniff.
+    operators/multimodal.mime_sniff — binary slice BEFORE hex, pure
+    column exprs, zero shuffle; oracle CASE generated from
+    MAGIC_RULES."""
+    from htmlcleanup_spark.operators.multimodal import mime_sniff
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    magic = (
+        F.when(did % 8 == 0, F.lit("255044462D"))
+        .when(did % 8 == 1, F.lit("89504E470D0A1A0A"))
+        .when(did % 8 == 2, F.lit("FFD8FFE0"))
+        .when(did % 8 == 3, F.lit("1F8B08"))
+        .when(did % 8 == 4, F.lit("3C21444F43545950452068746D6C3E"))
+        .when(did % 8 == 5, F.lit("000000186674797069736F6D"))
+        .when(did % 8 == 6, F.lit(""))
+        .otherwise(F.lit("000102"))
+    )
+    payload = F.unhex(F.concat(
+        magic,
+        F.hex(F.encode(F.concat(F.lit("payload-"), ids), "utf-8")),
+    ))
+    return mime_sniff(d.select("doc_id", payload.alias("payload")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3063,6 +3149,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_meta": q_exif_meta,
         "url_templates": q_url_templates,
         "readability": q_readability,
+        "refinedweb_lines": q_refinedweb_lines,
+        "zipf_fit": q_zipf_fit,
+        "extraction_churn": q_extraction_churn,
+        "cluster_sample": q_cluster_sample,
+        "mime_sniff": q_mime_sniff,
     }
 
 
@@ -3735,6 +3826,97 @@ h{k1} AS MATERIALIZED (SELECT nv.v,
         " FROM h%d h JOIN a%d a ON h.v = a.v" % (iterations, iterations - 1)
     )
     return "".join(parts)
+
+
+def _refinedweb_oracle() -> str:
+    """DuckDB twin of operators.corpus.refinedweb_line_rules — the
+    counter-noun alternation is generated from COUNTER_NOUNS so the two
+    can never drift; the uppercase-majority test is the same integer
+    compare (2*upper > alpha), the ratio the same e6 floor."""
+    from htmlcleanup_spark.operators.corpus import COUNTER_NOUNS
+
+    counter = "(?i)^[0-9]+ (" + "|".join(COUNTER_NOUNS) + ")$"
+    return f"""
+        WITH src AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS ls
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, text, len(ls) AS n_lines,
+                 list_filter(ls, l -> NOT (
+                   (length(regexp_replace(trim(l), '[^A-Za-z]', '', 'g'))
+                      > 0
+                    AND 2 * length(regexp_replace(trim(l), '[^A-Z]', '',
+                                                  'g'))
+                      > length(regexp_replace(trim(l), '[^A-Za-z]', '',
+                               'g')))
+                   OR regexp_matches(trim(l), '^[0-9]+$')
+                   OR regexp_matches(trim(l), '{counter}')
+                   OR (trim(l) <> '' AND NOT contains(trim(l), ' '))
+                 )) AS kept
+          FROM src
+        ),
+        j AS (
+          SELECT doc_id, text, n_lines, len(kept) AS n_kept,
+                 array_to_string(kept, chr(10)) AS clean_text
+          FROM f
+        )
+        SELECT doc_id, clean_text,
+               CAST(n_lines - n_kept AS INTEGER) AS n_lines_removed,
+               CAST(floor(1e6 * CAST(length(text) - length(clean_text)
+                                     AS DOUBLE)
+                          / CAST(greatest(length(text), 1) AS DOUBLE))
+                    AS BIGINT) AS removed_ratio_e6,
+               CAST(floor(1e6 * CAST(length(text) - length(clean_text)
+                                     AS DOUBLE)
+                          / CAST(greatest(length(text), 1) AS DOUBLE))
+                    AS BIGINT) <= 50000 AS keep
+        FROM j
+    """
+
+
+def _mime_sniff_oracle() -> str:
+    """DuckDB twin of operators.multimodal.mime_sniff over the same
+    synthesized payload bands — the sniff CASE is generated from
+    MAGIC_RULES so the two can never drift."""
+    from htmlcleanup_spark.operators.multimodal import (
+        MAGIC_RULES, _TEXT_HEX_RE,
+    )
+
+    whens = "\n                    ".join(
+        f"WHEN substring(hx, {off}, {len(pat)}) = '{pat}' THEN '{m}'"
+        for pat, off, m in MAGIC_RULES
+    )
+    return f"""
+        WITH p AS (
+          SELECT doc_id,
+                 from_hex(
+                   CASE doc_id % 8
+                     WHEN 0 THEN '255044462D'
+                     WHEN 1 THEN '89504E470D0A1A0A'
+                     WHEN 2 THEN 'FFD8FFE0'
+                     WHEN 3 THEN '1F8B08'
+                     WHEN 4 THEN '3C21444F43545950452068746D6C3E'
+                     WHEN 5 THEN '000000186674797069736F6D'
+                     WHEN 6 THEN ''
+                     ELSE '000102'
+                   END
+                   || hex(encode('payload-' || CAST(doc_id AS VARCHAR)))
+                 ) AS payload
+          FROM documents
+        ),
+        h AS (SELECT doc_id, substring(hex(payload), 1, 64) AS hx,
+                     CAST(octet_length(payload) AS BIGINT) AS n_bytes
+              FROM p)
+        SELECT doc_id,
+               CASE {whens}
+                    WHEN regexp_matches(hx, '{_TEXT_HEX_RE}')
+                      THEN 'text/plain'
+                    ELSE 'application/octet-stream'
+               END AS mime,
+               hx AS sniff_hex, n_bytes
+        FROM h
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6275,4 +6457,110 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
         """,
+        "refinedweb_lines": _refinedweb_oracle(),
+        "zipf_fit": """
+            WITH c AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              GROUP BY w
+            ),
+            top AS (
+              SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r
+              FROM c ORDER BY c DESC, w ASC LIMIT 200
+            ),
+            pts AS (
+              SELECT CAST(floor(1e4 * ln(CAST(r AS DOUBLE))) AS BIGINT)
+                       AS lx,
+                     CAST(floor(1e4 * ln(CAST(c AS DOUBLE))) AS BIGINT)
+                       AS ly
+              FROM top
+            ),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(lx) AS BIGINT) AS sx,
+                     CAST(sum(ly) AS BIGINT) AS sy,
+                     CAST(sum(lx * ly) AS BIGINT) AS sxy,
+                     CAST(sum(lx * lx) AS BIGINT) AS sxx
+              FROM pts
+            )
+            SELECT n AS n_terms,
+                   CAST(floor(1e6 *
+                        (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)))
+                        AS BIGINT) AS slope_e6,
+                   CAST(floor(1e6 *
+                        ((CAST(sy AS DOUBLE) / 1e4
+                          - (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE) / 1e4)
+                         / CAST(n AS DOUBLE)))
+                        AS BIGINT) AS intercept_e6
+            FROM s
+        """,
+        "extraction_churn": """
+            WITH v AS (
+              SELECT doc_id, text AS old_text,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                       AS new_text
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     old_text = new_text AS exact_match,
+                     CAST(length(old_text) AS BIGINT) AS len_old,
+                     CAST(length(new_text) AS BIGINT) AS len_new,
+                     CAST(floor(1e6
+                          * CAST(abs(length(new_text) - length(old_text))
+                                 AS DOUBLE)
+                          / CAST(greatest(length(old_text), 1) AS DOUBLE))
+                          AS BIGINT) AS rel_change_e6,
+                     CAST(levenshtein(substring(old_text, 1, 400),
+                                      substring(new_text, 1, 400))
+                          AS BIGINT) AS prefix_dist
+              FROM v
+            )
+            SELECT doc_id, exact_match, len_old, len_new,
+                   rel_change_e6, prefix_dist,
+                   (rel_change_e6 > 100000 OR prefix_dist > 40)
+                     AS churned
+            FROM m
+        """,
+        "cluster_sample": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            cents AS (
+              SELECT cid, cv FROM (
+                SELECT row_number() OVER
+                         (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+                         AS cid,
+                       v AS cv
+                FROM e
+              ) WHERE cid < 16
+            ),
+            sims AS (
+              SELECT e.vec_id, c.cid,
+                     list_dot_product(e.v, c.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(c.cv, c.cv))) AS sim
+              FROM e CROSS JOIN cents c
+            ),
+            asg AS (
+              SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
+              FROM sims
+            ),
+            sel AS (
+              SELECT vec_id, cid AS cluster_id,
+                     row_number() OVER (
+                       PARTITION BY cid
+                       ORDER BY md5('d4:' || CAST(vec_id AS VARCHAR))
+                                ASC, vec_id ASC) AS rank
+              FROM asg WHERE rk = 1
+            )
+            SELECT vec_id, CAST(cluster_id AS INTEGER) AS cluster_id,
+                   CAST(rank AS INTEGER) AS rank
+            FROM sel WHERE rank <= 10
+        """,
+        "mime_sniff": _mime_sniff_oracle(),
     }

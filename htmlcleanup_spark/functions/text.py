@@ -750,3 +750,106 @@ def readability(df, text_col: str = "text", id_col: str = "doc_id"):
         F.when((n_sents > 0) & (n_words > 0), score)
         .alias("flesch_e3"),
     )
+
+
+def zipf_fit(df, text_col: str = "text", top_n: int = 200):
+    """Corpus-health Zipf diagnostic: least-squares slope of
+    log(frequency) against log(rank) over the ``top_n`` most frequent
+    terms.  Natural text sits near slope -1 (Zipf 1949); a corpus
+    polluted by templates or generated spam drifts shallow (repeated
+    boilerplate flattens the head) or steep (tiny effective
+    vocabulary), so the slope is a cheap per-snapshot regression
+    monitor for an extraction pipeline.
+
+    Determinism across engines: each term contributes INTEGER
+    log-points ``lx = floor(1e4 * ln(rank))``, ``ly = floor(1e4 *
+    ln(count))`` (the repo's integer-quantize-before-aggregate
+    convention, operators/dsir.py), so the regression sums are exact
+    BIGINTs; the closed-form slope/intercept are then single double
+    divisions of exact integers — bit-stable in any IEEE engine,
+    emitted e6-quantized.  Magnitudes stay under 2^53: even at
+    10^12-token counts, ly <= ~2.8e5, so n*Sxy <= ~6e14 for n=200.
+
+    Scale: one vocabulary-keyed map-combined count, then a global
+    top-n (TakeOrderedAndProject — executors keep local heaps of n,
+    the driver merges n*partitions rows); the regression itself is a
+    1-row aggregate over n rows.  Rank ties break (count desc, term
+    asc) so the rank assignment is total and portable."""
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_w").asc())
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("_c").desc(), F.col("_w").asc())
+    pts = counts.select(
+        F.floor(1e4 * F.log(F.row_number().over(w).cast("double")))
+        .cast("long").alias("_lx"),
+        F.floor(1e4 * F.log(F.col("_c").cast("double")))
+        .cast("long").alias("_ly"),
+    )
+    s = pts.agg(
+        F.count("*").alias("_n"),
+        F.sum("_lx").alias("_sx"),
+        F.sum("_ly").alias("_sy"),
+        F.sum(F.col("_lx") * F.col("_ly")).alias("_sxy"),
+        F.sum(F.col("_lx") * F.col("_lx")).alias("_sxx"),
+    )
+    det = (s["_n"] * s["_sxx"] - s["_sx"] * s["_sx"]).cast("double")
+    slope = (s["_n"] * s["_sxy"] - s["_sx"] * s["_sy"]).cast("double") / det
+    intercept = (
+        s["_sy"].cast("double") / 1e4
+        - slope * s["_sx"].cast("double") / 1e4
+    ) / s["_n"].cast("double")
+    return s.select(
+        s["_n"].cast("long").alias("n_terms"),
+        F.floor(1e6 * slope).cast("long").alias("slope_e6"),
+        F.floor(1e6 * intercept).cast("long").alias("intercept_e6"),
+    )
+
+
+def extraction_churn(df, id_col: str = "doc_id",
+                     old_col: str = "old_text", new_col: str = "new_text",
+                     prefix_chars: int = 400,
+                     rel_change_max_e6: int = 100_000,
+                     prefix_dist_max: int = 40):
+    """Extractor-upgrade QA: per-document churn between two extraction
+    versions of the same page (the regression gate run before rolling a
+    new rule cascade over the full corpus — re-extract a sample, diff
+    against the previous run's output, block the rollout if churn
+    spikes).
+
+    Signals per doc: exact-match flag, byte-length delta with an
+    e6-quantized relative change (vs the old length), and Levenshtein
+    distance over the first ``prefix_chars`` chars — capping the O(m*n)
+    DP keeps the cost bounded per row regardless of document size
+    (400^2 cells worst-case) while still catching head-of-document
+    damage, where extraction bugs concentrate (lost headlines, leading
+    boilerplate reinjection).  ``churned`` fires when the relative
+    length change exceeds ``rel_change_max_e6`` (default 10%) or the
+    prefix distance exceeds ``prefix_dist_max``.
+
+    Pure column expressions (levenshtein is a JVM codegen builtin) —
+    zero shuffles, composes as a filter ahead of a count/rollup."""
+    old_t, new_t = F.col(old_col), F.col(new_col)
+    len_old = F.length(old_t).cast("long")
+    len_new = F.length(new_t).cast("long")
+    rel = F.floor(
+        1e6 * F.abs(len_new - len_old).cast("double")
+        / F.greatest(len_old, F.lit(1)).cast("double")
+    ).cast("long")
+    pdist = F.levenshtein(
+        F.substring(old_t, 1, prefix_chars),
+        F.substring(new_t, 1, prefix_chars),
+    ).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        (old_t == new_t).alias("exact_match"),
+        len_old.alias("len_old"),
+        len_new.alias("len_new"),
+        rel.alias("rel_change_e6"),
+        pdist.alias("prefix_dist"),
+        ((rel > rel_change_max_e6) | (pdist > prefix_dist_max))
+        .alias("churned"),
+    )

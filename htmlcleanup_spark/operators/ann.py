@@ -1005,3 +1005,66 @@ def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score_e6", "rank")
     )
+
+
+def cluster_sample(embeddings: DataFrame, n_centroids: int = 16,
+                   cap: int = 10, id_col: str = "vec_id",
+                   vec_col: str = "embedding", salt: str = "d4",
+                   quantizer: str = "sample",
+                   bucket_nibbles: int = 2) -> DataFrame:
+    """Diversity sampling by cluster cap (the D4 recipe, Tirumala et
+    al. 2023: cluster the embedding space, then keep a bounded number
+    of documents per cluster — dense template regions contribute at
+    most ``cap`` docs while sparse regions keep everything, flattening
+    the corpus toward semantic uniformity).
+
+    Assignment is the IVF coarse quantizer (nearest of ``n_centroids``
+    centroids by cosine, ties to the lower centroid id); within a
+    cluster the ``cap`` survivors are the md5-smallest — the repo's
+    seedless uniform pick, so re-runs and the SQL twin select identical
+    rows.  Returns (vec_id, cluster_id, rank), rank 1..cap in md5
+    order.
+
+    Scale: with the trained quantizer, n_centroids scales with the
+    corpus (C ~ N/1e6), but a plain per-cluster rank window would still
+    be a giant partition for any hot cluster — so the global in-cluster
+    rank is assembled EXACTLY from a two-level bucketed rank (the
+    mixture_sample idiom, operators/sample.py): row_number within
+    (cluster, md5-prefix bucket) + a broadcast running-sum offset over
+    the tiny (cluster, bucket) count table.  All bulk shuffles are
+    keyed (cluster, bucket) — 16^bucket_nibbles-way spread of every
+    cluster; raise ``bucket_nibbles`` at corpus scale."""
+    cents = _quantizer(embeddings, quantizer, n_centroids, id_col, vec_col)
+    key = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    asg = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(_assign_udf(cents, 1)(F.col(vec_col)), 1)
+        .cast("int").alias("cluster_id"),
+        key.alias("_k"),
+    ).withColumn("_bkt", F.substring("_k", 1, bucket_nibbles))
+    bcounts = asg.groupBy("cluster_id", "_bkt").agg(
+        F.count("*").alias("_bn")
+    )
+    w_off = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col("_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.select(
+        "cluster_id", "_bkt",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_loc = Window.partitionBy("cluster_id", "_bkt").orderBy(
+        F.col("_k").asc()
+    )
+    ranked = (
+        asg.withColumn("_loc", F.row_number().over(w_loc))
+        .join(F.broadcast(offsets), ["cluster_id", "_bkt"])
+        .select(
+            "vec_id", "cluster_id",
+            (F.col("_off") + F.col("_loc")).cast("int").alias("rank"),
+        )
+    )
+    return ranked.filter(F.col("rank") <= cap)

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 __all__ = ["c4_filter", "sentence_split", "quality_classifier",
            "deterministic_shuffle", "bpe_pair_counts",
            "doc_line_dedup", "learn_bpe", "apply_bpe",
-           "badwords_filter", "BADWORD_MARKERS"]
+           "badwords_filter", "BADWORD_MARKERS",
+           "refinedweb_line_rules", "COUNTER_NOUNS"]
 
 # C4's line filter: terminal punctuation (the paper keeps lines ending
 # in a terminal punctuation mark; '"' covers quoted dialogue endings)
@@ -402,4 +403,70 @@ def badwords_filter(df: DataFrame, text_col: str = "text",
             * 1e6
         ).cast("long").alias("flagged_frac_e6"),
         (n == 0).alias("keep"),
+    )
+
+
+# RefinedWeb's social-counter nouns (Penedo et al. 2023, Appx G.2) —
+# the ORACLE SQL in __spark_entry__ is generated from this tuple so the
+# two can never drift.
+COUNTER_NOUNS = ("likes", "comments", "shares", "views", "followers",
+                 "retweets", "points", "votes", "replies")
+
+
+def refinedweb_line_rules(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          max_removed_ratio_e6: int = 50_000) -> DataFrame:
+    """RefinedWeb's line-wise corrections (Penedo et al. 2023, Appx
+    G.2) — the post-extraction repair pass that runs AFTER boilerplate
+    stripping and BEFORE dedup, complementary to the C4 line filter
+    (c4_filter keeps prose-shaped lines; this removes the specific
+    social-media artifacts trafilatura-style extraction leaks):
+
+    a line is removed when it is
+      - mainly uppercase (strict majority of its alphabetic chars —
+        integer compare ``2*upper > alpha``, no float ratio);
+      - only numerical characters (``^[0-9]+$`` after trim);
+      - a social counter (``^<digits> <noun>$`` over COUNTER_NOUNS,
+        case-insensitive);
+      - a single word (no internal whitespace, non-empty).
+
+    Document verdict: if removed lines exceed ``max_removed_ratio_e6``
+    (RefinedWeb's 5%) of the document's chars, the WHOLE document is
+    dropped (``keep`` false) — heavy line damage means the page was a
+    feed/forum shell, not an article with stray counters.
+
+    Returns (id, clean_text, n_lines_removed, removed_ratio_e6, keep).
+
+    Scale: pure per-row array lambdas over the line split — zero
+    shuffles, whole-stage codegen, no Python; the ratio is quantized to
+    integers so the verdict is bit-stable across engines."""
+    counter_re = "(?i)^[0-9]+ (" + "|".join(COUNTER_NOUNS) + ")$"
+
+    def removed(l):
+        t = F.trim(l)
+        alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+        upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+        return (
+            ((alpha > 0) & (upper * 2 > alpha))
+            | F.regexp_like(t, F.lit("^[0-9]+$"))
+            | F.regexp_like(t, F.lit(counter_re))
+            | ((t != "") & ~t.contains(" "))
+        )
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda l: ~removed(l))
+    clean = F.array_join(kept, "\n")
+    total = F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("long")
+    removed_chars = (
+        F.length(F.col(text_col)).cast("long") - F.length(clean).cast("long")
+    )
+    ratio = F.floor(
+        1e6 * removed_chars.cast("double") / total.cast("double")
+    ).cast("long")
+    return df.select(
+        id_col,
+        clean.alias("clean_text"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_lines_removed"),
+        ratio.alias("removed_ratio_e6"),
+        (ratio <= max_removed_ratio_e6).alias("keep"),
     )

@@ -636,3 +636,70 @@ def synth_exif_bytes(i: int) -> bytes:
     app1 = b"\xff\xe1" + (2 + 6 + len(tiff)).to_bytes(2, "big") \
         + b"Exif\x00\x00" + tiff
     return b"\xff\xd8" + app1 + b"\xff\xd9"
+
+
+# Magic-byte table for payload sniffing, as (hex_prefix, hex_offset,
+# mime) with hex_offset the 1-based position in the HEX string (byte k
+# -> hex position 2k+1).  Ordered most-specific-first; first match
+# wins.  The DuckDB oracle CASE in __spark_entry__ is generated from
+# this tuple so the two can never drift.
+MAGIC_RULES = (
+    ("255044462D", 1, "application/pdf"),        # %PDF-
+    ("89504E470D0A1A0A", 1, "image/png"),
+    ("FFD8FF", 1, "image/jpeg"),
+    ("47494638", 1, "image/gif"),                # GIF87a / GIF89a
+    ("57454250", 17, "image/webp"),              # RIFF....WEBP
+    ("57415645", 17, "audio/wav"),               # RIFF....WAVE
+    ("52494646", 1, "application/riff"),         # other RIFF
+    ("1F8B", 1, "application/gzip"),
+    ("504B0304", 1, "application/zip"),
+    ("4F676753", 1, "application/ogg"),          # OggS
+    ("494433", 1, "audio/mpeg"),                 # ID3
+    ("66747970", 9, "video/mp4"),                # ....ftyp at byte 5
+    ("3C21", 1, "text/html"),                    # <!doctype / <!--
+    ("3C68746D6C", 1, "text/html"),              # <html
+    ("3C48544D4C", 1, "text/html"),              # <HTML
+)
+
+# hex-pair classes for "printable ASCII or tab/LF/CR" — one byte is two
+# hex chars, so the whole prefix being text is an anchored repeat of
+# these pairs (09/0A/0D, 20-7E).
+_TEXT_HEX_RE = "^(0[9AD]|[2-6][0-9A-F]|7[0-9AE])*$"
+
+
+def mime_sniff(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "doc_id", prefix_bytes: int = 32) -> DataFrame:
+    """Content-type sniffing over opaque binary payloads — the routing
+    step of a mixed-media crawl (WARC payloads carry server-declared
+    Content-Type headers that are wrong often enough that every real
+    pipeline re-sniffs magic bytes before dispatching to the HTML /
+    PDF / image / media branches).
+
+    Matches the MAGIC_RULES table over the hex of the first
+    ``prefix_bytes`` bytes (binary slice FIRST, so a 100 MB payload
+    contributes 64 hex chars, not 200 MB); unmatched payloads fall back
+    to text/plain when every prefix byte is printable ASCII (hex-pair
+    class match — no decode, no invalid-UTF8 risk), else
+    application/octet-stream.
+
+    Returns (id, mime, sniff_hex, n_bytes).  Pure column expressions —
+    zero shuffles, codegen-resident; composes as the partition key for
+    a by-modality write."""
+    from pyspark.sql import functions as F
+
+    hx = F.hex(F.substring(F.col(payload_col), 1, prefix_bytes))
+    # fold most-specific-first: build from the END of the table so the
+    # FIRST rule ends up outermost
+    mime = F.when(
+        F.regexp_like(hx, F.lit(_TEXT_HEX_RE)), F.lit("text/plain")
+    ).otherwise(F.lit("application/octet-stream"))
+    for pat, off, m in reversed(MAGIC_RULES):
+        mime = F.when(
+            F.substring(hx, off, len(pat)) == pat, F.lit(m)
+        ).otherwise(mime)
+    return df.select(
+        id_col,
+        mime.alias("mime"),
+        hx.alias("sniff_hex"),
+        F.octet_length(F.col(payload_col)).cast("long").alias("n_bytes"),
+    )

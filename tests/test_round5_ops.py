@@ -1,0 +1,207 @@
+"""Late round-5 operators: RefinedWeb line rules, Zipf slope fit,
+extraction-churn QA, D4 cluster-cap sampling, magic-byte MIME sniff."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_refinedweb_line_rules(spark):
+    from htmlcleanup_spark.operators.corpus import refinedweb_line_rules
+
+    prose = ("A normal first sentence of prose.\n"
+             "Another perfectly ordinary line of text here.")
+    df = spark.createDataFrame(
+        [
+            (0, prose),
+            (1, prose + "\nBREAKING NEWS EXCLUSIVE"),      # uppercase
+            (2, prose + "\n42"),                           # numeric only
+            (3, prose + "\n3 likes\n12 comments"),         # counters
+            (4, prose + "\nHome"),                         # single word
+            (5, "MENU\n7 shares\nNav\n9\n" + "x y.\n"),    # heavy damage
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in refinedweb_line_rules(df).collect()}
+    assert out[0].n_lines_removed == 0 and out[0].keep is True
+    assert out[1].n_lines_removed == 1
+    assert "BREAKING" not in out[1].clean_text
+    assert out[2].n_lines_removed == 1
+    assert out[3].n_lines_removed == 2 and "likes" not in out[3].clean_text
+    assert out[4].n_lines_removed == 1
+    # doc 5: everything but the tiny prose tail is removed -> dropped
+    assert out[5].keep is False
+    assert out[5].removed_ratio_e6 > 50_000
+    # the mixed-case prose lines never trip the uppercase-majority rule
+    assert out[0].clean_text == prose
+
+
+def test_refinedweb_ratio_is_integer_quantized(spark):
+    from htmlcleanup_spark.operators.corpus import refinedweb_line_rules
+
+    df = spark.createDataFrame([(0, "ok text here.\nNAVBAR")],
+                               "doc_id long, text string")
+    r = refinedweb_line_rules(df).collect()[0]
+    total = len("ok text here.\nNAVBAR")
+    removed = total - len("ok text here.")
+    assert r.removed_ratio_e6 == math.floor(1e6 * removed / total)
+
+
+def test_zipf_fit_recovers_synthetic_slope(spark):
+    from htmlcleanup_spark.functions.text import zipf_fit
+
+    # build a corpus whose rank-frequency curve IS zipfian with s=1:
+    # term t_r appears floor(1200 / r) times, r = 1..40
+    words = []
+    for r in range(1, 41):
+        words += [f"t{r:02d}"] * (1200 // r)
+    df = spark.createDataFrame([(0, " ".join(words))],
+                               "doc_id long, text string")
+    row = zipf_fit(df, top_n=40).collect()[0]
+    assert row.n_terms == 40
+    # slope should be close to -1 (floor(1200/r) quantization wiggles it)
+    assert -1_100_000 < row.slope_e6 < -900_000
+    # intercept ~ ln(1200) = 7.09
+    assert 6_800_000 < row.intercept_e6 < 7_300_000
+
+
+def test_zipf_fit_deterministic_and_tie_broken(spark):
+    from htmlcleanup_spark.functions.text import zipf_fit
+
+    df = spark.createDataFrame(
+        [(0, "b b a a c")], "doc_id long, text string"
+    ).repartition(4)
+    a = zipf_fit(df, top_n=3).collect()[0]
+    b = zipf_fit(df, top_n=3).collect()[0]
+    assert (a.slope_e6, a.intercept_e6) == (b.slope_e6, b.intercept_e6)
+    assert a.n_terms == 3
+
+
+def test_extraction_churn_flags(spark):
+    from htmlcleanup_spark.functions.text import extraction_churn
+
+    base = "The quick brown fox jumps over the lazy dog. " * 3
+    df = spark.createDataFrame(
+        [
+            (0, base, base),                        # identical
+            (1, base, base + "tail growth " * 20),  # big length change
+            (2, base, "X" + base[1:]),              # head edit, tiny delta
+            (3, base, base.replace("quick", "slow")),
+        ],
+        "doc_id long, old_text string, new_text string",
+    )
+    out = {r.doc_id: r for r in extraction_churn(df).collect()}
+    assert out[0].exact_match is True and out[0].churned is False
+    assert out[0].prefix_dist == 0 and out[0].rel_change_e6 == 0
+    assert out[1].churned is True          # > 10% length growth
+    assert out[1].rel_change_e6 > 100_000
+    assert out[2].exact_match is False and out[2].prefix_dist == 1
+    assert out[2].churned is False         # 1-char head edit is fine
+    assert out[3].prefix_dist > 0 and out[3].churned is False
+
+
+def test_extraction_churn_prefix_cap(spark):
+    from htmlcleanup_spark.functions.text import extraction_churn
+
+    # edits BEYOND the prefix window are invisible to prefix_dist
+    old = "a" * 500
+    new = "a" * 400 + "b" * 100
+    df = spark.createDataFrame([(0, old, new)],
+                               "doc_id long, old_text string, new_text string")
+    r = extraction_churn(df, prefix_chars=400).collect()[0]
+    assert r.prefix_dist == 0 and r.exact_match is False
+
+
+def test_cluster_sample_cap_and_determinism(spark):
+    from htmlcleanup_spark.operators.ann import cluster_sample
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # two tight blobs far apart -> with 2 sampled centroids (one from
+    # each blob, whichever ids md5-sort first) every vector joins its
+    # own blob's centroid
+    rows = []
+    for i in range(60):
+        blob = i % 2
+        base = np.zeros(8)
+        base[blob] = 10.0
+        v = base + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_sample(df, n_centroids=2, cap=5)
+    got = out.collect()
+    # exactly cap survivors per non-empty cluster
+    from collections import Counter
+    per = Counter(r.cluster_id for r in got)
+    assert all(v == 5 for v in per.values())
+    assert {r.rank for r in got} == {1, 2, 3, 4, 5}
+    # md5-smallest selection: recompute expected survivors per cluster
+    asg = {r.vec_id: r.cluster_id
+           for r in cluster_sample(df, n_centroids=2, cap=10**6).collect()}
+    expect = {}
+    for vid, cid in asg.items():
+        k = hashlib.md5(f"d4:{vid}".encode()).hexdigest()
+        expect.setdefault(cid, []).append((k, vid))
+    want = set()
+    for cid, lst in expect.items():
+        for k, vid in sorted(lst)[:5]:
+            want.add((vid, cid))
+    assert {(r.vec_id, r.cluster_id) for r in got} == want
+
+
+def test_cluster_sample_bucketed_rank_matches_plain_window(spark):
+    from htmlcleanup_spark.operators.ann import cluster_sample
+
+    rows = [(i, [float(i % 3), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # 1-nibble buckets (16-way) and 2-nibble must agree exactly
+    a = sorted(map(tuple, cluster_sample(
+        df, n_centroids=3, cap=4, bucket_nibbles=1).collect()))
+    b = sorted(map(tuple, cluster_sample(
+        df, n_centroids=3, cap=4, bucket_nibbles=2).collect()))
+    assert a == b
+
+
+def test_mime_sniff_magic_and_fallbacks(spark):
+    from htmlcleanup_spark.operators.multimodal import mime_sniff
+
+    cases = [
+        (0, b"%PDF-1.4 rest", "application/pdf"),
+        (1, b"\x89PNG\r\n\x1a\x0aXXXX", "image/png"),
+        (2, b"\xff\xd8\xff\xe0 jfif", "image/jpeg"),
+        (3, b"GIF89a.....", "image/gif"),
+        (4, b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (5, b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (6, b"RIFF\x00\x00\x00\x00AVI LIST", "application/riff"),
+        (7, b"\x1f\x8b\x08\x00gz", "application/gzip"),
+        (8, b"PK\x03\x04zipzip", "application/zip"),
+        (9, b"OggS\x00\x02vorbis", "application/ogg"),
+        (10, b"ID3\x04\x00tag", "audio/mpeg"),
+        (11, b"\x00\x00\x00\x18ftypisom", "video/mp4"),
+        (12, b"<!DOCTYPE html><p>", "text/html"),
+        (13, b"<html><head>", "text/html"),
+        (14, b"plain old text, nothing else", "text/plain"),
+        (15, b"\x00\x01\x02binary junk", "application/octet-stream"),
+        (16, b"tab\tand\nnewline ok", "text/plain"),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in cases], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r.mime for r in mime_sniff(df).collect()}
+    for i, _, want in cases:
+        assert out[i] == want, (i, out[i], want)
+
+
+def test_mime_sniff_slices_before_hex(spark):
+    from htmlcleanup_spark.operators.multimodal import mime_sniff
+
+    big = b"%PDF-" + b"\x00" * 100_000
+    df = spark.createDataFrame([(0, big)], "doc_id long, payload binary")
+    r = mime_sniff(df, prefix_bytes=32).collect()[0]
+    assert r.mime == "application/pdf"
+    assert len(r.sniff_hex) == 64            # 32 bytes, not 100 KB
+    assert r.n_bytes == len(big)
