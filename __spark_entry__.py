@@ -3018,6 +3018,41 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mime_sniff(d.select("doc_id", payload.alias("payload")))
 
 
+def q_training_corpus_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diversity-curated corpus recipe in ONE lazy plan:
+    RefinedWeb line-correction gate (5% doc-drop verdict) -> inner
+    equi-join onto the embedding table (the "docs that have an
+    embedding" shape; co-partitioned on the id at corpus scale) ->
+    D4 cluster-cap selection with the 8 centroids derived from the
+    SURVIVOR set (so the quantizer adapts to what the gate kept).
+    Every stage is an already-oracle-checked late-round-5 operator;
+    the oracle chains their SQL twins as CTEs, checking the
+    COMPOSITION contracts.  One phase boundary: the survivor set feeds
+    the centroid collect AND the assignment pass AND the final
+    attach (the multi-consumer pin rule)."""
+    from htmlcleanup_spark.operators.ann import cluster_sample
+    from htmlcleanup_spark.operators.corpus import refinedweb_line_rules
+
+    d = _docs(spark, sf_dir)
+    rw = (
+        refinedweb_line_rules(d)
+        .filter("keep")
+        .select("doc_id", "clean_text")
+    )
+    emb = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    sv = rw.join(emb, "doc_id").localCheckpoint(eager=True)
+    sel = cluster_sample(
+        sv.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_centroids=8, cap=5, id_col="vec_id",
+    ).select(F.col("vec_id").alias("doc_id"), "cluster_id", "rank")
+    return sel.join(sv, "doc_id").select(
+        "doc_id", "cluster_id", "rank",
+        F.length("clean_text").cast("int").alias("n_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3154,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_churn": q_extraction_churn,
         "cluster_sample": q_cluster_sample,
         "mime_sniff": q_mime_sniff,
+        "training_corpus_v5": q_training_corpus_v5,
     }
 
 
@@ -3828,22 +3864,14 @@ h{k1} AS MATERIALIZED (SELECT nv.v,
     return "".join(parts)
 
 
-def _refinedweb_oracle() -> str:
-    """DuckDB twin of operators.corpus.refinedweb_line_rules — the
-    counter-noun alternation is generated from COUNTER_NOUNS so the two
-    can never drift; the uppercase-majority test is the same integer
-    compare (2*upper > alpha), the ratio the same e6 floor."""
+def _refinedweb_kept_sql() -> str:
+    """The list_filter(...) snippet of the RefinedWeb line predicate,
+    generated from COUNTER_NOUNS — shared by the refinedweb_lines and
+    training_corpus_v5 oracles so the rule text exists exactly once."""
     from htmlcleanup_spark.operators.corpus import COUNTER_NOUNS
 
     counter = "(?i)^[0-9]+ (" + "|".join(COUNTER_NOUNS) + ")$"
-    return f"""
-        WITH src AS (
-          SELECT doc_id, text, string_split(text, chr(10)) AS ls
-          FROM documents
-        ),
-        f AS (
-          SELECT doc_id, text, len(ls) AS n_lines,
-                 list_filter(ls, l -> NOT (
+    return f"""list_filter(ls, l -> NOT (
                    (length(regexp_replace(trim(l), '[^A-Za-z]', '', 'g'))
                       > 0
                     AND 2 * length(regexp_replace(trim(l), '[^A-Z]', '',
@@ -3853,7 +3881,22 @@ def _refinedweb_oracle() -> str:
                    OR regexp_matches(trim(l), '^[0-9]+$')
                    OR regexp_matches(trim(l), '{counter}')
                    OR (trim(l) <> '' AND NOT contains(trim(l), ' '))
-                 )) AS kept
+                 ))"""
+
+
+def _refinedweb_oracle() -> str:
+    """DuckDB twin of operators.corpus.refinedweb_line_rules — the
+    counter-noun alternation is generated from COUNTER_NOUNS so the two
+    can never drift; the uppercase-majority test is the same integer
+    compare (2*upper > alpha), the ratio the same e6 floor."""
+    return f"""
+        WITH src AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS ls
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, text, len(ls) AS n_lines,
+                 {_refinedweb_kept_sql()} AS kept
           FROM src
         ),
         j AS (
@@ -3872,6 +3915,72 @@ def _refinedweb_oracle() -> str:
                           / CAST(greatest(length(text), 1) AS DOUBLE))
                     AS BIGINT) <= 50000 AS keep
         FROM j
+    """
+
+
+def _training_corpus_v5_oracle() -> str:
+    """DuckDB twin of q_training_corpus_v5: RefinedWeb line gate
+    (shared _refinedweb_kept_sql snippet) -> embedding join -> D4
+    cluster-cap selection, with the 8 centroids re-derived from the
+    SURVIVOR set's md5-smallest ids — the composition contract the
+    per-op oracles can't see."""
+    return f"""
+        WITH src AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS ls
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, text,
+                 array_to_string({_refinedweb_kept_sql()}, chr(10))
+                   AS clean_text
+          FROM src
+        ),
+        rw AS (
+          SELECT doc_id, clean_text
+          FROM f
+          WHERE CAST(floor(1e6
+                     * CAST(length(text) - length(clean_text) AS DOUBLE)
+                     / CAST(greatest(length(text), 1) AS DOUBLE))
+                     AS BIGINT) <= 50000
+        ),
+        sv AS (
+          SELECT rw.doc_id, rw.clean_text, e.embedding::DOUBLE[] AS v
+          FROM rw JOIN embeddings e ON e.vec_id = rw.doc_id
+        ),
+        cents AS (
+          SELECT cid, cv FROM (
+            SELECT row_number() OVER
+                     (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS cid,
+                   v AS cv
+            FROM sv
+          ) WHERE cid < 8
+        ),
+        sims AS (
+          SELECT sv.doc_id, c.cid,
+                 list_dot_product(sv.v, c.cv) /
+                   (sqrt(list_dot_product(sv.v, sv.v)) *
+                    sqrt(list_dot_product(c.cv, c.cv))) AS sim
+          FROM sv CROSS JOIN cents c
+        ),
+        asg AS (
+          SELECT doc_id, cid, row_number() OVER (
+            PARTITION BY doc_id ORDER BY sim DESC, cid ASC) AS rk
+          FROM sims
+        ),
+        sel AS (
+          SELECT doc_id, cid AS cluster_id,
+                 row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY md5('d4:' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS rank
+          FROM asg WHERE rk = 1
+        )
+        SELECT sel.doc_id,
+               CAST(sel.cluster_id AS INTEGER) AS cluster_id,
+               CAST(sel.rank AS INTEGER) AS rank,
+               CAST(length(sv.clean_text) AS INTEGER) AS n_chars
+        FROM sel JOIN sv ON sv.doc_id = sel.doc_id
+        WHERE sel.rank <= 5
     """
 
 
@@ -6563,4 +6672,5 @@ def oracle_sql() -> dict[str, str]:
             FROM sel WHERE rank <= 10
         """,
         "mime_sniff": _mime_sniff_oracle(),
+        "training_corpus_v5": _training_corpus_v5_oracle(),
     }

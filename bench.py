@@ -153,6 +153,11 @@ EXTENDED = [
     "exif_meta",
     "url_templates",
     "readability",
+    "refinedweb_lines",
+    "zipf_fit",
+    "extraction_churn",
+    "cluster_sample",
+    "mime_sniff",
 ]
 
 

@@ -205,3 +205,17 @@ def test_mime_sniff_slices_before_hex(spark):
     assert r.mime == "application/pdf"
     assert len(r.sniff_hex) == 64            # 32 bytes, not 100 KB
     assert r.n_bytes == len(big)
+
+
+def test_training_corpus_v5_composition(spark):
+    import __spark_entry__ as e
+
+    out = e.q_training_corpus_v5(spark, "/root/testdata/sf0.001").collect()
+    # 8 survivor-derived clusters, at most 5 picks each
+    from collections import Counter
+    per = Counter(r.cluster_id for r in out)
+    assert set(per) <= set(range(8))
+    assert all(v <= 5 for v in per.values())
+    assert all(1 <= r.rank <= 5 for r in out)
+    assert len({r.doc_id for r in out}) == len(out)
+    assert all(r.n_chars > 0 for r in out)
