@@ -3053,6 +3053,45 @@ def q_training_corpus_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: weight = 1/n_copies per exact-dup cluster
+    instead of dropping — one digest-keyed map-combined count + one
+    co-partitioned equi join back (skewed viral-page digests are JOIN
+    keys, splittable by AQE, never a window partition).
+    operators/dedup.soft_dedup_weights."""
+    from htmlcleanup_spark.operators.dedup import soft_dedup_weights
+
+    return soft_dedup_weights(_docs(spark, sf_dir))
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: e6-floored ratios of exact
+    integer sums (chars / BPE-ish tokens / whitespace words), one
+    lang-keyed map-combined shuffle.
+    functions/text.token_fertility; the oracle regex is generated from
+    the same _BPE_ISH literal the Spark side uses."""
+    from htmlcleanup_spark.functions.text import token_fertility
+
+    return token_fertility(_docs(spark, sf_dir))
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: corpus-tagged lang x heuristic
+    prediction with document counts — the per-snapshot drift monitor
+    for the lang-ID stage.  One (tagged, pred)-keyed map-combined
+    groupBy over the zero-shuffle lang_id scores; the oracle reuses
+    the generated _lang_sql_parts CASE."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("lang").alias("tagged_lang"),
+            lang_id().alias("pred_lang"),
+        )
+        .groupBy("tagged_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3190,6 +3229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sample": q_cluster_sample,
         "mime_sniff": q_mime_sniff,
         "training_corpus_v5": q_training_corpus_v5,
+        "soft_dedup": q_soft_dedup,
+        "token_fertility": q_token_fertility,
+        "lang_confusion": q_lang_confusion,
     }
 
 
@@ -3327,6 +3369,54 @@ def _lang_sql_parts():
     pred = "CASE %s ELSE 'und' END" % " ".join(cases)
     best = "greatest(%s)" % ", ".join("s_%s" % L for L in _LANG_ORDER)
     return scores, pred, best
+
+
+def _token_fertility_oracle() -> str:
+    """DuckDB twin of functions.text.token_fertility — the BPE-ish
+    pre-tokenizer regex is interpolated from the same _BPE_ISH literal
+    the Spark side compiles, so the two can never drift."""
+    from htmlcleanup_spark.functions.text import _BPE_ISH
+
+    return f"""
+        WITH per AS (
+          SELECT lang,
+                 CAST(length(text) AS BIGINT) AS chars,
+                 CAST(len(regexp_extract_all(text, '{_BPE_ISH}'))
+                      AS BIGINT) AS toks,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS words
+          FROM documents
+        ),
+        g AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(chars) AS BIGINT) AS total_chars,
+                 CAST(sum(toks) AS BIGINT) AS total_tokens,
+                 CAST(sum(words) AS BIGINT) AS total_words
+          FROM per GROUP BY lang
+        )
+        SELECT lang, n_docs, total_chars, total_tokens, total_words,
+               CAST(floor(1e6 * CAST(total_chars AS DOUBLE)
+                    / CAST(greatest(total_tokens, 1) AS DOUBLE))
+                    AS BIGINT) AS chars_per_token_e6,
+               CAST(floor(1e6 * CAST(total_tokens AS DOUBLE)
+                    / CAST(greatest(total_words, 1) AS DOUBLE))
+                    AS BIGINT) AS tokens_per_word_e6
+        FROM g
+    """
+
+
+def _lang_confusion_oracle() -> str:
+    """DuckDB twin of q_lang_confusion, reusing the generated
+    _lang_sql_parts scores/CASE so the marker sets cannot drift."""
+    scores, pred, _ = _lang_sql_parts()
+    return f"""
+        WITH s AS (
+          SELECT lang AS tagged_lang, {scores}
+          FROM documents
+        )
+        SELECT tagged_lang, {pred} AS pred_lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM s GROUP BY tagged_lang, pred_lang
+    """
 
 
 def _lang_id_oracle() -> str:
@@ -6673,4 +6763,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mime_sniff": _mime_sniff_oracle(),
         "training_corpus_v5": _training_corpus_v5_oracle(),
+        "soft_dedup": """
+            WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+            c AS (SELECT digest, CAST(count(*) AS BIGINT) AS n_copies
+                  FROM d GROUP BY digest)
+            SELECT doc_id, digest, n_copies,
+                   CAST(floor(1e6 / CAST(n_copies AS DOUBLE)) AS BIGINT)
+                     AS weight_e6
+            FROM d JOIN c USING (digest)
+        """,
+        "token_fertility": _token_fertility_oracle(),
+        "lang_confusion": _lang_confusion_oracle(),
     }

@@ -158,6 +158,10 @@ EXTENDED = [
     "extraction_churn",
     "cluster_sample",
     "mime_sniff",
+    "training_corpus_v5",
+    "soft_dedup",
+    "token_fertility",
+    "lang_confusion",
 ]
 
 

@@ -853,3 +853,40 @@ def extraction_churn(df, id_col: str = "doc_id",
         ((rel > rel_change_max_e6) | (pdist > prefix_dist_max))
         .alias("churned"),
     )
+
+
+def token_fertility(df, text_col: str = "text", group_col: str = "lang"):
+    """Tokenizer-fertility accounting per group (the sizing table every
+    multilingual budget plan starts from: how many BPE-ish tokens a
+    character or whitespace word costs in each language — high fertility
+    means the tokenizer fragments that language and its effective
+    context window shrinks).
+
+    chars_per_token_e6 and tokens_per_word_e6 are e6-floored ratios of
+    EXACT integer sums (chars, BPE-ish tokens, whitespace words are all
+    integer counts aggregated with map-side combine), so the output is
+    bit-stable across engines and partitionings.  One group-keyed
+    shuffle."""
+    t = F.col(text_col)
+    per = df.select(
+        group_col,
+        F.length(t).cast("long").alias("_chars"),
+        F.size(F.regexp_extract_all(t, F.lit(_BPE_ISH), 0))
+        .cast("long").alias("_toks"),
+        F.size(F.split(t, " ")).cast("long").alias("_words"),
+    )
+    g = per.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_chars").alias("total_chars"),
+        F.sum("_toks").alias("total_tokens"),
+        F.sum("_words").alias("total_words"),
+    )
+    return g.select(
+        group_col, "n_docs", "total_chars", "total_tokens", "total_words",
+        F.floor(1e6 * F.col("total_chars").cast("double")
+                / F.greatest(F.col("total_tokens"), F.lit(1))
+                .cast("double")).cast("long").alias("chars_per_token_e6"),
+        F.floor(1e6 * F.col("total_tokens").cast("double")
+                / F.greatest(F.col("total_words"), F.lit(1))
+                .cast("double")).cast("long").alias("tokens_per_word_e6"),
+    )

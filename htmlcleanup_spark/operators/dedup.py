@@ -1003,3 +1003,32 @@ def host_line_dedup(df: DataFrame, id_col: str = "url",
             "n_lines_dropped", F.coalesce("n_lines_dropped", F.lit(0))
         )
     )
+
+
+def soft_dedup_weights(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Soft deduplication: instead of DROPPING exact duplicates, weight
+    every copy by 1/n_copies so the duplicated content contributes one
+    document's worth of gradient in expectation (the reweight-not-remove
+    alternative discussed alongside SlimPajama-style hard dedup —
+    preserves rare in-cluster variation that hard dedup's single
+    survivor loses).  Emits every row with (digest, n_copies,
+    weight_e6 = floor(1e6 / n_copies)) — integer-quantized so any
+    downstream sum of weights is engine-portable.
+
+    Scale: one md5-digest map-combined count (the dedup_exact shuffle)
+    + one digest-keyed equi join back.  Both sides co-partition on the
+    digest; a mega-cluster (one viral page duplicated 10^9 times) is a
+    skewed JOIN key, which AQE's skew-join split handles (unlike a
+    window partition, which nothing can split — the reason this is a
+    join, not a count() window)."""
+    digest = F.md5(F.col(text_col)).alias("digest")
+    docs = df.select(F.col(id_col), digest)
+    counts = docs.groupBy("digest").agg(
+        F.count("*").cast("long").alias("n_copies")
+    )
+    return docs.join(counts, "digest").select(
+        id_col, "digest", "n_copies",
+        F.floor(1e6 / F.col("n_copies").cast("double"))
+        .cast("long").alias("weight_e6"),
+    )

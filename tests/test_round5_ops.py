@@ -219,3 +219,48 @@ def test_training_corpus_v5_composition(spark):
     assert all(1 <= r.rank <= 5 for r in out)
     assert len({r.doc_id for r in out}) == len(out)
     assert all(r.n_chars > 0 for r in out)
+
+
+def test_soft_dedup_weights(spark):
+    from htmlcleanup_spark.operators.dedup import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [(0, "aaa"), (1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "ccc")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in soft_dedup_weights(df).collect()}
+    assert out[0].n_copies == 3 and out[0].weight_e6 == 333_333
+    assert out[0].digest == out[1].digest == out[2].digest
+    assert out[3].n_copies == 1 and out[3].weight_e6 == 1_000_000
+    # every row survives (reweight, never remove)
+    assert len(out) == 5
+
+
+def test_token_fertility_integer_ratios(spark):
+    from htmlcleanup_spark.functions.text import token_fertility
+
+    df = spark.createDataFrame(
+        [(0, "hello world", "en"), (1, "a b c, d!", "en"),
+         (2, "xx", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in token_fertility(df).collect()}
+    en = out["en"]
+    assert en.n_docs == 2
+    assert en.total_chars == len("hello world") + len("a b c, d!")
+    # BPE-ish: 'hello'' world' = 2; 'a'' b'' c'','' d''!' = 6
+    assert en.total_tokens == 8
+    assert en.total_words == 2 + 4
+    assert en.chars_per_token_e6 == (en.total_chars * 10**6) // en.total_tokens
+    assert en.tokens_per_word_e6 == (en.total_tokens * 10**6) // en.total_words
+
+
+def test_lang_confusion_counts(spark):
+    import __spark_entry__ as e
+
+    out = e.q_lang_confusion(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_docs for r in out)
+    assert total == 500
+    # the matrix is keyed uniquely
+    keys = [(r.tagged_lang, r.pred_lang) for r in out]
+    assert len(keys) == len(set(keys))
