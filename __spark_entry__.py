@@ -3092,6 +3092,41 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reciprocal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host reciprocity over the synthetic host webgraph (the
+    host_degrees edge bands: src h(d%10) -> dst h((3d+1)%10), plus a
+    self-loop band the operator must exclude).  A multiplicative-
+    inverse structure: 3*dst+1 reciprocates only for specific residues,
+    so the ratio varies by host.
+    operators/links.reciprocal_link_stats — pair-keyed distinct +
+    reversed left-semi self-join + one src rollup."""
+    from htmlcleanup_spark.operators.links import reciprocal_link_stats
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    h = lambda e: F.concat(F.lit("h"), e.cast("string"))  # noqa: E731
+    edges = d.select(
+        h(did % 10).alias("src_host"),
+        h((did * 3 + 1) % 10).alias("dst_host"),
+    ).unionAll(
+        d.filter(did % 7 == 0).select(
+            h(did % 10).alias("src_host"),
+            h(did % 10).alias("dst_host"),
+        )
+    )
+    return reciprocal_link_stats(edges)
+
+
+def q_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-shape JSONL shard export over the real documents table —
+    hand-assembled JSON lines with the explicit JSON_ESCAPES chain so
+    shard bytes are engine- and run-stable.
+    operators/corpus.jsonl_export — pure column exprs, zero shuffle."""
+    from htmlcleanup_spark.operators.corpus import jsonl_export
+
+    return jsonl_export(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3232,6 +3267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": q_soft_dedup,
         "token_fertility": q_token_fertility,
         "lang_confusion": q_lang_confusion,
+        "reciprocal_links": q_reciprocal_links,
+        "jsonl_export": q_jsonl_export,
     }
 
 
@@ -3416,6 +3453,30 @@ def _lang_confusion_oracle() -> str:
         SELECT tagged_lang, {pred} AS pred_lang,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM s GROUP BY tagged_lang, pred_lang
+    """
+
+
+def _jsonl_export_oracle() -> str:
+    """DuckDB twin of operators.corpus.jsonl_export — the escape chain
+    is generated from JSON_ESCAPES in the same order."""
+    from htmlcleanup_spark.operators.corpus import JSON_ESCAPES
+
+    def esc(col):
+        # DuckDB single-quoted literals are NOT backslash-escaped: a
+        # raw backslash/quote pair char goes in verbatim; control chars
+        # render as chr(n) for readability.
+        for a, b in JSON_ESCAPES:
+            aa = f"chr({ord(a)})" if a in ("\n", "\r", "\t") else f"'{a}'"
+            col = f"replace({col}, {aa}, '{b}')"
+        return col
+
+    return f"""
+        SELECT CAST(doc_id % 8 AS INTEGER) AS shard, doc_id,
+               '{{"id": ' || CAST(doc_id AS VARCHAR)
+               || ', "text": "' || {esc('text')}
+               || '", "source": "' || {esc('source')}
+               || '"}}' AS line
+        FROM documents
     """
 
 
@@ -6774,4 +6835,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_fertility": _token_fertility_oracle(),
         "lang_confusion": _lang_confusion_oracle(),
+        "reciprocal_links": """
+            WITH raw AS (
+              SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS src_host,
+                     'h' || CAST((doc_id * 3 + 1) % 10 AS VARCHAR)
+                       AS dst_host
+              FROM documents
+              UNION ALL
+              SELECT 'h' || CAST(doc_id % 10 AS VARCHAR),
+                     'h' || CAST(doc_id % 10 AS VARCHAR)
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            pairs AS (
+              SELECT DISTINCT src_host, dst_host
+              FROM raw WHERE src_host <> dst_host
+            ),
+            recip AS (
+              SELECT p.src_host, p.dst_host
+              FROM pairs p
+              WHERE EXISTS (SELECT 1 FROM pairs r
+                            WHERE r.src_host = p.dst_host
+                              AND r.dst_host = p.src_host)
+            ),
+            o AS (SELECT src_host, CAST(count(*) AS BIGINT) AS n_out
+                  FROM pairs GROUP BY src_host),
+            rc AS (SELECT src_host, CAST(count(*) AS BIGINT) AS n_recip
+                   FROM recip GROUP BY src_host)
+            SELECT o.src_host, o.n_out,
+                   CAST(coalesce(rc.n_recip, 0) AS BIGINT) AS n_recip,
+                   CAST(floor(1e6 * CAST(coalesce(rc.n_recip, 0)
+                                         AS DOUBLE)
+                        / CAST(o.n_out AS DOUBLE)) AS BIGINT)
+                     AS reciprocity_e6
+            FROM o LEFT JOIN rc USING (src_host)
+        """,
+        "jsonl_export": _jsonl_export_oracle(),
     }

@@ -162,6 +162,8 @@ EXTENDED = [
     "soft_dedup",
     "token_fertility",
     "lang_confusion",
+    "reciprocal_links",
+    "jsonl_export",
 ]
 
 

@@ -22,7 +22,8 @@ __all__ = ["c4_filter", "sentence_split", "quality_classifier",
            "deterministic_shuffle", "bpe_pair_counts",
            "doc_line_dedup", "learn_bpe", "apply_bpe",
            "badwords_filter", "BADWORD_MARKERS",
-           "refinedweb_line_rules", "COUNTER_NOUNS"]
+           "refinedweb_line_rules", "COUNTER_NOUNS",
+           "jsonl_export", "JSON_ESCAPES"]
 
 # C4's line filter: terminal punctuation (the paper keeps lines ending
 # in a terminal punctuation mark; '"' covers quoted dialogue endings)
@@ -469,4 +470,51 @@ def refinedweb_line_rules(df: DataFrame, text_col: str = "text",
         (F.size(lines) - F.size(kept)).cast("int").alias("n_lines_removed"),
         ratio.alias("removed_ratio_e6"),
         (ratio <= max_removed_ratio_e6).alias("keep"),
+    )
+
+
+# minimal JSON string-escape set: structural chars plus the control
+# chars that occur in extracted text.  Replacement ORDER is load-bearing
+# (backslash first); the DuckDB oracle chains the same replaces in the
+# same order.
+JSON_ESCAPES = (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                ("\r", "\\r"), ("\t", "\\t"))
+
+
+def jsonl_export(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", source_col: str = "source",
+                 n_shards: int = 8) -> DataFrame:
+    """Dolma-shape JSONL training-shard export: each document becomes
+    one hand-assembled JSON line ``{"id": ..., "text": "...",
+    "source": "..."}`` with a deterministic shard assignment
+    (``id % n_shards``) — the format-conversion step between the
+    curated corpus and a trainer's data loader.
+
+    The JSON is built by string concat over an explicit escape chain
+    (JSON_ESCAPES, backslash first) rather than an engine to_json so
+    the bytes are identical across engines and runs — a JSONL shard is
+    a training artifact whose stability matters (hash-pinned data
+    cards).  Escapes cover the chars extraction emits (structural +
+    \\n \\r \\t); exotic C0 controls are upstream-normalized
+    (functions/charset.normalize_text).
+
+    Scale: pure column expressions, zero shuffle — write with
+    ``.write.partitionBy("shard")`` and each shard lands as its own
+    file set; at corpus scale repartition(n_shards, "shard") first so
+    each shard is one writer's sequential stream."""
+    def esc(c):
+        for a, b in JSON_ESCAPES:
+            c = F.replace(c, F.lit(a), F.lit(b))
+        return c
+
+    line = F.concat(
+        F.lit('{"id": '), F.col(id_col).cast("string"),
+        F.lit(', "text": "'), esc(F.col(text_col)),
+        F.lit('", "source": "'), esc(F.col(source_col)),
+        F.lit('"}'),
+    )
+    return df.select(
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.col(id_col),
+        line.alias("line"),
     )

@@ -526,3 +526,50 @@ def host_degrees(edges: DataFrame, src_col: str = "src_host",
         F.coalesce(F.col("n_out_links"), z).alias("n_out_links"),
         F.coalesce(F.col("n_in_links"), z).alias("n_in_links"),
     )
+
+
+def reciprocal_link_stats(edges: DataFrame, src_col: str = "src_host",
+                          dst_col: str = "dst_host") -> DataFrame:
+    """Per-host link reciprocity — the classic link-exchange / spam-farm
+    signal (TrustRank-adjacent: organic hosts have low reciprocity,
+    farms that trade links approach 1.0).  For each source host: the
+    number of DISTINCT outbound neighbor hosts, how many of those link
+    back, and the e6-floored reciprocity ratio.  Self-loops are
+    excluded before counting.
+
+    Scale: dedup to distinct directed pairs (one (src,dst)-keyed
+    map-combined shuffle — a mega-host contributes one row per
+    neighbor, not per link), then a left-semi self-join against the
+    REVERSED pair set (both sides hash on their pair key, so the
+    exchange spreads by neighbor, never by host), then one src-keyed
+    map-combined rollup.  No window, no broadcast of anything
+    host-sized."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    pairs = (
+        edges.filter(src != dst).select(src_col, dst_col).distinct()
+    )
+    rev = pairs.select(
+        F.col(dst_col).alias(src_col), F.col(src_col).alias(dst_col)
+    )
+    recip = pairs.join(rev, [src_col, dst_col], "left_semi")
+    out = pairs.groupBy(src_col).agg(
+        F.count("*").cast("long").alias("n_out")
+    )
+    rc = recip.groupBy(src_col).agg(
+        F.count("*").cast("long").alias("n_recip")
+    )
+    return (
+        out.join(rc, src_col, "left")
+        .select(
+            src_col, "n_out",
+            F.coalesce(F.col("n_recip"), F.lit(0)).cast("long")
+            .alias("n_recip"),
+        )
+        .withColumn(
+            "reciprocity_e6",
+            F.floor(
+                1e6 * F.col("n_recip").cast("double")
+                / F.col("n_out").cast("double")
+            ).cast("long"),
+        )
+    )

@@ -264,3 +264,49 @@ def test_lang_confusion_counts(spark):
     # the matrix is keyed uniquely
     keys = [(r.tagged_lang, r.pred_lang) for r in out]
     assert len(keys) == len(set(keys))
+
+
+def test_reciprocal_link_stats(spark):
+    from htmlcleanup_spark.operators.links import reciprocal_link_stats
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # reciprocated pair
+            ("a", "b"),                      # duplicate edge (distinct)
+            ("a", "c"),                      # one-way
+            ("c", "c"),                      # self-loop, excluded
+            ("d", "a"),                      # one-way into a
+        ],
+        "src_host string, dst_host string",
+    )
+    out = {r.src_host: r for r in reciprocal_link_stats(edges).collect()}
+    assert out["a"].n_out == 2 and out["a"].n_recip == 1
+    assert out["a"].reciprocity_e6 == 500_000
+    assert out["b"].n_out == 1 and out["b"].n_recip == 1
+    assert out["b"].reciprocity_e6 == 1_000_000
+    assert out["d"].n_out == 1 and out["d"].n_recip == 0
+    assert "c" not in out                    # only a self-loop -> no rows
+
+
+def test_jsonl_export_escapes_and_shards(spark):
+    import json
+
+    from htmlcleanup_spark.operators.corpus import jsonl_export
+
+    df = spark.createDataFrame(
+        [
+            (0, 'plain text', 'web'),
+            (9, 'quote " and \\ backslash', 'web'),
+            (3, 'line1\nline2\ttabbed\rcr', 's"rc'),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in jsonl_export(df).collect()}
+    assert out[9].shard == 1 and out[0].shard == 0 and out[3].shard == 3
+    # every line round-trips through a real JSON parser
+    for i, row in out.items():
+        obj = json.loads(row.line)
+        assert obj["id"] == i
+    assert json.loads(out[9].line)["text"] == 'quote " and \\ backslash'
+    assert json.loads(out[3].line)["text"] == 'line1\nline2\ttabbed\rcr'
+    assert json.loads(out[3].line)["source"] == 's"rc'
