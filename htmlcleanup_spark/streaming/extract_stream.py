@@ -293,3 +293,34 @@ def capture_history_stream(captures: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ingest_route_stream(pages: DataFrame,
+                        payload_col: str = "payload",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Streaming ingest router: magic-byte MIME sniff over raw crawl
+    payloads routes each record; the textual branch (text/html,
+    text/plain) is decoded and repaired with the RefinedWeb line
+    corrections, non-text media fall out of this stream (they route to
+    the media pipelines by the same ``mime`` key).  Every stage is a
+    stateless projection — sniff, filter, decode, line-repair — so
+    this is the batch code running under readStream: no state store,
+    no watermark, no join-back (mime_sniff's ``keep_cols`` carries the
+    payload through, which is what makes the router join-free).
+    Input schema: (doc_id, payload:binary)."""
+    from pyspark.sql import functions as F
+
+    from htmlcleanup_spark.operators.corpus import refinedweb_line_rules
+    from htmlcleanup_spark.operators.multimodal import mime_sniff
+
+    sniffed = mime_sniff(pages, payload_col=payload_col, id_col=id_col,
+                         keep_cols=(payload_col,))
+    text_docs = sniffed.filter(
+        F.col("mime").isin("text/html", "text/plain")
+    ).select(
+        id_col, "mime",
+        F.decode(F.col(payload_col), "UTF-8").alias("text"),
+    )
+    return refinedweb_line_rules(text_docs, id_col=id_col).filter(
+        "keep"
+    ).select(id_col, "clean_text", "n_lines_removed")

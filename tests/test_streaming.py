@@ -299,3 +299,49 @@ def test_capture_history_stream_matches_batch_open_events(spark, tmp_path):
         "SELECT * FROM cap_hist_s").collect()))
     assert got == expected
     assert len(got) == 5 * 3 - 2   # even urls 3 versions, odd urls 2
+
+
+def test_ingest_route_stream_matches_batch(spark, tmp_path):
+    """The MIME-routing + RefinedWeb-repair ingest head produces
+    identical rows batch vs stream over the same mixed-media corpus."""
+    from pyspark.sql import functions as F
+
+    from htmlcleanup_spark.streaming.extract_stream import (
+        ingest_route_stream,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    did = F.col("doc_id")
+    # three bands: PDF magic (routed away), html-ish text with a
+    # counter line (kept + repaired), plain text (kept, untouched)
+    payload = (
+        F.when(did % 3 == 0, F.concat(
+            F.lit(b"%PDF-"), F.encode(F.col("text"), "UTF-8")))
+        .when(did % 3 == 1, F.encode(
+            F.concat(F.lit("<!DOCTYPE html>ok line one.\n3 likes\n"),
+                     F.col("text")), "UTF-8"))
+        .otherwise(F.encode(F.col("text"), "UTF-8"))
+    )
+    docs = base.select("doc_id", payload.alias("payload"))
+    src = str(tmp_path / "mixed")
+    docs.write.parquet(src)
+
+    expected = {(r.doc_id, r.clean_text, r.n_lines_removed)
+                for r in ingest_route_stream(docs).collect()}
+    assert expected, "batch twin produced no rows"
+    assert all(d % 3 != 0 for d, _, _ in expected)   # PDFs routed away
+    assert any(n > 0 for _, _, n in expected)        # repairs happened
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        ingest_route_stream(stream)
+        .writeStream.format("memory")
+        .queryName("route_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.clean_text, r.n_lines_removed)
+           for r in spark.sql("SELECT * FROM route_stream").collect()}
+    assert got == expected
