@@ -3127,6 +3127,30 @@ def q_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsonl_export(_docs(spark, sf_dir))
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profile over script-injected bands (Cyrillic /
+    Greek / Han / Arabic tails appended to the Latin corpus text by
+    doc_id residue, one band left pure) — dominant-script fold and the
+    integer cross-multiplied mixed flag.
+    functions/text.script_mix — pure column exprs, zero shuffle; the
+    oracle classes are generated from the same SCRIPTS tuple (Java
+    IsX -> RE2 X spelling)."""
+    from htmlcleanup_spark.functions.text import script_mix
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    tail = (
+        F.when(did % 5 == 0, F.lit(" \u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"))
+        .when(did % 5 == 1, F.lit(" \u03b1\u03b2\u03b3 \u03b4\u03b5\u03b6"))
+        .when(did % 5 == 2, F.lit(" \u6f22\u5b57"))
+        .when(did % 5 == 3, F.lit(" \u0645\u0631\u062d\u0628\u0627"))
+        .otherwise(F.lit(""))
+    )
+    return script_mix(
+        d.select("doc_id", F.concat(F.col("text"), tail).alias("text"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3269,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "reciprocal_links": q_reciprocal_links,
         "jsonl_export": q_jsonl_export,
+        "script_mix": q_script_mix,
     }
 
 
@@ -3477,6 +3502,62 @@ def _jsonl_export_oracle() -> str:
                || '", "source": "' || {esc('source')}
                || '"}}' AS line
         FROM documents
+    """
+
+
+def _script_mix_oracle() -> str:
+    """DuckDB twin of functions.text.script_mix over the same injected
+    bands — per-script classes and the dominance fold are generated
+    from the SCRIPTS tuple (RE2 spells the property \\p{Latin} where
+    Java spells \\p{IsLatin})."""
+    from htmlcleanup_spark.functions.text import SCRIPTS
+
+    cnts = ",\n".join(
+        "CAST(length(text) - length(regexp_replace(text,"
+        " '[\\p{%s}]', '', 'g')) AS BIGINT) AS n_%s" % (s, s.lower())
+        for s in SCRIPTS
+    )
+    total = " + ".join("n_%s" % s.lower() for s in SCRIPTS)
+    cases = []
+    for s in SCRIPTS:
+        conds = ["n_%s > 0" % s.lower()] + [
+            "n_%s >= n_%s" % (s.lower(), o.lower())
+            for o in SCRIPTS if o != s
+        ]
+        cases.append("WHEN %s THEN '%s'" % (" AND ".join(conds),
+                                            s.lower()))
+    dom = "CASE %s ELSE 'none' END" % " ".join(cases)
+    dom_n = "CASE %s ELSE 0 END" % " ".join(
+        "WHEN %s THEN n_%s" % (
+            " AND ".join(["n_%s > 0" % s.lower()] + [
+                "n_%s >= n_%s" % (s.lower(), o.lower())
+                for o in SCRIPTS if o != s
+            ]), s.lower())
+        for s in SCRIPTS
+    )
+    return f"""
+        WITH banded AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 5
+                   WHEN 0 THEN ' \u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440'
+                   WHEN 1 THEN ' \u03b1\u03b2\u03b3 \u03b4\u03b5\u03b6'
+                   WHEN 2 THEN ' \u6f22\u5b57'
+                   WHEN 3 THEN ' \u0645\u0631\u062d\u0628\u0627'
+                   ELSE ''
+                 END AS text
+          FROM documents
+        ),
+        c AS (SELECT doc_id, {cnts} FROM banded),
+        d AS (SELECT *, CAST({total} AS BIGINT) AS n_scripted,
+                     {dom} AS dominant_script,
+                     CAST({dom_n} AS BIGINT) AS _dom_n
+              FROM c)
+        SELECT doc_id, {", ".join("n_%s" % s.lower() for s in SCRIPTS)},
+               n_scripted, dominant_script,
+               ((n_scripted - _dom_n) * 1000000
+                  > {100000} * n_scripted
+                AND n_scripted > 0) AS mixed
+        FROM d
     """
 
 
@@ -6870,4 +6951,5 @@ def oracle_sql() -> dict[str, str]:
             FROM o LEFT JOIN rc USING (src_host)
         """,
         "jsonl_export": _jsonl_export_oracle(),
+        "script_mix": _script_mix_oracle(),
     }

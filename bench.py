@@ -164,6 +164,7 @@ EXTENDED = [
     "lang_confusion",
     "reciprocal_links",
     "jsonl_export",
+    "script_mix",
 ]
 
 

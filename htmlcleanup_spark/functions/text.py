@@ -890,3 +890,56 @@ def token_fertility(df, text_col: str = "text", group_col: str = "lang"):
                 / F.greatest(F.col("total_words"), F.lit(1))
                 .cast("double")).cast("long").alias("tokens_per_word_e6"),
     )
+
+
+# Unicode scripts profiled by script_mix, in dominance tie-break order.
+# Java spells the property \p{IsLatin}, RE2 (the DuckDB oracle dialect)
+# \p{Latin}; the oracle generator strips the Is prefix — same classes.
+SCRIPTS = ("Latin", "Cyrillic", "Greek", "Han", "Arabic")
+
+
+def script_mix(df, text_col: str = "text", id_col: str = "doc_id",
+               mixed_min_e6: int = 100_000):
+    """Unicode-script profile per document — the precursor signal to
+    language ID and a direct spam/spoofing detector (mixed-script
+    tokens are the classic homoglyph trick; a "Latin" page that is 30%
+    Cyrillic is either misrouted or adversarial).
+
+    Per doc: a letter count for each of SCRIPTS (strip-count — length
+    minus length with the script class removed), the scripted total,
+    the dominant script (first in SCRIPTS order to reach the max — the
+    deterministic fold, 'none' when no scripted chars), and a
+    ``mixed`` flag that fires when the NON-dominant scripts carry more
+    than ``mixed_min_e6`` (default 10%) of scripted chars — an integer
+    cross-multiply, never a float ratio.
+
+    Pure column expressions, zero shuffle, codegen-resident."""
+    t = F.col(text_col)
+    cnt = {
+        s: (F.length(t)
+            - F.length(F.regexp_replace(t, "[\\p{Is%s}]" % s, "")))
+        .cast("long")
+        for s in SCRIPTS
+    }
+    total = None
+    for s in SCRIPTS:
+        total = cnt[s] if total is None else total + cnt[s]
+    dom = F.lit("none")
+    dom_n = F.lit(0).cast("long")
+    # fold from the END so the FIRST script in SCRIPTS wins ties
+    for s in reversed(SCRIPTS):
+        ge_all = None
+        for o in SCRIPTS:
+            c = cnt[s] >= cnt[o]
+            ge_all = c if ge_all is None else (ge_all & c)
+        take = (cnt[s] > 0) & ge_all
+        dom = F.when(take, F.lit(s.lower())).otherwise(dom)
+        dom_n = F.when(take, cnt[s]).otherwise(dom_n)
+    mixed = (total - dom_n) * 1_000_000 > F.lit(mixed_min_e6) * total
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[cnt[s].alias("n_" + s.lower()) for s in SCRIPTS],
+        total.alias("n_scripted"),
+        dom.alias("dominant_script"),
+        (mixed & (total > 0)).alias("mixed"),
+    )

@@ -310,3 +310,28 @@ def test_jsonl_export_escapes_and_shards(spark):
     assert json.loads(out[9].line)["text"] == 'quote " and \\ backslash'
     assert json.loads(out[3].line)["text"] == 'line1\nline2\ttabbed\rcr'
     assert json.loads(out[3].line)["source"] == 's"rc'
+
+
+def test_script_mix_profile(spark):
+    from htmlcleanup_spark.functions.text import script_mix
+
+    df = spark.createDataFrame(
+        [
+            (0, "plain latin words only"),
+            (1, "Привет мир"),
+            (2, "latin with Привет mixed in"),
+            (3, "1234 ... !!"),                       # no scripted chars
+            (4, "ab 漢字"),                   # Han ties broken by count
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in script_mix(df).collect()}
+    assert out[0].dominant_script == "latin" and out[0].mixed is False
+    assert out[1].dominant_script == "cyrillic" and out[1].n_cyrillic == 9
+    assert out[1].mixed is False
+    assert out[2].dominant_script == "latin" and out[2].mixed is True
+    assert out[3].dominant_script == "none" and out[3].mixed is False
+    assert out[3].n_scripted == 0
+    # 2 latin vs 2 han: tie -> first in SCRIPTS order (latin) wins
+    assert out[4].dominant_script == "latin" and out[4].n_han == 2
+    assert out[4].mixed is True
