@@ -366,13 +366,19 @@ def test_host_graph_plan_is_single_pair_keyed_aggregate(spark):
     # two-phase exact-distinct aggregate: first exchange keyed
     # (pair + distinct cols + gid) — spreads even a mega host-pair —
     # then the pair-keyed final; nothing else shuffles
-    assert re.search(
-        r"hashpartitioning\(src_host#\d+, host#\d+, url#\d+, src_doc#\d+",
-        plan,
-    )
-    assert re.search(r"hashpartitioning\(src_host#\d+, host#\d+, \d+\)",
-                     plan)
-    assert plan.count("Exchange hashpartitioning") == 2
+    # key ORDER inside hashpartitioning is not a Spark contract (it
+    # flipped between runs under the full suite) — assert membership:
+    # one exchange carries pair + BOTH distinct cols (the spread), one
+    # carries the bare pair (the final)
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 2, plan
+    spread = [e for e in exchanges
+              if "url#" in e and "src_doc#" in e
+              and "src_host#" in e and "host#" in e]
+    final = [e for e in exchanges
+             if "url#" not in e and "src_doc#" not in e
+             and "src_host#" in e and "host#" in e]
+    assert len(spread) == 1 and len(final) == 1, exchanges
 
 
 def test_url_path_templates_trap_detection(spark):
