@@ -3151,6 +3151,22 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of the IVF index against exact brute force —
+    the index-quality gate, same query band as the other ANN queries.
+    operators/ann.ann_recall_report; the oracle composes the exact and
+    IVF oracle pipelines verbatim as CTEs."""
+    from htmlcleanup_spark.operators import ann as _ann
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return _ann.ann_recall_report(emb, queries_df, k=10,
+                                  n_centroids=16, nprobe=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3294,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocal_links": q_reciprocal_links,
         "jsonl_export": q_jsonl_export,
         "script_mix": q_script_mix,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -4265,7 +4282,7 @@ def oracle_sql() -> dict[str, str]:
     dirty_post = _sql_concat_literal(_WRAP_POST)
     clean_pre = _sql_concat_literal(_CLEAN_PRE)
     clean_post = _sql_concat_literal(_CLEAN_POST)
-    return {
+    d = {
         # input is the DIRTY wrap; the oracle reconstructs the CLEAN wrap
         # the cascade must produce (P1,P2,D2,D3,I4,S3,S5 all fire per doc)
         "clean_documents": f"""
@@ -6953,3 +6970,23 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_export": _jsonl_export_oracle(),
         "script_mix": _script_mix_oracle(),
     }
+    # COMPOSED oracle: the recall report reuses the exact brute-force and
+    # IVF oracle pipelines verbatim as subquery CTEs, so the three can
+    # never drift apart.
+    d["ann_recall"] = f"""
+        WITH exact AS (SELECT query_id, neighbor_id
+                       FROM ({d['ann_cosine_topk']})),
+        approx AS (SELECT query_id, neighbor_id
+                   FROM ({d['ann_ivf_topk']})),
+        qs AS (SELECT DISTINCT query_id FROM exact),
+        h AS (SELECT a.query_id, count(*) AS n_hit
+              FROM approx a JOIN exact e
+                USING (query_id, neighbor_id)
+              GROUP BY a.query_id)
+        SELECT qs.query_id,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST(floor(1e6 * CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                    / 10.0) AS BIGINT) AS recall_e6
+        FROM qs LEFT JOIN h USING (query_id)
+    """
+    return d

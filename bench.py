@@ -165,6 +165,7 @@ EXTENDED = [
     "reciprocal_links",
     "jsonl_export",
     "script_mix",
+    "ann_recall",
 ]
 
 

@@ -1068,3 +1068,45 @@ def cluster_sample(embeddings: DataFrame, n_centroids: int = 16,
         )
     )
     return ranked.filter(F.col("rank") <= cap)
+
+
+def ann_recall_report(embeddings: DataFrame, queries: DataFrame,
+                      k: int = 10, n_centroids: int = 16,
+                      nprobe: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Index-quality gate: per-query recall@k of the IVF index against
+    the exact brute-force ranking — the measurement every ANN rollout
+    runs before swapping an index into production (approximate search
+    that silently lost recall corrupts dedup/curation downstream).
+
+    recall@k = |approx top-k ∩ exact top-k| / k, e6-floored; queries
+    with zero overlap keep a row (left join from the exact side).
+
+    Scale: both rankings are the already-cut pipelines (partition-local
+    top-k); the intersection is one (query_id, neighbor_id)-keyed
+    left-semi-shaped equi join over ~Q*k rows — tiny next to either
+    search.  At production scale run it on a query SAMPLE; the plan is
+    unchanged."""
+    exact = cosine_topk(embeddings, queries, k=k,
+                        id_col=id_col, vec_col=vec_col)
+    approx = ivf_cosine_topk(embeddings, queries, k=k,
+                             n_centroids=n_centroids, nprobe=nprobe,
+                             id_col=id_col, vec_col=vec_col)
+    hits_ = approx.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).groupBy("query_id").agg(F.count("*").cast("long").alias("n_hit"))
+    qs = exact.select("query_id").distinct()
+    return (
+        qs.join(hits_, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+            .alias("n_hit"),
+        )
+        .withColumn(
+            "recall_e6",
+            F.floor(1e6 * F.col("n_hit").cast("double") / float(k))
+            .cast("long"),
+        )
+    )

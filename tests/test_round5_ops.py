@@ -335,3 +335,28 @@ def test_script_mix_profile(spark):
     # 2 latin vs 2 han: tie -> first in SCRIPTS order (latin) wins
     assert out[4].dominant_script == "latin" and out[4].n_han == 2
     assert out[4].mixed is True
+
+
+def test_ann_recall_report(spark):
+    from htmlcleanup_spark.operators.ann import ann_recall_report
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter("vec_id % 20 = 0").select(
+        df.vec_id.alias("query_id"), df.embedding.alias("query_vec"))
+    out = {r.query_id: r for r in ann_recall_report(
+        df, qs, k=5, n_centroids=4, nprobe=4).collect()}
+    # nprobe == n_centroids -> IVF scans everything -> perfect recall
+    assert len(out) == 4
+    assert all(r.n_hit == 5 and r.recall_e6 == 1_000_000
+               for r in out.values())
+    part = {r.query_id: r for r in ann_recall_report(
+        df, qs, k=5, n_centroids=4, nprobe=1).collect()}
+    # pruned probes can only lose recall, and every query keeps a row
+    assert len(part) == 4
+    assert all(0 <= r.n_hit <= 5 for r in part.values())
+    assert all(r.recall_e6 == r.n_hit * 200_000 for r in part.values())
