@@ -3167,6 +3167,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   n_centroids=16, nprobe=8)
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded eval-overlap accounting (the threshold-setting twin of
+    decontaminate): same doc_id%97 eval band, per-doc distinct-shingle
+    counts, hits, and e6 overlap fraction — band docs self-report
+    1.0, clean docs 0.
+    operators/dedup.contamination_report — eval shingles broadcast,
+    one id-keyed combine; zero big-table shuffle."""
+    from htmlcleanup_spark.operators.dedup import contamination_report
+
+    d = _docs(spark, sf_dir)
+    return contamination_report(d, d.filter(F.col("doc_id") % 97 == 0))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3311,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_export": q_jsonl_export,
         "script_mix": q_script_mix,
         "ann_recall": q_ann_recall,
+        "contamination_report": q_contamination_report,
     }
 
 
@@ -6969,6 +6983,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jsonl_export": _jsonl_export_oracle(),
         "script_mix": _script_mix_oracle(),
+        "contamination_report": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            idx AS (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 7)) AS i
+                    FROM w),
+            sh AS (SELECT DISTINCT doc_id,
+                          md5(array_to_string(list_slice(ws, i, i + 7),
+                                              ' ')) AS skey
+                   FROM idx),
+            ev AS (SELECT DISTINCT skey FROM sh WHERE doc_id % 97 = 0),
+            per AS (
+              SELECT s.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_shingles,
+                     CAST(sum(CASE WHEN e.skey IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+              FROM sh s LEFT JOIN ev e USING (skey)
+              GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_shingles, 0) AS BIGINT)
+                     AS n_shingles,
+                   CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+                   CAST(floor(1e6 * CAST(coalesce(p.n_hit, 0) AS DOUBLE)
+                        / CAST(greatest(coalesce(p.n_shingles, 0), 1)
+                               AS DOUBLE)) AS BIGINT) AS overlap_e6
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
     }
     # COMPOSED oracle: the recall report reuses the exact brute-force and
     # IVF oracle pipelines verbatim as subquery CTEs, so the three can

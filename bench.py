@@ -166,6 +166,7 @@ EXTENDED = [
     "jsonl_export",
     "script_mix",
     "ann_recall",
+    "contamination_report",
 ]
 
 

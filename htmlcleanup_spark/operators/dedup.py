@@ -1032,3 +1032,54 @@ def soft_dedup_weights(df: DataFrame, text_col: str = "text",
         F.floor(1e6 / F.col("n_copies").cast("double"))
         .cast("long").alias("weight_e6"),
     )
+
+
+def contamination_report(df: DataFrame, eval_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 8) -> DataFrame:
+    """Graded contamination accounting — the threshold-setting twin of
+    :func:`decontaminate` (The Pile drops on OVERLAP FRACTION, not
+    any-hit; you can't pick the threshold without this distribution).
+    Per train doc: distinct k-shingle count, how many of those appear
+    in the eval corpus, and the e6-floored overlap fraction.  Docs too
+    short to shingle keep a zeroed row.
+
+    Same scale shape as decontaminate: the eval shingle set broadcasts,
+    the train shingle stream is probed map-side (broadcast LEFT join —
+    zero shuffle of the big table), and the only exchange is the
+    id-keyed map-combined rollup."""
+    ev = (
+        shingles(eval_df, text_col=text_col, id_col=id_col, k=k)
+        .select(F.md5("shingle").alias("skey"))
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    doc_sh = shingles(df, text_col=text_col, id_col=id_col, k=k).select(
+        F.col(id_col), F.md5("shingle").alias("skey")
+    )
+    per = (
+        doc_sh.join(F.broadcast(ev), "skey", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+            .alias("n_hit"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long")
+            .alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "overlap_e6",
+            F.floor(
+                1e6 * F.col("n_hit").cast("double")
+                / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double")
+            ).cast("long"),
+        )
+    )

@@ -360,3 +360,26 @@ def test_ann_recall_report(spark):
     assert len(part) == 4
     assert all(0 <= r.n_hit <= 5 for r in part.values())
     assert all(r.recall_e6 == r.n_hit * 200_000 for r in part.values())
+
+
+def test_contamination_report_fractions(spark):
+    from htmlcleanup_spark.operators.dedup import contamination_report
+
+    train = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),     # 3 distinct 8-shingles
+            (1, "one two three four five six seven eight nine"),
+            (2, "short doc"),               # too short to shingle
+            (3, "x a b c d e f g h tail"),  # shares shingle 'a..h'
+        ],
+        "doc_id long, text string",
+    )
+    ev = train.filter("doc_id = 0")
+    out = {r.doc_id: r for r in contamination_report(train, ev).collect()}
+    assert out[0].n_shingles == 3 and out[0].n_hit == 3
+    assert out[0].overlap_e6 == 1_000_000          # eval doc itself
+    assert out[1].n_hit == 0 and out[1].overlap_e6 == 0
+    assert out[2].n_shingles == 0 and out[2].n_hit == 0
+    assert out[2].overlap_e6 == 0                  # zeroed, row kept
+    assert out[3].n_shingles == 3 and out[3].n_hit == 1
+    assert out[3].overlap_e6 == 333_333
