@@ -3180,6 +3180,58 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(d, d.filter(F.col("doc_id") % 97 == 0))
 
 
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test assignment keyed on the HOST hash
+    (all pages of a host share a split, so host-local near-dups cannot
+    straddle train/eval).  Pure projection — zero shuffle.
+    operators/sample.holdout_split."""
+    from htmlcleanup_spark.operators.sample import holdout_split
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+    )
+    return holdout_split(
+        d, {"train": 0.8, "valid": 0.1, "test": 0.1}, group_col="host"
+    ).select("doc_id", "host", "split")
+
+
+def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): budget 400 docs,
+    epoch cap 1.0 — small languages take their full epoch, the freed
+    budget water-fills the large ones (en absorbs the remainder here).
+    Allocation is driver-side over the tiny per-language count table;
+    selection is the md5-smallest docs per language via the two-level
+    bucketed rank (window partitions keyed (lang, bucket)).
+    operators/sample.unimax_sample; oracle = recursive CTE walking the
+    identical ascending-size integer recurrence."""
+    from htmlcleanup_spark.operators.sample import unimax_sample
+
+    return unimax_sample(
+        _docs(spark, sf_dir), total_budget=400, epoch_cap=1.0
+    )
+
+
+def q_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-corpus MinHash+LSH fuzzy join (incremental-crawl dedup:
+    which NEW docs near-duplicate the EXISTING corpus).  Corpora are
+    the even/odd doc_id halves; band keys are corpus-independent so
+    the oracle computes one signature table and filters sides at the
+    join.  One groupBy(id) per corpus + one band-key equi-join.
+    operators/dedup.cross_corpus_lsh_pairs."""
+    from htmlcleanup_spark.operators.dedup import cross_corpus_lsh_pairs
+
+    d = _docs(spark, sf_dir)
+    return cross_corpus_lsh_pairs(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        k=3, bands=4, rows_per_band=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3325,6 +3377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": q_script_mix,
         "ann_recall": q_ann_recall,
         "contamination_report": q_contamination_report,
+        "holdout_split": q_holdout_split,
+        "unimax_sample": q_unimax_sample,
+        "cross_corpus_lsh": q_cross_corpus_lsh,
     }
 
 
@@ -7012,6 +7067,75 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
     }
+    from htmlcleanup_spark.operators.sample import rate_threshold_hex
+
+    d["holdout_split"] = """
+        SELECT doc_id,
+               'host' || (doc_id %% 50) || '.example.com' AS host,
+               CASE WHEN substring(md5('split:host' || (doc_id %% 50)
+                      || '.example.com'), 1, 8) < '%s' THEN 'train'
+                    WHEN substring(md5('split:host' || (doc_id %% 50)
+                      || '.example.com'), 1, 8) < '%s' THEN 'valid'
+                    ELSE 'test'
+               END AS split
+        FROM documents
+    """ % (rate_threshold_hex(0.8), rate_threshold_hex(0.8 + 0.1))
+    d["unimax_sample"] = """
+        WITH RECURSIVE
+        counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                   FROM documents GROUP BY lang),
+        ordered AS (SELECT lang, n,
+                      CAST(ROW_NUMBER() OVER (ORDER BY n ASC, lang ASC)
+                           AS BIGINT) AS i
+                    FROM counts),
+        nl AS (SELECT CAST(count(*) AS BIGINT) AS nl FROM ordered),
+        alloc AS (
+          SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS VARCHAR) AS lang,
+                 CAST(0 AS BIGINT) AS take, CAST(400 AS BIGINT) AS rem
+          UNION ALL
+          SELECT o.i, o.lang,
+                 LEAST(CAST(floor(1.0 * o.n) AS BIGINT),
+                       a.rem // (nl.nl - a.i)),
+                 a.rem - LEAST(CAST(floor(1.0 * o.n) AS BIGINT),
+                               a.rem // (nl.nl - a.i))
+          FROM alloc a, nl, ordered o
+          WHERE o.i = a.i + 1
+        ),
+        ranked AS (SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY md5('unimax:' || CAST(doc_id AS VARCHAR))
+                         ASC, doc_id ASC) AS rk
+                   FROM documents)
+        SELECT r.doc_id, r.lang
+        FROM ranked r JOIN alloc a ON r.lang = a.lang
+        WHERE r.rk <= a.take
+    """
+    d["cross_corpus_lsh"] = """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        idx AS (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM w),
+        sh AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+               FROM idx),
+        hx AS (SELECT doc_id, j.hash_id,
+                      md5(CAST(j.hash_id AS VARCHAR) || ':' || shingle)
+                        AS h
+               FROM sh,
+                    (SELECT unnest(generate_series(0, 7)) AS hash_id) j),
+        sig AS (SELECT doc_id, hash_id, min(h) AS minhash
+                FROM hx GROUP BY doc_id, hash_id),
+        banded AS (
+          SELECT doc_id, hash_id // 2 AS band,
+                 md5(string_agg(minhash, '|' ORDER BY minhash))
+                   AS band_key
+          FROM sig GROUP BY doc_id, hash_id // 2
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b USING (band, band_key)
+        WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    """
     # COMPOSED oracle: the recall report reuses the exact brute-force and
     # IVF oracle pipelines verbatim as subquery CTEs, so the three can
     # never drift apart.

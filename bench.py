@@ -167,6 +167,9 @@ EXTENDED = [
     "script_mix",
     "ann_recall",
     "contamination_report",
+    "holdout_split",
+    "unimax_sample",
+    "cross_corpus_lsh",
 ]
 
 

@@ -184,25 +184,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", k: int = 3,
-                      bands: int = 4, rows_per_band: int = 2,
-                      max_bucket_size: int | None = None) -> DataFrame:
-    """Fused MinHash+LSH candidate pairs straight from documents.
-
-    Same result as ``lsh_candidate_pairs(minhash_signatures(df))`` but band
-    keys are computed map-side from the wide signature (sorted rows within
-    each band, matching the oracle's ORDER BY minhash), so the whole
-    docs -> candidate-pairs pipeline shuffles exactly twice at any scale:
-    the one groupBy(id) in minhash_wide and the band-bucket self-join
-    (vs four for the unfused rows-format plan).  ``max_bucket_size`` caps
-    the m^2 hot-bucket tail (_drop_hot_buckets) — the dial to set at
-    10^12 docs, where one degenerate band key (e.g. boilerplate-only
-    pages) otherwise emits a near-cartesian pair explosion.
-    """
-    wide = minhash_wide(df, text_col, id_col, k,
-                        num_hashes=bands * rows_per_band)
-    banded = wide.select(
+def _banded_from_wide(wide: DataFrame, id_col: str, bands: int,
+                      rows_per_band: int) -> DataFrame:
+    """Map-side band keys from a wide signature: (id, band, band_key),
+    rows within each band sorted before hashing so the key matches the
+    oracle's ``string_agg(minhash ORDER BY minhash)`` convention."""
+    return wide.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -222,6 +209,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_key")
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      bands: int = 4, rows_per_band: int = 2,
+                      max_bucket_size: int | None = None) -> DataFrame:
+    """Fused MinHash+LSH candidate pairs straight from documents.
+
+    Same result as ``lsh_candidate_pairs(minhash_signatures(df))`` but band
+    keys are computed map-side from the wide signature (sorted rows within
+    each band, matching the oracle's ORDER BY minhash), so the whole
+    docs -> candidate-pairs pipeline shuffles exactly twice at any scale:
+    the one groupBy(id) in minhash_wide and the band-bucket self-join
+    (vs four for the unfused rows-format plan).  ``max_bucket_size`` caps
+    the m^2 hot-bucket tail (_drop_hot_buckets) — the dial to set at
+    10^12 docs, where one degenerate band key (e.g. boilerplate-only
+    pages) otherwise emits a near-cartesian pair explosion.
+    """
+    wide = minhash_wide(df, text_col, id_col, k,
+                        num_hashes=bands * rows_per_band)
+    banded = _banded_from_wide(wide, id_col, bands, rows_per_band)
     if max_bucket_size is not None:
         banded = _drop_hot_buckets(banded, ["band", "band_key"],
                                    max_bucket_size)
@@ -231,6 +239,55 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def cross_corpus_lsh_pairs(df_a: DataFrame, df_b: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3,
+                           bands: int = 4, rows_per_band: int = 2,
+                           max_bucket_size: int | None = None
+                           ) -> DataFrame:
+    """Two-corpus MinHash+LSH fuzzy join: near-duplicate candidates
+    BETWEEN corpus A and corpus B — the "is this already in my corpus"
+    primitive for incremental crawls (new dump vs accumulated corpus),
+    cross-source dedup before mixing, and label transfer by near-dup.
+
+    Same band-key construction as :func:`minhash_lsh_pairs` (the keys
+    are corpus-independent functions of the text, so A and B bucket
+    compatibly) but the band-bucket join is A-banded vs B-banded
+    instead of a self-join: candidates are exactly the cross pairs, no
+    within-corpus pairs and no id-ordering filter.  Returns distinct
+    (id_a, id_b) with id_a from A and id_b from B.
+
+    Scale shape (|A| new docs vs |B| = 10^12 corpus docs): one
+    groupBy(id) shuffle per corpus for the wide signatures + ONE
+    band-key equi-join; B's banded table is a materialize-once
+    artifact in practice (write it parquet, bucket by (band, band_key)
+    so each incremental A joins with zero B-side shuffle).
+    ``max_bucket_size`` caps each side's hot buckets independently —
+    the cross blowup is |A_bucket| x |B_bucket|, so both factors need
+    the cap at scale.
+    """
+    def _banded(df: DataFrame) -> DataFrame:
+        wide = minhash_wide(df, text_col, id_col, k,
+                            num_hashes=bands * rows_per_band)
+        banded = _banded_from_wide(wide, id_col, bands, rows_per_band)
+        if max_bucket_size is not None:
+            banded = _drop_hot_buckets(banded, ["band", "band_key"],
+                                       max_bucket_size)
+        return banded
+
+    a = _banded(df_a).select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    b = _banded(df_b).select(
+        F.col(id_col).alias("id_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
         .select("id_a", "id_b")
         .distinct()
     )

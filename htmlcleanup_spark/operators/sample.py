@@ -277,3 +277,137 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
         .filter(F.col("_mx_off") + F.col("_rk_local") <= take)
         .select(id_col, source_col)
     )
+
+
+def holdout_split(df: DataFrame, fractions: dict[str, float],
+                  group_col: str = "host",
+                  salt: str = "split") -> DataFrame:
+    """Leakage-safe train/valid/test assignment: the split key is the
+    md5 of the GROUP (host/domain), not the document, so every page of
+    a host lands in the SAME split.  Splitting at document granularity
+    leaks near-duplicates (boilerplate twins, template pages, mirrored
+    articles cluster within hosts) from train into the eval split and
+    inflates held-out metrics — the standard fix is group-level
+    assignment (cf. GroupKFold / FineWeb's host-level holdout).
+
+    ``fractions`` maps split name -> probability mass in the given
+    order; they must sum to ~1.  Assignment compares the first 8 hex
+    chars of md5(salt ':' group) against CUMULATIVE thresholds (the
+    same fixed-width-prefix trick as :func:`stratified_sample`), so it
+    is seedless, retry-stable and bit-identical in any SQL engine.
+
+    Scale: a pure projection — zero shuffle, no per-group state, works
+    unchanged at 10^12 rows; downstream split filters push down to the
+    scan.  Returns the input plus a ``split`` column.
+    """
+    names = list(fractions)
+    if not names:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1, got %r" % total)
+    key = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt),
+                          F.col(group_col).cast("string"))),
+        1, _PREFIX_NIBBLES,
+    )
+    expr = F.lit(names[-1])  # last split absorbs rounding tail
+    cum = 0.0
+    bands = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        bands.append((name, rate_threshold_hex(min(cum, 1.0))))
+    for name, thresh in reversed(bands):
+        expr = F.when(key < F.lit(thresh), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def unimax_sample(df: DataFrame, total_budget: int,
+                  epoch_cap: float = 1.0, lang_col: str = "lang",
+                  id_col: str = "doc_id", salt: str = "unimax",
+                  bucket_nibbles: int = 2,
+                  max_groups: int = 100_000) -> DataFrame:
+    """UniMax language sampling (Chung et al., ICLR 2023): fill a total
+    document budget as UNIFORMLY across languages as the per-language
+    epoch cap allows.  Languages ascending by size each receive
+
+        take_l = min( floor(epoch_cap * n_l),  U // L_remaining )
+
+    where U is the budget still unallocated — small languages take
+    their cap, the freed budget water-fills up to the large ones.  All
+    arithmetic is integer (floor product, integer division), so the
+    SQL twin (a recursive CTE walking the same ascending order)
+    reproduces the allocation bit-for-bit.
+
+    The allocation runs DRIVER-SIDE over the per-language count table —
+    bounded by the number of languages (``max_groups`` guards against
+    mis-keying on a high-cardinality column), never by corpus size.
+    Selection within a language is the md5-smallest ``take_l`` docs via
+    the same two-level bucketed rank as :func:`mixture_sample` (window
+    partitions keyed (lang, bucket), never a whole language in one
+    task); raise ``bucket_nibbles`` to 4 at corpus scale.
+
+    Returns (id, lang) of the selected documents.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    counts = [
+        (r[0], r[1])
+        for r in df.groupBy(lang_col).agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    if len(counts) > max_groups:
+        raise ValueError(
+            "unimax_sample: %d groups exceeds max_groups=%d — is %r "
+            "really a language column?" % (len(counts), max_groups,
+                                           lang_col))
+    counts.sort(key=lambda t: (t[1], t[0]))  # (n ASC, lang ASC)
+    remaining = int(total_budget)
+    allocs: dict[str, int] = {}
+    for i, (lang, n) in enumerate(counts):
+        left = len(counts) - i
+        take = min(int(math.floor(epoch_cap * n)), remaining // left)
+        allocs[lang] = take
+        remaining -= take
+    kept = sorted(l for l, t in allocs.items() if t > 0)
+    if not kept:
+        return df.select(F.col(id_col), F.col(lang_col)).limit(0)
+
+    key = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    pool = (
+        df.filter(F.col(lang_col).isin(kept))
+        .select(id_col, lang_col)
+        .withColumn("_ux_key", key)
+        .withColumn("_ux_bkt", F.substring("_ux_key", 1, bucket_nibbles))
+    )
+    bcounts = pool.groupBy(lang_col, "_ux_bkt").agg(
+        F.count("*").alias("_bn")
+    )
+    w_off = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col("_ux_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.select(
+        lang_col, "_ux_bkt",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_ux_off"),
+    )
+    rk_local = Window.partitionBy(lang_col, "_ux_bkt").orderBy(
+        F.col("_ux_key").asc(), F.col(id_col).asc()
+    )
+    take = F.coalesce(
+        *[
+            F.when(F.col(lang_col) == l, F.lit(allocs[l]))
+            for l in kept
+        ]
+    ).cast("long")
+    return (
+        pool.withColumn("_rk_local", F.row_number().over(rk_local))
+        .join(F.broadcast(offsets), [lang_col, "_ux_bkt"])
+        .filter(F.col("_ux_off") + F.col("_rk_local") <= take)
+        .select(id_col, lang_col)
+    )
