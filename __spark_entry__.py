@@ -3232,6 +3232,53 @@ def q_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-date mining from url shape (freshness signal for the
+    recrawl scheduler / time-aware sampling).  Synthetic url bands by
+    doc_id % 5 exercise all four shapes plus the calendar guard:
+    0 = /blog/YYYY/M/D/ unpadded calendar path; 1 = compact
+    /news/YYYYMMDD-slug with days to 31 (Feb 30 etc -> no date, Feb 29
+    hits the leap rule on 2020/2024); 2 = ?date=YYYY-MM-DD with years
+    to 2026 (exercises the 'future' band vs ref 2026-01-01);
+    3 = /archive/YYYY/M/ month archive (day 1); 4 = no date.
+    functions/url.url_publish_dates — zero shuffle, pure column exprs;
+    the oracle re-derives the urls from the same band arithmetic and
+    runs the identical regex/validity/band logic."""
+    from htmlcleanup_spark.functions.url import url_publish_dates
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    m2 = F.lpad((1 + did % 12).cast("string"), 2, "0")
+    d31 = F.lpad((1 + did % 31).cast("string"), 2, "0")
+    d28 = F.lpad((1 + did % 28).cast("string"), 2, "0")
+    path = (
+        F.when(did % 5 == 0, F.concat(
+            F.lit("/blog/"), (2019 + did % 8).cast("string"),
+            F.lit("/"), (1 + did % 12).cast("string"),
+            F.lit("/"), (1 + did % 28).cast("string"),
+            F.lit("/post-"), ids))
+        .when(did % 5 == 1, F.concat(
+            F.lit("/news/"), (2020 + did % 5).cast("string"),
+            m2, d31, F.lit("-x"), ids))
+        .when(did % 5 == 2, F.concat(F.lit("/a/item-"), ids))
+        .when(did % 5 == 3, F.concat(
+            F.lit("/archive/"), (1999 + did % 27).cast("string"),
+            F.lit("/"), (1 + did % 12).cast("string"), F.lit("/")))
+        .otherwise(F.concat(F.lit("/about/team-"), ids))
+    )
+    q = F.when(did % 5 == 2, F.concat(
+        F.lit("?date="), (2023 + did % 4).cast("string"),
+        F.lit("-"), m2, F.lit("-"), d28)).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://h"), (did % 7).cast("string"),
+        F.lit(".example"), path, q,
+    )
+    return url_publish_dates(
+        d.select(did.alias("doc_id"), url.alias("url"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3380,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_split": q_holdout_split,
         "unimax_sample": q_unimax_sample,
         "cross_corpus_lsh": q_cross_corpus_lsh,
+        "url_dates": q_url_dates,
     }
 
 
@@ -7154,5 +7202,139 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(1e6 * CAST(coalesce(h.n_hit, 0) AS DOUBLE)
                     / 10.0) AS BIGINT) AS recall_e6
         FROM qs LEFT JOIN h USING (query_id)
+    """
+    # Publish-date mining twin: urls re-derived from the band
+    # arithmetic, then the identical precision-first regex candidates,
+    # Gregorian validity gate, and freshness banding.
+    d["url_dates"] = r"""
+        WITH u AS (
+          SELECT doc_id,
+                 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example'
+                 || CASE CAST(doc_id % 5 AS INT)
+                      WHEN 0 THEN '/blog/'
+                        || CAST(2019 + doc_id % 8 AS VARCHAR) || '/'
+                        || CAST(1 + doc_id % 12 AS VARCHAR) || '/'
+                        || CAST(1 + doc_id % 28 AS VARCHAR)
+                        || '/post-' || CAST(doc_id AS VARCHAR)
+                      WHEN 1 THEN '/news/'
+                        || CAST(2020 + doc_id % 5 AS VARCHAR)
+                        || lpad(CAST(1 + doc_id % 12 AS VARCHAR),
+                                2, '0')
+                        || lpad(CAST(1 + doc_id % 31 AS VARCHAR),
+                                2, '0')
+                        || '-x' || CAST(doc_id AS VARCHAR)
+                      WHEN 2 THEN '/a/item-' || CAST(doc_id AS VARCHAR)
+                        || '?date='
+                        || CAST(2023 + doc_id % 4 AS VARCHAR) || '-'
+                        || lpad(CAST(1 + doc_id % 12 AS VARCHAR),
+                                2, '0')
+                        || '-'
+                        || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                2, '0')
+                      WHEN 3 THEN '/archive/'
+                        || CAST(1999 + doc_id % 27 AS VARCHAR) || '/'
+                        || CAST(1 + doc_id % 12 AS VARCHAR) || '/'
+                      ELSE '/about/team-' || CAST(doc_id AS VARCHAR)
+                    END AS url
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, url,
+                 regexp_extract(
+                   regexp_replace(
+                     url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                   '^([^?#]*)', 1) AS path,
+                 regexp_extract(url, '\?([^#]*)', 1) AS qs
+          FROM u
+        ),
+        c AS (
+          SELECT doc_id, url,
+            regexp_extract(path,
+              '/((?:19|20)\d\d)/(\d{1,2})/(\d{1,2})(?:/|$)', 1)
+              AS ymd_y,
+            regexp_extract(path,
+              '/((?:19|20)\d\d)/(\d{1,2})/(\d{1,2})(?:/|$)', 2)
+              AS ymd_m,
+            regexp_extract(path,
+              '/((?:19|20)\d\d)/(\d{1,2})/(\d{1,2})(?:/|$)', 3)
+              AS ymd_d,
+            regexp_extract(qs,
+              '(?:^|&)date=((?:19|20)\d\d)-(\d\d)-(\d\d)(?:&|$)', 1)
+              AS q_y,
+            regexp_extract(qs,
+              '(?:^|&)date=((?:19|20)\d\d)-(\d\d)-(\d\d)(?:&|$)', 2)
+              AS q_m,
+            regexp_extract(qs,
+              '(?:^|&)date=((?:19|20)\d\d)-(\d\d)-(\d\d)(?:&|$)', 3)
+              AS q_d,
+            regexp_extract(path,
+              '(?:^|[^0-9])((?:19|20)\d\d)(\d\d)(\d\d)(?:[^0-9]|$)',
+              1) AS c_y,
+            regexp_extract(path,
+              '(?:^|[^0-9])((?:19|20)\d\d)(\d\d)(\d\d)(?:[^0-9]|$)',
+              2) AS c_m,
+            regexp_extract(path,
+              '(?:^|[^0-9])((?:19|20)\d\d)(\d\d)(\d\d)(?:[^0-9]|$)',
+              3) AS c_d,
+            regexp_extract(path,
+              '/((?:19|20)\d\d)/(\d{1,2})(?:/|$)', 1) AS ym_y,
+            regexp_extract(path,
+              '/((?:19|20)\d\d)/(\d{1,2})(?:/|$)', 2) AS ym_m
+          FROM p
+        ),
+        s AS (
+          SELECT doc_id, url,
+            CASE WHEN ymd_y <> '' THEN 'path_ymd'
+                 WHEN q_y <> '' THEN 'query'
+                 WHEN c_y <> '' THEN 'compact'
+                 WHEN ym_y <> '' THEN 'path_ym' END AS src,
+            CAST(CASE WHEN ymd_y <> '' THEN ymd_y
+                      WHEN q_y <> '' THEN q_y
+                      WHEN c_y <> '' THEN c_y
+                      WHEN ym_y <> '' THEN ym_y END AS INT) AS y,
+            CAST(CASE WHEN ymd_y <> '' THEN ymd_m
+                      WHEN q_y <> '' THEN q_m
+                      WHEN c_y <> '' THEN c_m
+                      WHEN ym_y <> '' THEN ym_m END AS INT) AS m,
+            CAST(CASE WHEN ymd_y <> '' THEN ymd_d
+                      WHEN q_y <> '' THEN q_d
+                      WHEN c_y <> '' THEN c_d
+                      WHEN ym_y <> '' THEN '1' END AS INT) AS d
+          FROM c
+        ),
+        v AS (
+          SELECT doc_id, url, src, y, m, d,
+                 (src IS NOT NULL AND m BETWEEN 1 AND 12
+                  AND d >= 1 AND d <=
+                  CASE WHEN m = 2 THEN
+                         CASE WHEN (y % 4 = 0 AND y % 100 <> 0)
+                                   OR y % 400 = 0
+                              THEN 29 ELSE 28 END
+                       WHEN m IN (4, 6, 9, 11) THEN 30
+                       ELSE 31 END) AS valid
+          FROM s
+        ),
+        f AS (
+          SELECT doc_id, url,
+                 CASE WHEN valid THEN src END AS date_src,
+                 CASE WHEN valid
+                      THEN strftime(make_date(y, m, d), '%Y-%m-%d')
+                 END AS pub_date,
+                 CASE WHEN valid
+                      THEN date_diff('day', make_date(y, m, d),
+                                     DATE '2026-01-01')
+                 END AS age_days
+          FROM v
+        )
+        SELECT doc_id, url, date_src, pub_date,
+               CAST(age_days AS INT) AS age_days,
+               CASE WHEN age_days < 0 THEN 'future'
+                    WHEN age_days <= 30 THEN '30d'
+                    WHEN age_days <= 365 THEN '1y'
+                    WHEN age_days <= 1825 THEN '5y'
+                    WHEN age_days IS NOT NULL THEN 'older'
+               END AS fresh_band
+        FROM f
     """
     return d

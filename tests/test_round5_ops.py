@@ -383,3 +383,30 @@ def test_contamination_report_fractions(spark):
     assert out[2].overlap_e6 == 0                  # zeroed, row kept
     assert out[3].n_shingles == 3 and out[3].n_hit == 1
     assert out[3].overlap_e6 == 333_333
+
+
+def test_url_publish_dates(spark):
+    from htmlcleanup_spark.functions.url import url_publish_dates
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://a.example/blog/2024/2/29/post-1"),   # leap OK
+            (1, "https://a.example/news/20230229-x"),          # Feb 29 invalid
+            (2, "https://a.example/a/item?date=2026-06-15"),   # future
+            (3, "https://a.example/archive/2019/7/"),          # ym -> day 1
+            (4, "https://a.example/about"),                    # no date
+            (5, "https://a.example/2024/1/5/x?date=2020-01-01"),  # ymd wins
+            (6, "https://a.example/p/20240431-z"),             # Apr 31 invalid
+            (7, "https://a.example/blog/2025/12/20/y"),        # 30d band
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r for r in url_publish_dates(df).collect()}
+    assert out[0].date_src == "path_ymd" and out[0].pub_date == "2024-02-29"
+    assert out[1].date_src is None and out[1].pub_date is None
+    assert out[2].date_src == "query" and out[2].fresh_band == "future"
+    assert out[3].date_src == "path_ym" and out[3].pub_date == "2019-07-01"
+    assert out[4].date_src is None and out[4].fresh_band is None
+    assert out[5].date_src == "path_ymd" and out[5].pub_date == "2024-01-05"
+    assert out[6].date_src is None                    # no fall-through
+    assert out[7].fresh_band == "30d" and out[7].age_days == 12
