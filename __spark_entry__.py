@@ -3279,6 +3279,45 @@ def q_url_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-build funnel report (the FineWeb/Dolma data-card table):
+    five real stages over the RAW documents — lang=='en', >=30
+    whitespace tokens, exact-dup first-occurrence (row_number over
+    md5(text)), >=1 Gopher stopword, distinct-word ratio >=0.35 (the
+    repetition cut, e6-floored) — each doc charged to
+    its FIRST failing stage, docs+tokens accounted per stage.
+    operators/corpus.filter_funnel — all flags fold into ONE
+    first-fail CASE into ONE map-combined groupBy on a <=5-value key;
+    the dedup flag's md5 window is the one corpus-sized shuffle (the
+    caller's usual dedup cost), accounting itself adds none."""
+    from pyspark.sql.window import Window
+
+    from htmlcleanup_spark.operators.corpus import filter_funnel
+
+    d = _docs(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    stop8 = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    n_stop = sum(
+        (F.array_contains(ws, w).cast("int") for w in stop8), F.lit(0)
+    )
+    first = (
+        F.row_number().over(
+            Window.partitionBy(F.md5(F.col("text")))
+            .orderBy(F.col("doc_id"))
+        ) == 1
+    )
+    uniq_e6 = F.floor(
+        F.lit(1000000) * F.size(F.array_distinct(ws)) / F.size(ws)
+    )
+    return filter_funnel(d, [
+        ("lang_en", F.col("lang") == "en"),
+        ("min_words", F.size(F.split(F.col("text"), "\\s+")) >= 30),
+        ("exact_dedup", first),
+        ("stopwords", n_stop >= 1),
+        ("uniq_words", uniq_e6 >= 350000),
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3428,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_sample": q_unimax_sample,
         "cross_corpus_lsh": q_cross_corpus_lsh,
         "url_dates": q_url_dates,
+        "filter_funnel": q_filter_funnel,
     }
 
 
@@ -7336,5 +7376,90 @@ def oracle_sql() -> dict[str, str]:
                     WHEN age_days IS NOT NULL THEN 'older'
                END AS fresh_band
         FROM f
+    """
+    # Funnel twin: identical first-failing-stage CASE, per-stage
+    # group-count, and cumulative docs_in window over the stage axis.
+    d["filter_funnel"] = r"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_split_to_array(text, '\s+'))
+                      AS BIGINT) AS ntok,
+                 CAST(list_contains(string_split(text,' '), 'the')
+                      AS INT)
+                 + CAST(list_contains(string_split(text,' '), 'be')
+                      AS INT)
+                 + CAST(list_contains(string_split(text,' '), 'to')
+                      AS INT)
+                 + CAST(list_contains(string_split(text,' '), 'of')
+                      AS INT)
+                 + CAST(list_contains(string_split(text,' '), 'and')
+                      AS INT)
+                 + CAST(list_contains(string_split(text,' '), 'that')
+                      AS INT)
+                 + CAST(list_contains(string_split(text,' '), 'have')
+                      AS INT)
+                 + CAST(list_contains(string_split(text,' '), 'with')
+                      AS INT) AS n_stop,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn,
+                 floor(1000000
+                       * len(list_distinct(string_split(text, ' ')))
+                       / len(string_split(text, ' '))) AS uniq_e6
+          FROM documents
+        ),
+        fd AS (
+          SELECT CASE WHEN NOT (lang = 'en') THEN 0
+                      WHEN NOT (ntok >= 30) THEN 1
+                      WHEN NOT (rn = 1) THEN 2
+                      WHEN NOT (n_stop >= 1) THEN 3
+                      WHEN NOT (uniq_e6 >= 350000) THEN 4
+                      ELSE 5 END AS _fd,
+                 ntok AS _tok
+          FROM base
+        ),
+        per AS (
+          SELECT _fd, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(_tok) AS BIGINT) AS t
+          FROM fd GROUP BY _fd
+        ),
+        axis(stage_idx, stage) AS (
+          VALUES (0, 'lang_en'), (1, 'min_words'),
+                 (2, 'exact_dedup'), (3, 'stopwords'),
+                 (4, 'uniq_words')
+        ),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS N,
+                 CAST(SUM(t) AS BIGINT) AS T
+          FROM per
+        ),
+        j AS (
+          SELECT a.stage_idx, a.stage,
+                 coalesce(p.n, 0) AS docs_dropped,
+                 coalesce(p.t, 0) AS tokens_dropped
+          FROM axis a LEFT JOIN per p ON a.stage_idx = p._fd
+        ),
+        k AS (
+          SELECT j.*,
+                 CAST((SELECT N FROM tot) - coalesce(
+                   SUM(docs_dropped) OVER (
+                     ORDER BY stage_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS docs_in,
+                 CAST((SELECT T FROM tot) - coalesce(
+                   SUM(tokens_dropped) OVER (
+                     ORDER BY stage_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS tokens_in
+          FROM j
+        )
+        SELECT stage_idx, stage, docs_in, docs_dropped,
+               docs_in - docs_dropped AS docs_kept,
+               tokens_in, tokens_dropped,
+               tokens_in - tokens_dropped AS tokens_kept,
+               CASE WHEN docs_in > 0
+                    THEN CAST(floor(1000000.0 * docs_dropped
+                              / docs_in) AS BIGINT)
+                    ELSE 0 END AS drop_rate_e6
+        FROM k
     """
     return d

@@ -518,3 +518,93 @@ def jsonl_export(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         line.alias("line"),
     )
+
+
+def filter_funnel(df: DataFrame, stages, text_col: str = "text"):
+    """Per-stage attrition accounting for a filter pipeline — the
+    funnel table every production corpus build publishes (docs/tokens
+    in, dropped, kept at each stage; cf. the FineWeb and Dolma data
+    cards).  ``stages`` is the ORDERED list of (name, boolean Column)
+    keep-predicates; a document is charged to the FIRST stage whose
+    predicate it fails (sequential semantics: a doc failing stages 2
+    and 4 is stage-2 attrition only, exactly as if the filters ran as
+    chained ``.filter`` calls).
+
+    Plan shape: every stage flag folds into ONE first-failing-stage
+    CASE expression (coalesce of per-stage WHENs), so the whole funnel
+    is a single projection into ONE map-combined groupBy on a key with
+    at most len(stages)+1 values — each map task emits <= S+1 partial
+    rows regardless of input size, reducers see tasks*(S+1) tiny rows.
+    The cumulative docs_in arithmetic then runs on <= S+1 rows (a
+    window over the stage axis + a 1-row broadcast total).  No join
+    touches the corpus; works unchanged at 10^12 docs.
+
+    Returns one row per stage: (stage_idx, stage, docs_in,
+    docs_dropped, docs_kept, tokens_in, tokens_dropped, tokens_kept,
+    drop_rate_e6), where *_in of stage k excludes everything earlier
+    stages dropped and drop_rate_e6 = floor(1e6 * dropped / in).
+    """
+    from pyspark.sql.window import Window
+
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError("stage names must be unique")
+    first_fail = F.coalesce(
+        *[F.when(~c, F.lit(i)) for i, (_, c) in enumerate(stages)],
+        F.lit(len(stages)),
+    )
+    ntok = F.size(F.split(F.col(text_col), "\\s+")).cast("long")
+    per = (
+        df.select(first_fail.alias("_fd"), ntok.alias("_tok"))
+        .groupBy("_fd")
+        .agg(F.count("*").alias("_n"), F.sum("_tok").alias("_t"))
+    )
+    spark = df.sparkSession
+    axis = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)],
+        "stage_idx int, stage string",
+    )
+    # left-join the (<= S+1)-row agg onto the stage axis so zero-drop
+    # stages still report; the survived-all sentinel row (_fd = S)
+    # joins nothing and is absorbed into the totals below.
+    j = axis.join(
+        F.broadcast(per), axis.stage_idx == per._fd, "left"
+    ).select(
+        "stage_idx", "stage",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("docs_dropped"),
+        F.coalesce(F.col("_t"), F.lit(0)).alias("tokens_dropped"),
+    )
+    tot = per.agg(
+        F.sum("_n").alias("_N"), F.sum("_t").alias("_T")
+    )
+    w = (
+        Window.orderBy("stage_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = (
+        j.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "docs_in",
+            F.col("_N") - F.coalesce(
+                F.sum("docs_dropped").over(w), F.lit(0)),
+        )
+        .withColumn(
+            "tokens_in",
+            F.col("_T") - F.coalesce(
+                F.sum("tokens_dropped").over(w), F.lit(0)),
+        )
+    )
+    return j.select(
+        "stage_idx", "stage", "docs_in", "docs_dropped",
+        (F.col("docs_in") - F.col("docs_dropped")).alias("docs_kept"),
+        "tokens_in", "tokens_dropped",
+        (F.col("tokens_in") - F.col("tokens_dropped"))
+        .alias("tokens_kept"),
+        F.when(
+            F.col("docs_in") > 0,
+            F.floor(F.lit(1000000) * F.col("docs_dropped")
+                    / F.col("docs_in")),
+        ).otherwise(F.lit(0)).cast("long").alias("drop_rate_e6"),
+    )

@@ -410,3 +410,34 @@ def test_url_publish_dates(spark):
     assert out[5].date_src == "path_ymd" and out[5].pub_date == "2024-01-05"
     assert out[6].date_src is None                    # no fall-through
     assert out[7].fresh_band == "30d" and out[7].age_days == 12
+
+
+def test_filter_funnel_sequential_charging(spark):
+    from htmlcleanup_spark.operators.corpus import filter_funnel
+
+    # doc 1 fails BOTH stages -> charged to s1 only; doc 2 fails s2;
+    # doc 3 survives.  Tokens: 2 / 3 / 4.
+    df = spark.createDataFrame(
+        [(1, "a b", False, False), (2, "a b c", True, False),
+         (3, "a b c d", True, True)],
+        "doc_id long, text string, f1 boolean, f2 boolean",
+    )
+    rows = {r.stage: r for r in filter_funnel(
+        df, [("s1", F.col("f1")), ("s2", F.col("f2"))]).collect()}
+    assert rows["s1"].docs_in == 3 and rows["s1"].docs_dropped == 1
+    assert rows["s1"].tokens_dropped == 2
+    assert rows["s2"].docs_in == 2 and rows["s2"].docs_dropped == 1
+    assert rows["s2"].tokens_in == 7 and rows["s2"].tokens_kept == 4
+    assert rows["s2"].drop_rate_e6 == 500000
+
+
+def test_filter_funnel_zero_drop_stage_reported(spark):
+    from htmlcleanup_spark.operators.corpus import filter_funnel
+
+    df = spark.createDataFrame(
+        [(1, "x y", True)], "doc_id long, text string, f boolean")
+    rows = filter_funnel(df, [("only", F.col("f"))]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.docs_in == 1 and r.docs_dropped == 0 and r.docs_kept == 1
+    assert r.drop_rate_e6 == 0
