@@ -3318,6 +3318,76 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_cdx_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index generation from WARC segments — the index-build job
+    that closes the WARC -> CDX -> ranged-fetch loop (read_cdx /
+    fetch_plan consume what this emits).  Both fixture segments (plain
+    + per-record gzip members) hold the same 40 records, so every
+    capture appears twice with layout-specific coordinates: the gz
+    side's offset/length is the COMPRESSED member span (Common Crawl's
+    own convention), the plain side's the uncompressed record span.
+    sources/warc.warc_to_cdx — one task per segment, zero shuffle;
+    oracle = VALUES recomputed from the synthesizer's layout
+    arithmetic (pure byte-length sums — independent of the scanner
+    under test)."""
+    from htmlcleanup_spark.sources.warc import warc_to_cdx
+
+    return warc_to_cdx(spark, _ensure_warc_dir())
+
+
+def _warc_cdx_expected() -> list:
+    """Expected CDX rows for the fixture dir, derived from the synth
+    WRITER's layout arithmetic (byte-length sums over the same parts it
+    concatenates) — never from the capture scanner being tested."""
+    import gzip as _gzip
+    import hashlib as _hashlib
+
+    from htmlcleanup_spark.sources.pages import make_html
+
+    info = b"software: synth\r\n"
+    head = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(info) + info + b"\r\n\r\n"
+    )
+    chunks, metas = [], []
+    for i in range(_WARC_DOCS):
+        html = make_html(i, 42)
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        )
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + b"WARC-Target-URI: https://host%d.example/p/%d\r\n"
+            % (i % 1000, i)
+            + b"WARC-Date: 2024-01-01T00:00:%02dZ\r\n" % (i % 60)
+            + b"Content-Length: %d\r\n" % len(http)
+        )
+        chunks.append(hdr + b"\r\n" + http + b"\r\n\r\n")
+        metas.append((i, _hashlib.md5(html).hexdigest()))
+    rows = []
+    off = len(head)
+    for (i, dg), ch in zip(metas, chunks):
+        # record span excludes the trailing inter-record CRLFCRLF
+        rows.append((
+            "example,host%d)/p/%d" % (i % 1000, i),
+            "202401010000%02d" % (i % 60),
+            "https://host%d.example/p/%d" % (i % 1000, i),
+            "text/html", 200, dg, len(ch) - 4, off, "seg-0.warc",
+        ))
+        off += len(ch)
+    goff = len(_gzip.compress(head))
+    for (i, dg), ch in zip(metas, chunks):
+        gl = len(_gzip.compress(ch))
+        rows.append((
+            "example,host%d)/p/%d" % (i % 1000, i),
+            "202401010000%02d" % (i % 60),
+            "https://host%d.example/p/%d" % (i % 1000, i),
+            "text/html", 200, dg, gl, goff, "seg-1.warc.gz",
+        ))
+        goff += gl
+    return rows
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3468,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_lsh": q_cross_corpus_lsh,
         "url_dates": q_url_dates,
         "filter_funnel": q_filter_funnel,
+        "cdx_generate": q_cdx_generate,
     }
 
 
@@ -7462,4 +7533,18 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0 END AS drop_rate_e6
         FROM k
     """
+    # CDX generation twin: expected captures from the synth writer's
+    # byte-length arithmetic (layout sums, not the scanner under test).
+    cdx_vals = ", ".join(
+        "('%s', '%s', '%s', '%s', %d, '%s', %d, %d, '%s')" % r
+        for r in _warc_cdx_expected()
+    )
+    d["cdx_generate"] = """
+        SELECT urlkey, cdx_ts, url, mime,
+               CAST(status AS INT) AS status, digest,
+               CAST(length AS BIGINT) AS length,
+               CAST(f_offset AS BIGINT) AS offset, filename
+        FROM (VALUES %s) t(urlkey, cdx_ts, url, mime, status,
+                           digest, length, f_offset, filename)
+    """ % cdx_vals
     return d

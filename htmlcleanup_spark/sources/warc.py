@@ -28,7 +28,9 @@ largest single record), independent of the decompressed file size.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import io
+import re
 import zlib
 from collections.abc import Iterable, Iterator
 
@@ -325,4 +327,146 @@ def revisit_dedup(captures, key_col="urlkey", ts_col="ts",
         .otherwise(F.col("_o_ts")).alias("refers_to_ts"),
         F.when(is_orig, F.lit(0).cast("long"))
         .otherwise(F.col(length_col).cast("long")).alias("saved_bytes"),
+    )
+
+
+_HTTP_STATUS = re.compile(rb"HTTP/1\.[01] (\d{3})")
+_HTTP_CTYPE = re.compile(rb"Content-Type:\s*([^\r\n;]+)", re.IGNORECASE)
+
+
+def _http_meta(record: bytes):
+    """(status, mime) from a record's HTTP response envelope — the
+    Content-Type is searched AFTER the status line so the WARC block's
+    own Content-Type header can never shadow the payload's."""
+    m = _HTTP_STATUS.search(record)
+    if not m:
+        return None, None
+    mime = None
+    mm = _HTTP_CTYPE.search(record, m.start())
+    if mm:
+        mime = mm.group(1).decode("ascii", "replace").strip().lower()
+    return int(m.group(1)), mime
+
+
+def _capture(rec: dict, record_bytes: bytes, offset: int, length: int,
+             filename: str):
+    status, mime = _http_meta(record_bytes)
+    ts14 = re.sub(r"[^0-9]", "", rec["warc_ts"])[:14]
+    digest = hashlib.md5(rec["html"]).hexdigest()
+    return (rec["url"], ts14, mime, status, digest,
+            int(length), int(offset), filename)
+
+
+def iter_warc_captures(content: bytes, filename: str = "",
+                       record_types: Iterable[str] = ("response",),
+                       chunk_bytes: int = 1 << 20) -> Iterator[tuple]:
+    """CDX capture tuples (url, ts14, mime, status, digest, length,
+    offset, filename) with REAL warc coordinates — the generation side
+    of the CDX loop (read_cdx/fetch planning is the consumption side).
+
+    Coordinate semantics follow how each layout is fetched:
+    - ``.warc.gz`` (member-per-record, as Common Crawl ships): offset/
+      length are the COMPRESSED gzip-member span — exactly the byte
+      range a ranged GET + gunzip needs (CC's own CDX convention).
+    - plain ``.warc``: the record's uncompressed span (header through
+      content block, exclusive of the inter-record CRLFCRLF).
+
+    ``digest`` is the md5 hex of the PAYLOAD (HTTP envelope stripped) —
+    the repo-wide digest convention, standing in for the spec's
+    SHA1-B32 (no behavioral difference for dedup/revisit joins, which
+    only test equality).  Record parsing reuses :func:`_scan_one`; the
+    gzip walk feeds bounded chunks to a per-member decompressobj, so
+    memory is O(member), never O(file).
+    """
+    types = frozenset(t.encode("ascii") for t in record_types)
+    if content[:2] == b"\x1f\x8b":
+        view = memoryview(content)
+        n = len(content)
+        pos = 0                 # next unread compressed byte
+        member_start = 0
+        pending = b""           # compressed leftover from the last member
+        data = b""              # current member, decompressed
+        d = zlib.decompressobj(wbits=31)
+        while True:
+            if pending:
+                piece, pending = pending, b""
+            elif pos < n:
+                piece = bytes(view[pos:pos + chunk_bytes])
+                pos += len(piece)
+            else:
+                break
+            try:
+                data += d.decompress(piece)
+            except zlib.error:
+                break           # corrupt member: keep the prefix
+            if not d.eof:
+                continue
+            pending = d.unused_data
+            member_end = pos - len(pending)
+            rec, _, status = _scan_one(data, 0, True, types)
+            if status == "ok" and rec is not None:
+                yield _capture(rec, data, member_start,
+                               member_end - member_start, filename)
+            member_start = member_end
+            data = b""
+            d = zlib.decompressobj(wbits=31)
+            if (len(pending) >= 2
+                    and pending[:2] != b"\x1f\x8b"):
+                break           # trailing non-gzip garbage
+        return
+    n = len(content)
+    pos = 0
+    while pos < n:
+        start = pos
+        while content.startswith(_CRLF, start):
+            start += 2
+        rec, new_pos, status = _scan_one(content, start, True, types)
+        if status != "ok":
+            break
+        if rec is not None:
+            yield _capture(rec, content[start:new_pos], start,
+                           new_pos - start, filename)
+        pos = new_pos
+
+
+def warc_to_cdx(spark: SparkSession, path: str,
+                path_glob: str = "*.warc*") -> DataFrame:
+    """Generate CDX capture rows from a directory of WARC segments —
+    the index-build job that runs after a crawl lands (its output feeds
+    to_cdxj_lines -> index_merge -> cluster_idx, closing the
+    WARC -> CDX -> ranged-fetch loop end to end).
+
+    Scale shape: binaryFile gives one task per segment, the capture
+    walk streams each file once (O(member) memory), urlkey is the
+    shared :func:`surt_key` JVM expression — ZERO shuffles; the
+    downstream index sort/merge owns the ordering cost."""
+    import pandas as pd
+
+    from .cdx import surt_key
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", path_glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def gen(batches):
+        cols = ["url", "cdx_ts", "mime", "status", "digest",
+                "length", "offset", "filename"]
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                fname = str(p).rsplit("/", 1)[-1]
+                rows = list(iter_warc_captures(bytes(content), fname))
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    raw = files.mapInPandas(
+        gen,
+        "url string, cdx_ts string, mime string, status int, "
+        "digest string, length bigint, offset bigint, filename string",
+    )
+    return raw.select(
+        surt_key("url").alias("urlkey"), "cdx_ts", "url", "mime",
+        "status", "digest", "length", "offset", "filename",
     )

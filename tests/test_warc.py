@@ -152,3 +152,61 @@ def test_revisit_dedup_plan_digest_keyed_no_window(spark):
     assert "Window" not in plan
     assert "SinglePartition" not in plan
     assert re.search(r"hashpartitioning\(digest#\d+", plan)
+
+
+def test_warc_captures_plain_coordinates_roundtrip(tmp_path):
+    from htmlcleanup_spark.sources.warc import (
+        _scan_one, iter_warc_captures, write_synth_warc)
+
+    p = tmp_path / "seg.warc"
+    write_synth_warc(str(p), 6)
+    raw = p.read_bytes()
+    caps = list(iter_warc_captures(raw, "seg.warc"))
+    assert len(caps) == 6
+    for url, ts, mime, st, dg, ln, off, fn in caps:
+        assert mime == "text/html" and st == 200 and fn == "seg.warc"
+        assert len(ts) == 14 and ts.startswith("20240101")
+        rec, _, status = _scan_one(
+            raw[off:off + ln], 0, True, frozenset((b"response",)))
+        assert status == "ok" and rec["url"] == url
+
+
+def test_warc_captures_gz_member_ranged_get(tmp_path):
+    import hashlib
+    import zlib
+
+    from htmlcleanup_spark.sources.warc import (
+        _scan_one, iter_warc_captures, write_synth_warc)
+
+    p = tmp_path / "seg.warc.gz"
+    write_synth_warc(str(p), 6, compress=True)
+    raw = p.read_bytes()
+    caps = list(iter_warc_captures(raw, "seg.warc.gz"))
+    assert len(caps) == 6
+    # the (offset, length) span must be exactly one gunzip-able member
+    # whose payload digest matches — the ranged-GET contract
+    for url, ts, mime, st, dg, ln, off, fn in caps:
+        data = zlib.decompress(raw[off:off + ln], 31)
+        rec, _, status = _scan_one(
+            data, 0, True, frozenset((b"response",)))
+        assert status == "ok" and rec["url"] == url
+        assert hashlib.md5(rec["html"]).hexdigest() == dg
+    # spans tile the file exactly (warcinfo member precedes the first)
+    assert caps[0][6] > 0
+    for a, b in zip(caps, caps[1:]):
+        assert a[6] + a[5] == b[6]
+    assert caps[-1][6] + caps[-1][5] == len(raw)
+
+
+def test_warc_captures_truncated_tail_keeps_prefix(tmp_path):
+    from htmlcleanup_spark.sources.warc import (
+        iter_warc_captures, write_synth_warc)
+
+    p = tmp_path / "seg.warc"
+    write_synth_warc(str(p), 4)
+    raw = p.read_bytes()
+    assert len(list(iter_warc_captures(raw[:-300], ""))) == 3
+    pg = tmp_path / "seg.warc.gz"
+    write_synth_warc(str(pg), 4, compress=True)
+    rawg = pg.read_bytes()
+    assert len(list(iter_warc_captures(rawg[:-50], ""))) == 3
