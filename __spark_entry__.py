@@ -3388,6 +3388,22 @@ def _warc_cdx_expected() -> list:
     return rows
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's per-LANGUAGE head/middle/tail bucketing (Wenzek et al.
+    2020 §4.3 — percentiles are computed separately per language; the
+    existing `perplexity` query is the global-cut variant).  Unigram
+    NLL scores joined back to lang, then exact per-lang NTILE(3) at
+    validation scale.  operators/lm.ppl_buckets_by_lang — the corpus
+    path is the thresholds broadcast join (no window), plan-gated in
+    tests; oracle composes the perplexity oracle verbatim."""
+    from htmlcleanup_spark.operators.lm import (
+        perplexity, ppl_buckets_by_lang)
+
+    d = _docs(spark, sf_dir)
+    scored = perplexity(d).join(d.select("doc_id", "lang"), "doc_id")
+    return ppl_buckets_by_lang(scored, 3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3539,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dates": q_url_dates,
         "filter_funnel": q_filter_funnel,
         "cdx_generate": q_cdx_generate,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -7547,4 +7564,14 @@ def oracle_sql() -> dict[str, str]:
         FROM (VALUES %s) t(urlkey, cdx_ts, url, mime, status,
                            digest, length, f_offset, filename)
     """ % cdx_vals
+    # COMPOSED oracle: reuses the perplexity pipeline verbatim, swaps
+    # the global NTILE for CCNet's per-language one.
+    d["ccnet_buckets"] = f"""
+        WITH p AS ({d['perplexity']})
+        SELECT p.doc_id, dd.lang, p.nll_e6,
+               CAST(NTILE(3) OVER (PARTITION BY dd.lang
+                                   ORDER BY p.nll_e6, p.doc_id)
+                    AS INT) AS ppl_bucket
+        FROM p JOIN documents dd USING (doc_id)
+    """
     return d

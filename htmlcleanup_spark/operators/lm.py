@@ -379,3 +379,49 @@ def stupid_backoff_nll(df: DataFrame, model_df: DataFrame | None = None,
             F.floor(F.col("_m") * 1e6).cast("long").alias("nll_e6"),
         )
     )
+
+
+def ppl_buckets_by_lang(scored: DataFrame, n_buckets: int = 3,
+                        id_col: str = "doc_id",
+                        lang_col: str = "lang",
+                        thresholds: dict | None = None) -> DataFrame:
+    """PER-LANGUAGE head/middle/tail bucketing — CCNet's actual
+    semantics (Wenzek et al. 2020 §4.3 computes the perplexity
+    percentiles separately for each language; a global cut would let
+    well-modeled languages crowd every other language into the tail).
+
+    Validation scale (default): exact NTILE over a (lang) ->
+    (nll_e6, id) window — deterministic, bit-matches the SQL twin.
+    This window partitions BY LANGUAGE, so a dominant language (en at
+    ~half the web) lands in one sort task — fine for tests, wrong at
+    corpus scale, and AQE cannot split a window partition.
+
+    Corpus scale: pass ``thresholds`` = {lang: [cut1, cut2, ...]}
+    (n_buckets-1 ascending nll_e6 cuts per language, from
+    approxQuantile over a sample — the CCNet approach).  The bucket
+    then becomes a broadcast join on lang + an array-rank expression:
+    no window anywhere, fully parallel, threshold table is ~languages
+    rows.  A language absent from the table defaults to bucket 1
+    (document the choice: unknown-language docs sort with the head so
+    they are never silently dropped by a tail filter).
+    """
+    if thresholds is not None:
+        rows = [(l, [int(t) for t in sorted(ts)])
+                for l, ts in sorted(thresholds.items())]
+        th = scored.sparkSession.createDataFrame(
+            rows, "%s string, _cuts array<bigint>" % lang_col
+        )
+        j = scored.join(F.broadcast(th), lang_col, "left")
+        nll = F.col("nll_e6")
+        b = F.when(F.col("_cuts").isNull(), F.lit(1)).otherwise(
+            (F.lit(1) + F.size(
+                F.filter(F.col("_cuts"), lambda c: nll > c)
+            )).cast("int")
+        )
+        return j.select(*scored.columns, b.alias("ppl_bucket"))
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("nll_e6").asc(), F.col(id_col).asc()
+    )
+    return scored.select(
+        "*", F.ntile(n_buckets).over(w).alias("ppl_bucket")
+    )

@@ -212,3 +212,33 @@ def test_stupid_backoff_short_docs_yield_no_row(spark):
     df = spark.createDataFrame(
         [(1, "only two"), (2, "a b c")], "doc_id long, text string")
     assert [r.doc_id for r in stupid_backoff_nll(df).collect()] == [2]
+
+
+def test_ppl_buckets_by_lang_ntile(spark):
+    from htmlcleanup_spark.operators.lm import ppl_buckets_by_lang
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 6 else "fr", i * 100) for i in range(9)],
+        "doc_id long, lang string, nll_e6 long",
+    )
+    out = {r.doc_id: r.ppl_bucket
+           for r in ppl_buckets_by_lang(df, 3).collect()}
+    # en: 6 docs -> 2 per bucket; fr: 3 docs -> 1 per bucket
+    assert [out[i] for i in range(6)] == [1, 1, 2, 2, 3, 3]
+    assert [out[i] for i in range(6, 9)] == [1, 2, 3]
+
+
+def test_ppl_buckets_by_lang_thresholds_no_window(spark):
+    from htmlcleanup_spark.operators.lm import ppl_buckets_by_lang
+
+    df = spark.createDataFrame(
+        [(0, "en", 50), (1, "en", 150), (2, "en", 250),
+         (3, "xx", 999)],
+        "doc_id long, lang string, nll_e6 long",
+    )
+    out = ppl_buckets_by_lang(
+        df, 3, thresholds={"en": [100, 200]})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan          # corpus path: join + expr only
+    got = {r.doc_id: r.ppl_bucket for r in out.collect()}
+    assert got == {0: 1, 1: 2, 2: 3, 3: 1}   # unknown lang -> head
