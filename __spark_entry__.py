@@ -3404,6 +3404,45 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl_buckets_by_lang(scored, 3)
 
 
+def q_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl governance: per-host robots-violation report over the
+    same fetch-log/robots fixture as `robots_txt` (even hosts disallow
+    /private and *.tmp, odd hosts bind no '*' group), rolled up to
+    (n_fetched, n_violations, violation_rate_e6, sample_violation).
+    operators/crawl.robots_compliance — robots_allowed verdicts + ONE
+    host-keyed combine; oracle composes the robots_txt oracle
+    verbatim."""
+    from htmlcleanup_spark.operators.crawl import (
+        parse_robots_rules, robots_compliance,
+    )
+
+    d = _docs(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+            .alias("host"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/private/x"), ds))
+         .when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit("/private/ok/"), ds))
+         .when(F.col("doc_id") % 4 == 2,
+               F.concat(F.lit("/t/"), ds, F.lit(".tmp")))
+         .otherwise(F.concat(F.lit("/pub/"), ds)).alias("path"),
+    )
+    even_txt = ("User-agent: *\nUser-agent: otherbot\n"
+                "Disallow: /private  # staff only\n"
+                "Allow: /private/ok\n"
+                "Disallow: /*.tmp$\n"
+                "User-agent: bot\nDisallow: /")
+    odd_txt = "User-agent: bot\nDisallow: /"
+    robots = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.when(F.col("id") % 2 == 0, F.lit(even_txt))
+         .otherwise(F.lit(odd_txt)).alias("robots_txt"),
+    )
+    return robots_compliance(pages, parse_robots_rules(robots))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3556,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": q_filter_funnel,
         "cdx_generate": q_cdx_generate,
         "ccnet_buckets": q_ccnet_buckets,
+        "robots_audit": q_robots_audit,
     }
 
 
@@ -7573,5 +7613,19 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY p.nll_e6, p.doc_id)
                     AS INT) AS ppl_bucket
         FROM p JOIN documents dd USING (doc_id)
+    """
+    # COMPOSED oracle: robots verdicts verbatim, rolled up per host.
+    d["robots_audit"] = f"""
+        WITH v AS ({d['robots_txt']})
+        SELECT host,
+               CAST(COUNT(*) AS BIGINT) AS n_fetched,
+               CAST(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               CAST(floor(1000000
+                    * SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END)
+                    / COUNT(*)) AS BIGINT) AS violation_rate_e6,
+               MIN(CASE WHEN NOT allowed THEN path END)
+                   AS sample_violation
+        FROM v GROUP BY host
     """
     return d

@@ -375,3 +375,36 @@ def recrawl_priority(latest: DataFrame, now_ts: int = 20250101000000,
         days.alias("age_ord"),
         (rate_i * days).alias("score_e6"),
     ).filter(F.col("score_e6") >= min_score_e6)
+
+
+def robots_compliance(fetches: DataFrame, rules: DataFrame,
+                      host_col: str = "host",
+                      path_col: str = "path") -> DataFrame:
+    """Post-hoc crawl governance audit: which fetched urls VIOLATED the
+    host's robots rules, rolled up per host — the report a responsible
+    crawl operation publishes against its own fetch log (robots files
+    change, crawlers have bugs, and a corpus built from violating
+    fetches carries takedown risk).
+
+    Verdicts come from :func:`robots_allowed` (longest-match RFC 9309
+    evaluation over DISTINCT (host, path) pairs — refetches of one url
+    count once), then ONE host-keyed map-combined groupBy.  Returns
+    (host, n_fetched, n_violations, violation_rate_e6,
+    sample_violation) with sample_violation the lexicographic-min
+    violating path (a deterministic witness for the audit trail, NULL
+    when clean)."""
+    v = robots_allowed(fetches, rules, host_col, path_col)
+    viol = (~F.col("allowed")).cast("long")
+    agg = v.groupBy("host").agg(
+        F.count("*").alias("n_fetched"),
+        F.sum(viol).alias("n_violations"),
+        F.min(F.when(~F.col("allowed"), F.col(path_col)))
+        .alias("sample_violation"),
+    )
+    return agg.select(
+        "host", "n_fetched", "n_violations",
+        F.floor(F.lit(1000000) * F.col("n_violations")
+                / F.col("n_fetched")).cast("long")
+        .alias("violation_rate_e6"),
+        "sample_violation",
+    )

@@ -491,3 +491,29 @@ def test_recrawl_priority_formula(spark):
     assert k1.age_ord == 20250101 - 20240601
     assert k1.score_e6 == 1000000 * k1.age_ord
     assert out["k2"].score_e6 == 0 and out["k3"].score_e6 == 0
+
+
+def test_robots_compliance_report(spark):
+    from htmlcleanup_spark.operators.crawl import (
+        parse_robots_rules, robots_compliance)
+
+    robots = spark.createDataFrame(
+        [("a", "User-agent: *\nDisallow: /private"),
+         ("b", "User-agent: *\nDisallow:")],
+        "host string, robots_txt string",
+    )
+    fetches = spark.createDataFrame(
+        [("a", "/private/1"), ("a", "/private/2"), ("a", "/pub"),
+         ("a", "/pub"),                  # refetch: counted once
+         ("b", "/anything"),
+         ("c", "/no-robots-host")],      # no rules -> allowed
+        "host string, path string",
+    )
+    out = {r.host: r for r in robots_compliance(
+        fetches, parse_robots_rules(robots)).collect()}
+    assert out["a"].n_fetched == 3 and out["a"].n_violations == 2
+    assert out["a"].violation_rate_e6 == 666666
+    assert out["a"].sample_violation == "/private/1"
+    assert out["b"].n_violations == 0
+    assert out["b"].sample_violation is None
+    assert out["c"].n_violations == 0
