@@ -3443,6 +3443,21 @@ def q_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_compliance(pages, parse_robots_rules(robots))
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text pseudo-documents over the harvested outlink table:
+    top-5 distinct anchors per target by (count DESC, text ASC),
+    joined ' | ' — the web-IR target-description signal.
+    operators/links.anchor_text_agg — one (target,anchor) combine +
+    bucketed two-stage exact rank (no mega-target window); oracle
+    composes the outlinks oracle verbatim."""
+    from htmlcleanup_spark.operators.links import (
+        anchor_text_agg, extract_outlinks)
+
+    return anchor_text_agg(
+        extract_outlinks(_synth_linked_pages(spark, sf_dir)), k=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3596,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_generate": q_cdx_generate,
         "ccnet_buckets": q_ccnet_buckets,
         "robots_audit": q_robots_audit,
+        "anchor_text": q_anchor_text,
     }
 
 
@@ -7627,5 +7643,27 @@ def oracle_sql() -> dict[str, str]:
                MIN(CASE WHEN NOT allowed THEN path END)
                    AS sample_violation
         FROM v GROUP BY host
+    """
+    # COMPOSED oracle: outlink harvest verbatim -> distinct-anchor
+    # counts -> exact top-5 by (n DESC, anchor ASC) -> ordered join.
+    d["anchor_text"] = f"""
+        WITH o AS ({d['outlinks']}),
+        cnt AS (
+          SELECT url AS target_url, anchor,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM o GROUP BY url, anchor
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY target_url
+                   ORDER BY n DESC, anchor ASC) AS _r
+          FROM cnt
+        ),
+        k AS (SELECT * FROM r WHERE _r <= 5)
+        SELECT target_url,
+               CAST(count(*) AS BIGINT) AS n_anchors,
+               CAST(sum(n) AS BIGINT) AS n_inlinks_top,
+               string_agg(anchor, ' | ' ORDER BY _r) AS anchor_text
+        FROM k GROUP BY target_url
     """
     return d

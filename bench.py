@@ -476,13 +476,18 @@ def main():
     result["headline_samples"] = headline_samples
     if data_scaling is not None:
         result["data_scaling"] = data_scaling
-    if not QUICK:  # smoke runs must never clobber the reported files
+    # BASELINE.md is the REPORTED artifact: only a full run at the
+    # reporting scale (sf0.1, the driver's per-round scale) may write it
+    # — a dev run at a smaller sf once clobbered the healthy sf0.1
+    # report with an sf0.001 sample and a contended-VM scaling number.
+    if not QUICK and sf >= 0.1:
         _write_bench_md(result)
     # Full dump goes to files (BENCH/BASELINE.md + BENCH/full_result.json);
     # stdout's LAST line is a compact headline the driver's tail-capture can
     # always parse (round 3's full dump outgrew the capture window ->
     # BENCH_r03.json "parsed": null).
-    suffix = "_quick" if QUICK else ""
+    suffix = ("_quick" if QUICK
+              else "" if sf >= 0.1 else "_sf%g" % sf)
     with open(os.path.join(REPO, "BENCH",
                            "full_result%s.json" % suffix), "w") as fh:
         json.dump(result, fh, indent=1)

@@ -573,3 +573,60 @@ def reciprocal_link_stats(edges: DataFrame, src_col: str = "src_host",
             ).cast("long"),
         )
     )
+
+
+def anchor_text_agg(outlinks: DataFrame, k: int = 5,
+                    bucket_nibbles: int = 2,
+                    sep: str = " | ") -> DataFrame:
+    """Per-target anchor-text pseudo-document: the top-``k`` DISTINCT
+    inbound anchors by (frequency DESC, text ASC), joined into one
+    string — the classic web-IR enrichment (anchor text describes the
+    TARGET better than the target describes itself; search engines
+    index it, and it makes strong query->doc training pairs).
+
+    Exact top-k without a skewed window: (1) ONE map-combined groupBy
+    on (target, anchor) collapses the inlink stream to distinct
+    anchors; (2) rank within (target, md5(anchor)-bucket) and keep k
+    per bucket — every window partition is ~1/256th of even a
+    mega-target's anchor set; (3) re-rank the <= 256*k survivors per
+    target (tiny partitions).  Stage-2 correctness: the global top-k
+    by (n DESC, anchor ASC) is a subset of the union of per-bucket
+    top-k's, so the cut loses nothing.  Same two-stage shape as
+    bm25_topk's salted ranking.
+
+    Returns (target_url, n_anchors, n_inlinks_top, anchor_text) with
+    anchor_text ordered by final rank — deterministic because
+    (n DESC, anchor ASC) totally orders distinct anchors."""
+    from pyspark.sql.window import Window
+
+    cnt = (
+        outlinks.groupBy(
+            F.col("url").alias("target_url"), F.col("anchor")
+        ).agg(F.count("*").alias("n"))
+    )
+    bkt = F.substring(F.md5(F.col("anchor")), 1, bucket_nibbles)
+    w1 = Window.partitionBy("target_url", "_b").orderBy(
+        F.col("n").desc(), F.col("anchor").asc()
+    )
+    s1 = (
+        cnt.withColumn("_b", bkt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+    )
+    w2 = Window.partitionBy("target_url").orderBy(
+        F.col("n").desc(), F.col("anchor").asc()
+    )
+    s2 = (
+        s1.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") <= k)
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("_r"), F.col("anchor")))
+    )
+    return s2.groupBy("target_url").agg(
+        F.count("*").alias("n_anchors"),
+        F.sum("n").alias("n_inlinks_top"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["anchor"]), sep
+        ).alias("anchor_text"),
+    )

@@ -397,3 +397,51 @@ def test_url_path_templates_trap_detection(spark):
     assert about.n_urls == 1 and not about.is_trap and about.depth == 1
     # below threshold: digit template but only 1 url
     assert not out[("b.ex", "/item/N")].is_trap
+
+
+def test_anchor_text_agg_exact_topk_and_order(spark):
+    from htmlcleanup_spark.operators.links import anchor_text_agg
+
+    # target T: 7 distinct anchors with a frequency tie at the cut —
+    # top-5 by (n DESC, anchor ASC) must pick the ASC-first tie member.
+    rows = []
+    freqs = {"alpha": 4, "beta": 4, "gamma": 3, "delta": 2,
+             "epsilon": 2, "zeta": 2, "eta": 1}
+    for a, n in freqs.items():
+        rows += [("http://s.ex/%s%d" % (a, i), "T", a) for i in range(n)]
+    rows.append(("http://s.ex/x", "U", "only"))
+    df = spark.createDataFrame(rows, "src_url string, url string, anchor string")
+    out = {r.target_url: r for r in anchor_text_agg(df, k=5).collect()}
+    t = out["T"]
+    # epsilon/zeta/delta tie at n=2; ASC keeps delta+epsilon, drops zeta
+    assert t.anchor_text == "alpha | beta | gamma | delta | epsilon"
+    assert t.n_anchors == 5 and t.n_inlinks_top == 4 + 4 + 3 + 2 + 2
+    u = out["U"]
+    assert u.anchor_text == "only" and u.n_anchors == 1
+
+
+def test_anchor_text_agg_bucket_cut_matches_unbucketed(spark):
+    """The per-bucket pre-cut must be lossless: compare against the
+    single-window reference on a corpus where buckets matter (many
+    distinct anchors per target, k small, 1-nibble buckets so several
+    anchors share a bucket)."""
+    from pyspark.sql.window import Window
+
+    from htmlcleanup_spark.operators.links import anchor_text_agg
+
+    rows = [
+        ("s%d" % i, "T%d" % (i % 3), "anchor-%02d" % (i % 17))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "src_url string, url string, anchor string")
+    got = {r.target_url: r.anchor_text
+           for r in anchor_text_agg(df, k=4, bucket_nibbles=1).collect()}
+    cnt = df.groupBy(F.col("url").alias("t"), "anchor").agg(
+        F.count("*").alias("n"))
+    w = Window.partitionBy("t").orderBy(F.col("n").desc(), F.col("anchor"))
+    ref_rows = (cnt.withColumn("r", F.row_number().over(w))
+                .filter("r <= 4").orderBy("t", "r").collect())
+    ref = {}
+    for r in ref_rows:
+        ref.setdefault(r.t, []).append(r.anchor)
+    assert got == {t: " | ".join(v) for t, v in ref.items()}
