@@ -3458,6 +3458,60 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ASCII-only German marker words (subset of LANG_MARKERS['de']) planted
+# on every 7th doc by q_polyglot_profile in BOTH engines
+_DE_PLANT = "der die und das ist nicht mit ein eine den von zu"
+
+
+def q_polyglot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity language segmentation (mC4/CCNet style):
+    per-doc paragraph counts per language class, majority language and
+    mixed-language flag.  functions/text.polyglot_profile — pipelined
+    explode + pure column scoring + ONE doc-keyed combined groupBy;
+    oracle is GENERATED from the same LANG_MARKERS tables.  The
+    synthetic corpus is single-line, so documents are paragraph-ized
+    into the same deterministic 12-word chunks as paragraph_dedup."""
+    from htmlcleanup_spark.functions.text import polyglot_profile
+
+    # plant a German sentence on every 7th doc so the polyglot band is
+    # non-vacuous (the synthetic corpus is monolingual per doc)
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _DE_PLANT)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    ws = F.split(F.col("text"), " ")
+    chunked = planted.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(0), ((F.size(ws) - F.lit(1)) / 12).cast("int")
+                ),
+                lambda i: F.concat_ws(" ", F.slice(ws, i * 12 + 1, 12)),
+            ),
+        ).alias("text"),
+    )
+    return polyglot_profile(chunked)
+
+
+def q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster canonicalization: the dedup pipeline's
+    survivors, keeping each cluster's HIGHEST-quality member (ties ->
+    smallest doc_id) instead of the smallest id.
+    operators/dedup.dedup_survivors_by_quality — one cluster-keyed
+    max(struct) combine, no window over cluster members."""
+    docs = _docs(spark, sf_dir)
+    clusters = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+    scored = docs.select(
+        "doc_id", "lang", quality_score().alias("quality_e6")
+    )
+    return dedup.dedup_survivors_by_quality(scored, clusters)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3612,6 +3666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "robots_audit": q_robots_audit,
         "anchor_text": q_anchor_text,
+        "polyglot_profile": q_polyglot_profile,
+        "quality_survivors": q_quality_survivors,
     }
 
 
@@ -7666,4 +7722,89 @@ def oracle_sql() -> dict[str, str]:
                string_agg(anchor, ' | ' ORDER BY _r) AS anchor_text
         FROM k GROUP BY target_url
     """
+    # GENERATED per-paragraph twin of polyglot_profile: the paragraph
+    # stream aliases para AS text so the lang_id score/CASE fragments
+    # (built from the same LANG_MARKERS dict) apply verbatim; the
+    # majority CASE is the first-maximal form of the Spark fold.
+    pp_scores, pp_pred, _ = _lang_sql_parts()
+    _cls = ("en", "de", "fr", "nl", "und")
+    pp_cnt = ",\n".join(
+        "CAST(sum(CASE WHEN pl = '%s' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS c_%s" % (c, c) for c in _cls
+    )
+    pp_case = []
+    for i, c in enumerate(_cls[:-1]):
+        cond = " AND ".join(
+            ["c_%s > 0" % c]
+            + ["c_%s >= c_%s" % (c, o) for o in _cls[i + 1:]]
+        )
+        pp_case.append("WHEN %s THEN '%s'" % (cond, c))
+    pp_majority = "CASE %s ELSE 'und' END" % " ".join(pp_case)
+    pp_nlangs = " + ".join(
+        "(CASE WHEN c_%s > 0 THEN 1 ELSE 0 END)" % c for c in _cls[:-1]
+    )
+    d["polyglot_profile"] = f"""
+        WITH pl AS (SELECT doc_id,
+                           CASE WHEN doc_id % 7 = 0
+                                THEN text || ' {_DE_PLANT}'
+                                ELSE text END AS text
+                    FROM documents),
+        wsx AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM pl),
+        par AS (SELECT doc_id,
+                       array_to_string(ws[i*12+1 : i*12+12], ' ') AS para
+                FROM (SELECT doc_id, ws,
+                             unnest(generate_series(0,
+                                    (len(ws)-1)//12)) AS i
+                      FROM wsx)),
+        p AS (
+          SELECT doc_id, para AS text FROM par WHERE trim(para) <> ''
+        ),
+        s AS (SELECT doc_id, {pp_scores} FROM p),
+        l AS (SELECT doc_id, {pp_pred} AS pl FROM s),
+        c AS (SELECT doc_id, {pp_cnt} FROM l GROUP BY doc_id)
+        SELECT doc_id,
+               c_en + c_de + c_fr + c_nl + c_und AS n_paras,
+               c_en, c_de, c_fr, c_nl, c_und,
+               {pp_majority} AS majority_lang,
+               greatest(c_en, c_de, c_fr, c_nl, c_und) AS n_majority,
+               CAST({pp_nlangs} AS BIGINT) AS n_langs,
+               ({pp_nlangs}) >= 2 AS is_polyglot
+        FROM c
+    """
+    # quality-aware survivors: the dedup_survivors recursive-CC CTE,
+    # with the per-cluster winner picked by (quality DESC, doc_id ASC)
+    d["quality_survivors"] = (
+        "WITH RECURSIVE "
+        + _LSH_PAIRS_CTE[len("WITH "):]
+        + f""",
+            edges AS (SELECT id_a AS u, id_b AS v FROM cpairs
+                      UNION SELECT id_b, id_a FROM cpairs),
+            reach(doc_id, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT reach.doc_id, edges.v
+              FROM reach JOIN edges ON reach.r = edges.u
+            ),
+            cl AS (SELECT doc_id, min(r) AS cluster_id
+                   FROM reach GROUP BY doc_id),
+            feat AS (SELECT doc_id, lang,
+                            len(string_split(text, ' ')) AS n_tokens,
+                            length(text) AS n_char,
+                            length(regexp_replace(text, '[^a-zA-Z ]', '',
+                                                  'g')) AS alpha_chars
+                     FROM documents),
+            q AS (SELECT doc_id, lang, {_QUALITY_SQL} AS quality_e6
+                  FROM feat),
+            win AS (SELECT cl.cluster_id, cl.doc_id,
+                         row_number() OVER (
+                           PARTITION BY cl.cluster_id
+                           ORDER BY q.quality_e6 DESC, cl.doc_id ASC
+                         ) AS rn
+                  FROM cl JOIN q USING (doc_id)),
+            losers AS (SELECT doc_id FROM win WHERE rn > 1)
+            SELECT doc_id, lang, quality_e6 FROM q
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """
+    )
     return d

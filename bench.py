@@ -170,6 +170,14 @@ EXTENDED = [
     "holdout_split",
     "unimax_sample",
     "cross_corpus_lsh",
+    "url_dates",
+    "filter_funnel",
+    "cdx_generate",
+    "ccnet_buckets",
+    "robots_audit",
+    "anchor_text",
+    "polyglot_profile",
+    "quality_survivors",
 ]
 
 

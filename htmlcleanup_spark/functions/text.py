@@ -943,3 +943,71 @@ def script_mix(df, text_col: str = "text", id_col: str = "doc_id",
         dom.alias("dominant_script"),
         (mixed & (total > 0)).alias("mixed"),
     )
+
+
+def polyglot_profile(df, text_col: str = "text", id_col: str = "doc_id",
+                     para_sep: str = "\n"):
+    """Per-document language segmentation at paragraph granularity —
+    the mC4/CCNet refinement over whole-document lang-ID: web pages
+    routinely mix languages (quoted sources, boilerplate chrome in the
+    site language, bilingual articles), and a corpus builder wants to
+    know WHICH docs are mixed before routing them to per-language
+    filters.
+
+    Splits each document on ``para_sep``, drops blank paragraphs,
+    classifies each remaining paragraph with the same stopword
+    heuristic as :func:`lang_id`, and folds per document:
+    ``c_<lang>`` paragraph counts per class (en/de/fr/nl/und),
+    ``n_paras``, ``majority_lang`` (argmax count; ties break in
+    _LANG_ORDER order with real languages beating 'und'),
+    ``n_majority`` (the winning count), ``n_langs`` (distinct real
+    languages present) and ``is_polyglot`` (>= 2 real languages).
+    Documents with no non-blank paragraph yield no row (they carry no
+    classifiable text — the :func:`line_dedup` convention).
+
+    Scale shape (10^12 docs): the explode is pipelined (no shuffle),
+    per-paragraph scoring is pure column expressions, and the fold is
+    ONE doc-keyed map-combined groupBy of five conditional counters —
+    a fixed-width row per doc on the wire.  No window, no second
+    shuffle; skew follows document size, which upstream size-bucketing
+    already spreads."""
+    classes = _LANG_ORDER + ("und",)
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), para_sep)).alias("_para"),
+    ).filter(F.trim(F.col("_para")) != "")
+    scored = paras.select("doc_id", _lang_best("_para")[0].alias("_pl"))
+    agg = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("_pl") == c, 1).otherwise(0))
+            .cast("long")
+            .alias("c_" + c)
+            for c in classes
+        ]
+    )
+    # argmax fold, strictly-greater so earlier classes win ties and
+    # every real language beats an equal 'und' count — the same fold
+    # discipline as _lang_best / script_mix
+    best_lang = F.lit("und")
+    best_n = F.lit(0).cast("long")
+    for c in classes:
+        take = F.col("c_" + c) > best_n
+        best_lang = F.when(take, F.lit(c)).otherwise(best_lang)
+        best_n = F.when(take, F.col("c_" + c)).otherwise(best_n)
+    n_paras = None
+    for c in classes:
+        col = F.col("c_" + c)
+        n_paras = col if n_paras is None else n_paras + col
+    n_langs = None
+    for c in _LANG_ORDER:
+        flag = (F.col("c_" + c) > 0).cast("long")
+        n_langs = flag if n_langs is None else n_langs + flag
+    return agg.select(
+        "doc_id",
+        n_paras.alias("n_paras"),
+        *["c_" + c for c in classes],
+        best_lang.alias("majority_lang"),
+        best_n.alias("n_majority"),
+        n_langs.alias("n_langs"),
+        (n_langs >= 2).alias("is_polyglot"),
+    )

@@ -1140,3 +1140,47 @@ def contamination_report(df: DataFrame, eval_df: DataFrame,
             ).cast("long"),
         )
     )
+
+
+def dedup_survivors_by_quality(df: DataFrame, clusters: DataFrame,
+                               id_col: str = "doc_id",
+                               quality_col: str = "quality_e6"
+                               ) -> DataFrame:
+    """Cluster canonicalization that keeps the BEST member of each
+    duplicate cluster instead of the smallest id: within a cluster the
+    survivor is the doc with the highest ``quality_col`` (ties -> the
+    smallest id, so the choice is total and deterministic).  Docs
+    absent from ``clusters`` are kept, like :func:`dedup_survivors`.
+    This is the production dedup discipline (FineWeb, Dolma): among
+    syndicated copies, keep the cleanest extraction, not an arbitrary
+    one.  ``id_col`` must be numeric (the tie-break negates it).
+
+    Scale shape (10^12 docs): ``clusters`` holds only docs that ever
+    appeared in a candidate pair — a small fraction of the corpus.
+    Winner selection is ONE cluster-keyed map-combined ``max(struct
+    (quality, -id))`` aggregate (associative, no window over cluster
+    members), the winner lookup is a cluster-keyed equi-join within
+    the same small table, and the final removal is an id-keyed
+    anti-join (broadcast when the loser set fits, co-partitioned
+    otherwise — Catalyst/AQE's call).  The big table shuffles at most
+    once, on its id."""
+    members = clusters.join(
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(quality_col).alias("_q")),
+        "doc_id",
+    )
+    best = members.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("_q").alias("q"),
+                     (-F.col("doc_id")).alias("neg_id"))
+        ).alias("_b")
+    )
+    winners = best.select(
+        "cluster_id", (-F.col("_b.neg_id")).alias("_win")
+    )
+    losers = (
+        clusters.join(winners, "cluster_id")
+        .filter(F.col("doc_id") != F.col("_win"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

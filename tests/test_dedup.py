@@ -439,3 +439,41 @@ def test_host_line_dedup_per_host_independence(spark):
     assert out["http://b.com/1"].text == "NAV\ndelta"   # same line, kept
     assert out["http://b.com/1"].n_lines_dropped == 0
     assert out["http://b.com/2"].text == "epsilon\nzeta"  # order kept
+
+
+def test_dedup_survivors_by_quality(spark):
+    from htmlcleanup_spark.operators.dedup import dedup_survivors_by_quality
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 99), (5, 7), (6, 9)],
+        "doc_id long, quality_e6 long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_survivors_by_quality(docs, clusters).collect()
+    )
+    # cluster 1: quality tie 50/50 between docs 2 and 3 -> smaller id 2;
+    # cluster 5: doc 6 (9 > 7); doc 4 never clustered -> kept
+    assert kept == [2, 4, 6]
+
+
+def test_dedup_survivors_by_quality_no_window(spark):
+    """Plan gate: winner selection is an aggregate, not a row_number
+    window over cluster members (a mega-cluster must not become one
+    window partition)."""
+    from htmlcleanup_spark.operators.dedup import dedup_survivors_by_quality
+
+    docs = spark.createDataFrame(
+        [(i, i % 7) for i in range(50)], "doc_id long, quality_e6 long"
+    )
+    clusters = spark.createDataFrame(
+        [(i, i % 5) for i in range(40)], "doc_id long, cluster_id long"
+    )
+    plan = (dedup_survivors_by_quality(docs, clusters)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan

@@ -321,3 +321,49 @@ def test_readability_flesch(spark):
     assert r1.flesch_e3 == exp
     assert rows[2].flesch_e3 is None and rows[2].n_sents == 0
     assert rows[3].flesch_e3 is not None  # 1 word, 1 "sentence"
+
+
+def test_polyglot_profile_segmentation(spark):
+    from htmlcleanup_spark.functions.text import polyglot_profile
+
+    en = "the cat and the dog is in the house"
+    de = "der hund und die katze ist nicht hier"
+    rows = [
+        (1, en + "\n" + en + "\n" + de),      # 2 en + 1 de -> polyglot
+        (2, "zzz qqq xyzzy"),                  # 1 und paragraph
+        (3, "\n   \n"),                        # only blanks -> no row
+        (4, en + "\n" + de),                   # 1-1 tie -> en (order)
+        (5, en + "\nzzz qqq"),                 # real beats equal und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in polyglot_profile(df).collect()}
+    assert 3 not in out and len(out) == 4
+    r1 = out[1]
+    assert (r1.n_paras, r1.c_en, r1.c_de) == (3, 2, 1)
+    assert r1.majority_lang == "en" and r1.n_majority == 2
+    assert r1.n_langs == 2 and r1.is_polyglot
+    r2 = out[2]
+    assert r2.majority_lang == "und" and r2.c_und == 1
+    assert r2.n_langs == 0 and not r2.is_polyglot
+    assert out[4].majority_lang == "en" and out[4].is_polyglot
+    r5 = out[5]
+    assert r5.majority_lang == "en" and r5.c_und == 1
+    assert r5.n_langs == 1 and not r5.is_polyglot
+
+
+def test_polyglot_profile_single_doc_keyed_shuffle(spark):
+    """Plan gate: exactly one exchange, keyed by doc_id — the explode
+    and per-paragraph scoring must stay pipelined."""
+    import re
+
+    from htmlcleanup_spark.functions.text import polyglot_profile
+
+    df = spark.createDataFrame(
+        [(i, "the cat is here\nder hund") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = (polyglot_profile(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1 and "doc_id#" in exchanges[0], plan
+    assert "SinglePartition" not in plan
