@@ -3512,6 +3512,27 @@ def q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_survivors_by_quality(scored, clusters)
 
 
+def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix accounting ROLLUP: docs/tokens by lang × quality
+    band × length band with hierarchical subtotals — ONE Expand +
+    partially-combined aggregate, single low-cardinality exchange
+    (functions/text.corpus_mix_cube)."""
+    from htmlcleanup_spark.functions.text import corpus_mix_cube
+
+    return corpus_mix_cube(_docs(spark, sf_dir))
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus's own top-1000
+    vocabulary (deterministic tie-break) — global top-K heap + broadcast
+    semi-join + one doc-keyed combine (functions/text.oov_rate).  The
+    synthetic corpus has ~31 distinct words, so the query uses K=16 to
+    keep the OOV band non-vacuous (operator default is 1000)."""
+    from htmlcleanup_spark.functions.text import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir), vocab_size=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3668,6 +3689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "polyglot_profile": q_polyglot_profile,
         "quality_survivors": q_quality_survivors,
+        "corpus_cube": q_corpus_cube,
+        "oov_rate": q_oov_rate,
     }
 
 
@@ -7807,4 +7830,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """
     )
+    # ROLLUP twin: DuckDB's GROUPING() returns the same 0/1 per-column
+    # flag as Spark's grouping(); subtotal dims coalesce to '(all)' in
+    # both engines so the result is NULL-free.
+    d["corpus_cube"] = f"""
+        WITH feat AS (SELECT doc_id, lang,
+                             len(string_split(text, ' ')) AS n_tokens,
+                             length(text) AS n_char,
+                             length(regexp_replace(text, '[^a-zA-Z ]', '',
+                                                   'g')) AS alpha_chars
+                      FROM documents),
+        b AS (SELECT lang,
+                     'q' || CAST(least(CAST(floor(
+                         ({_QUALITY_SQL}) / 250000.0) AS BIGINT), 3)
+                         AS VARCHAR) AS q_band,
+                     CASE WHEN n_tokens < 32 THEN 'xs'
+                          WHEN n_tokens < 128 THEN 's'
+                          WHEN n_tokens < 512 THEN 'm'
+                          ELSE 'l' END AS len_band,
+                     CAST(n_tokens AS BIGINT) AS nt
+              FROM feat)
+        SELECT coalesce(lang, '(all)') AS lang,
+               coalesce(q_band, '(all)') AS q_band,
+               coalesce(len_band, '(all)') AS len_band,
+               CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+               CAST(GROUPING(q_band) AS BIGINT) AS g_q,
+               CAST(GROUPING(len_band) AS BIGINT) AS g_len,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens
+        FROM b GROUP BY ROLLUP(lang, q_band, len_band)
+    """
+    d["oov_rate"] = """
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+        vocab AS (SELECT w FROM (
+            SELECT w, count(*) AS c FROM toks GROUP BY w
+            ORDER BY c DESC, w ASC LIMIT 16)),
+        inv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_in
+                FROM toks WHERE w IN (SELECT w FROM vocab)
+                GROUP BY doc_id),
+        tot AS (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS n_tokens
+                FROM documents)
+        SELECT t.doc_id, t.n_tokens,
+               CAST(t.n_tokens - coalesce(i.n_in, 0) AS BIGINT) AS n_oov,
+               CAST(floor(1e6 * (t.n_tokens - coalesce(i.n_in, 0))
+                    / greatest(t.n_tokens, 1)) AS BIGINT) AS oov_e6
+        FROM tot t LEFT JOIN inv i USING (doc_id)
+    """
     return d

@@ -178,6 +178,8 @@ EXTENDED = [
     "anchor_text",
     "polyglot_profile",
     "quality_survivors",
+    "corpus_cube",
+    "oov_rate",
 ]
 
 

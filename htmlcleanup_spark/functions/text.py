@@ -1011,3 +1011,106 @@ def polyglot_profile(df, text_col: str = "text", id_col: str = "doc_id",
         n_langs.alias("n_langs"),
         (n_langs >= 2).alias("is_polyglot"),
     )
+
+
+def corpus_mix_cube(df, text_col: str = "text", lang_col: str = "lang",
+                    id_col: str = "doc_id"):
+    """Training-mix accounting ROLLUP: docs and tokens by language ×
+    quality band × length band, with hierarchical subtotals — the
+    one-pass report a mix planner reads before assigning sampling
+    weights (how many en/high-quality/long tokens do we actually
+    have?).
+
+    Bands: quality_e6 quartile-ish bands q0..q3 (floor(q/250000),
+    clamped to 3) and length bands xs/s/m/l at 32/128/512 tokens.
+    Subtotal rows carry the '(all)' sentinel in aggregated-out dims
+    plus explicit 0/1 grouping flags — NULL-free output so value
+    comparison is total-order stable.
+
+    Scale shape (10^12 docs): ROLLUP compiles to ONE Expand (4 rows
+    per input for 3 dims) feeding a partially-combined aggregate —
+    the map side collapses to ~|langs|x4x4x4 rows before the single
+    low-cardinality exchange.  No window, no second pass per
+    subtotal level."""
+    q = quality_score(text_col)
+    n_tok = token_count(text_col)
+    q_band = F.concat(
+        F.lit("q"), F.least(F.floor(q / 250000), F.lit(3)).cast("int")
+    )
+    len_band = (
+        F.when(n_tok < 32, "xs")
+        .when(n_tok < 128, "s")
+        .when(n_tok < 512, "m")
+        .otherwise("l")
+    )
+    base = df.select(
+        F.col(lang_col).alias("lang"),
+        q_band.alias("q_band"),
+        len_band.alias("len_band"),
+        n_tok.cast("long").alias("_nt"),
+    )
+    out = base.rollup("lang", "q_band", "len_band").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.grouping("lang").cast("long").alias("g_lang"),
+        F.grouping("q_band").cast("long").alias("g_q"),
+        F.grouping("len_band").cast("long").alias("g_len"),
+    )
+    return out.select(
+        F.coalesce("lang", F.lit("(all)")).alias("lang"),
+        F.coalesce("q_band", F.lit("(all)")).alias("q_band"),
+        F.coalesce("len_band", F.lit("(all)")).alias("len_band"),
+        "g_lang", "g_q", "g_len", "n_docs", "total_tokens",
+    )
+
+
+def oov_rate(df, vocab_size: int = 1000, text_col: str = "text",
+             id_col: str = "doc_id"):
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` vocabulary — a cheap fluency/noise signal
+    (gibberish, OCR damage and boilerplate code score high; CCNet and
+    Gopher both gate on related vocabulary statistics).
+
+    Vocabulary = the ``vocab_size`` most frequent whitespace tokens,
+    ties broken (count DESC, token ASC) so the set is deterministic.
+    Returns (doc_id, n_tokens, n_oov, oov_e6) with ``oov_e6`` the
+    floor-quantized rate in [0, 1e6].
+
+    Scale shape: vocabulary = one vocab-keyed map-combined count +
+    global top-K (TakeOrderedAndProject — executor-local heaps, no
+    full sort); membership = the exploded token stream broadcast-
+    semi-joined against the K-row vocab (no shuffle); per-doc fold =
+    ONE doc-keyed map-combined groupBy; the id-keyed join back to the
+    doc table is AQE-broadcastable when the doc list is filtered,
+    co-partitioned otherwise."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("_w"),
+    )
+    vocab = (
+        toks.groupBy("_w")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_w").asc())
+        .limit(vocab_size)
+        .select("_w")
+    )
+    in_vocab = toks.join(F.broadcast(vocab), "_w", "left_semi")
+    n_in = in_vocab.groupBy("doc_id").agg(
+        F.count("*").alias("_n_in")
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    j = totals.join(n_in, "doc_id", "left").select(
+        "doc_id", "n_tokens",
+        (F.col("n_tokens") - F.coalesce("_n_in", F.lit(0)))
+        .alias("n_oov"),
+    )
+    return j.select(
+        "doc_id", "n_tokens", "n_oov",
+        F.floor(
+            1e6 * F.col("n_oov").cast("double")
+            / F.greatest(F.col("n_tokens").cast("double"), F.lit(1.0))
+        ).cast("long").alias("oov_e6"),
+    )

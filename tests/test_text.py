@@ -367,3 +367,60 @@ def test_polyglot_profile_single_doc_keyed_shuffle(spark):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(exchanges) == 1 and "doc_id#" in exchanges[0], plan
     assert "SinglePartition" not in plan
+
+
+def test_corpus_mix_cube_rollup_totals(spark):
+    from htmlcleanup_spark.functions.text import corpus_mix_cube
+
+    long_txt = " ".join(["the cat sat on the mat is a"] * 20)  # 160 tok
+    rows = [
+        (1, "en", long_txt),
+        (2, "en", "the cat"),
+        (3, "de", "der hund und die katze " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = corpus_mix_cube(df).collect()
+    by_key = {(r.lang, r.q_band, r.len_band): r for r in out}
+    grand = by_key[("(all)", "(all)", "(all)")]
+    assert (grand.g_lang, grand.g_q, grand.g_len) == (1, 1, 1)
+    assert grand.n_docs == 3
+    en_total = by_key[("en", "(all)", "(all)")]
+    assert en_total.n_docs == 2 and en_total.g_lang == 0
+    assert en_total.g_q == 1 and en_total.g_len == 1
+    # leaf rows carry zero grouping flags and sum to the grand total
+    leaves = [r for r in out if (r.g_lang, r.g_q, r.g_len) == (0, 0, 0)]
+    assert sum(r.n_docs for r in leaves) == 3
+    assert sum(r.total_tokens for r in leaves) == grand.total_tokens
+    # length bands: 160-token doc is 'm', 2-token doc is 'xs'
+    assert {r.len_band for r in leaves if r.lang == "en"} == {"m", "xs"}
+
+
+def test_oov_rate_against_known_vocab(spark):
+    from htmlcleanup_spark.functions.text import oov_rate
+
+    # corpus: 'a' x 30, 'b' x 20, 'c' x 10, 'z' x 1 -> top-2 vocab {a, b}
+    rows = [
+        (1, " ".join(["a"] * 3 + ["b"] * 2)),       # all in vocab
+        (2, " ".join(["a"] * 2 + ["c"] * 2)),       # half oov
+        (3, " ".join(["c"] * 3 + ["z"])),           # all oov
+        (4, " ".join(["a"] * 25 + ["b"] * 18 + ["c"] * 5)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in oov_rate(df, vocab_size=2).collect()}
+    assert out[1].n_oov == 0 and out[1].oov_e6 == 0
+    assert out[2].n_oov == 2 and out[2].oov_e6 == 500000
+    assert out[3].n_oov == 4 and out[3].oov_e6 == 1000000
+    assert out[4].n_oov == 5 and out[4].n_tokens == 48
+
+
+def test_oov_rate_vocab_tiebreak_deterministic(spark):
+    from htmlcleanup_spark.functions.text import oov_rate
+
+    # 'x' and 'y' tie on count at the vocab boundary; ASC keeps 'x'
+    df = spark.createDataFrame(
+        [(1, "a a a x y"), (2, "x y")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in oov_rate(df, vocab_size=2).collect()}
+    # vocab = {a (3), x (2 ties with y -> 'x' wins)}
+    assert out[2].n_oov == 1
+    assert out[1].n_oov == 1
