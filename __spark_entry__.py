@@ -3533,6 +3533,19 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(_docs(spark, sf_dir), vocab_size=16)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 heavy hitters of the token stream with share-of-
+    total — the Zipf head the dedup caps (hot buckets, boilerplate
+    lines) are tuned against.  functions/text.heavy_hitters: combined
+    count + TakeOrderedAndProject heap + bounded <= k rank window."""
+    from htmlcleanup_spark.functions.text import heavy_hitters
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    return heavy_hitters(toks, "w", k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3691,6 +3704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_survivors": q_quality_survivors,
         "corpus_cube": q_corpus_cube,
         "oov_rate": q_oov_rate,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -7878,5 +7892,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(1e6 * (t.n_tokens - coalesce(i.n_in, 0))
                     / greatest(t.n_tokens, 1)) AS BIGINT) AS oov_e6
         FROM tot t LEFT JOIN inv i USING (doc_id)
+    """
+    d["heavy_hitters"] = """
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+        c AS (SELECT w AS value, CAST(count(*) AS BIGINT) AS n
+              FROM toks GROUP BY w),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+        top AS (SELECT value, n,
+                       CAST(row_number() OVER (
+                         ORDER BY n DESC, value ASC) AS BIGINT) AS rank
+                FROM c ORDER BY n DESC, value ASC LIMIT 20)
+        SELECT value, n, rank,
+               CAST(floor(1e6 * n / greatest(t.tot, 1)) AS BIGINT)
+                 AS share_e6
+        FROM top, t
     """
     return d

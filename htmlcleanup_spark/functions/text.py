@@ -1114,3 +1114,39 @@ def oov_rate(df, vocab_size: int = 1000, text_col: str = "text",
             / F.greatest(F.col("n_tokens").cast("double"), F.lit(1.0))
         ).cast("long").alias("oov_e6"),
     )
+
+
+def heavy_hitters(df, key_col: str, k: int = 20):
+    """Exact top-``k`` heavy hitters of ``key_col`` with their share of
+    the total row stream — the skew diagnostic this engine's own caps
+    are tuned from: the hot LSH buckets, boilerplate lines and mega
+    hosts that would dominate a shuffle are exactly the keys this
+    surfaces (cf. the max_bucket_size / max_doc_frac / host caps in
+    operators/dedup).
+
+    Returns (value, n, rank, share_e6) — share floor-quantized against
+    the exact total so the report is integer-stable.
+
+    Scale shape: one key-keyed map-combined count, a global top-k via
+    TakeOrderedAndProject (executor-local k-heaps, no full sort), the
+    1-row total broadcast back, and a rank window over the <= k
+    surviving rows (bounded by construction — allowlisted in the plan
+    lint).  Nothing unbounded ever sorts globally."""
+    counts = (
+        df.groupBy(F.col(key_col).alias("value"))
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_tot"))
+    top = counts.orderBy(F.col("n").desc(), F.col("value").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("value").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "value", "n", "rank",
+            F.floor(
+                1e6 * F.col("n").cast("double")
+                / F.greatest(F.col("_tot").cast("double"), F.lit(1.0))
+            ).cast("long").alias("share_e6"),
+        )
+    )

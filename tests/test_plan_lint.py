@@ -56,6 +56,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # functions/text.zipf_fit: rank window runs AFTER .limit(top_n) —
     # bounded at <= 200 rows by construction.
     "zipf_fit": "window input bounded at top_n (<=200) rows",
+    # functions/text.heavy_hitters: rank window runs AFTER .limit(k) —
+    # bounded at <= k (20) rows by construction.
+    "heavy_hitters": "window input bounded at k (<=20) rows",
 }
 
 

@@ -424,3 +424,28 @@ def test_oov_rate_vocab_tiebreak_deterministic(spark):
     # vocab = {a (3), x (2 ties with y -> 'x' wins)}
     assert out[2].n_oov == 1
     assert out[1].n_oov == 1
+
+
+def test_heavy_hitters_exact_shares(spark):
+    from htmlcleanup_spark.functions.text import heavy_hitters
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.value: r for r in heavy_hitters(df, "k", k=2).collect()}
+    assert set(out) == {"a", "b"}
+    assert (out["a"].rank, out["a"].n, out["a"].share_e6) == (1, 6, 600000)
+    assert (out["b"].rank, out["b"].n, out["b"].share_e6) == (2, 3, 300000)
+
+
+def test_heavy_hitters_tie_and_heap_plan(spark):
+    from htmlcleanup_spark.functions.text import heavy_hitters
+
+    rows = [("x",)] * 2 + [("y",)] * 2 + [("z",)] * 2 + [("w",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    res = heavy_hitters(df, "k", k=2)
+    got = sorted((r.rank, r.value) for r in res.collect())
+    # ties break value ASC: x then y; z drops at the cut
+    assert got == [(1, "x"), (2, "y")]
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the top-k must be heap-based, never a global sort of the counts
+    assert "TakeOrderedAndProject" in plan, plan
