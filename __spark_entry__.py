@@ -3546,6 +3546,47 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "w", k=20)
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-pair MinHash+LSH recall by exact-Jaccard band (the dedup
+    operating-point gate, twin of ann_recall).  Every 5th doc gets a
+    mutated twin (every m-th word replaced, m in {4, 10, 16} by
+    doc_id % 3 — three similarity regimes), the production LSH runs
+    over corpus+twins, and detection rates land in integer-exact
+    Jaccard bands.  operators/dedup.lsh_recall_report."""
+    from htmlcleanup_spark.operators.dedup import lsh_recall_report
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    src = d.filter(F.col("doc_id") % 5 == 0)
+    ws = F.split(F.col("text"), " ")
+    m = (F.lit(4) + (F.col("doc_id") % 3) * 6).cast("int")
+    # mutate FIRST, re-id SECOND: naming the shifted id 'doc_id' in the
+    # same projection would capture the lambda's doc_id reference
+    mutated = src.withColumn(
+        "_mut",
+        F.concat_ws(
+            " ",
+            F.transform(
+                ws,
+                lambda w, i: F.when(
+                    (i + 1) % m == 0,
+                    F.concat(F.lit("zz"),
+                             F.col("doc_id").cast("string"),
+                             F.lit("_"), (i + 1).cast("string")),
+                ).otherwise(w),
+            ),
+        ),
+    )
+    twins = mutated.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("_mut").alias("text"),
+    )
+    planted = src.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1000000).alias("id_b"),
+    )
+    return lsh_recall_report(d.unionByName(twins), planted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
     # FIRST 50 entries only.  Round-5 rotation (judge r4 ask #1): the 25
@@ -3705,6 +3746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cube": q_corpus_cube,
         "oov_rate": q_oov_rate,
         "heavy_hitters": q_heavy_hitters,
+        "lsh_recall": q_lsh_recall,
     }
 
 
@@ -7907,5 +7949,79 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(1e6 * n / greatest(t.tot, 1)) AS BIGINT)
                  AS share_e6
         FROM top, t
+    """
+    # planted-pair LSH recall: twins re-derived with the same per-doc
+    # mutation arithmetic, then the identical fused minhash/band
+    # construction over corpus+twins; bands from exact integer
+    # intersection/union counts.
+    d["lsh_recall"] = """
+        WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents),
+        tw AS (
+          SELECT doc_id + 1000000 AS doc_id,
+                 string_agg(CASE WHEN i % m = 0
+                              THEN 'zz' || CAST(doc_id AS VARCHAR)
+                                   || '_' || CAST(i AS VARCHAR)
+                              ELSE ws[i] END, ' ' ORDER BY i) AS text
+          FROM (SELECT doc_id, ws,
+                       4 + (doc_id % 3) * 6 AS m,
+                       unnest(generate_series(1, len(ws))) AS i
+                FROM base WHERE doc_id % 5 = 0)
+          GROUP BY doc_id
+        ),
+        corpus AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT doc_id, text FROM tw),
+        planted AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+                    FROM documents WHERE doc_id % 5 = 0),
+        w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+        idx AS (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM w),
+        sh AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+               FROM idx),
+        hx AS (SELECT doc_id, j.hash_id,
+                      md5(CAST(j.hash_id AS VARCHAR) || ':' || shingle)
+                        AS h
+               FROM sh,
+                    (SELECT unnest(generate_series(0, 7)) AS hash_id) j),
+        sig AS (SELECT doc_id, hash_id, min(h) AS minhash
+                FROM hx GROUP BY doc_id, hash_id),
+        banded AS (
+          SELECT doc_id, hash_id // 2 AS band,
+                 md5(string_agg(minhash, '|' ORDER BY minhash))
+                   AS band_key
+          FROM sig GROUP BY doc_id, hash_id // 2
+        ),
+        detected AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b USING (band, band_key)
+          WHERE a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns
+                  FROM sh GROUP BY doc_id),
+        inter AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS ni
+                  FROM planted p
+                  JOIN sh a ON a.doc_id = p.id_a
+                  JOIN sh b ON b.doc_id = p.id_b
+                            AND b.shingle = a.shingle
+                  GROUP BY p.id_a, p.id_b),
+        pairs AS (
+          SELECT p.id_a, p.id_b,
+                 coalesce(i.ni, 0) AS ni,
+                 sa.ns + sb.ns - coalesce(i.ni, 0) AS nu,
+                 CASE WHEN dt.id_a IS NULL THEN 0 ELSE 1 END AS hit
+          FROM planted p
+          JOIN sizes sa ON sa.doc_id = p.id_a
+          JOIN sizes sb ON sb.doc_id = p.id_b
+          LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+          LEFT JOIN detected dt ON dt.id_a = p.id_a AND dt.id_b = p.id_b
+        )
+        SELECT CAST(least(floor(5.0 * ni / nu), 4) AS BIGINT) AS jband,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(hit) AS BIGINT) AS n_detected,
+               CAST(floor(1e6 * sum(hit) / count(*)) AS BIGINT)
+                 AS recall_e6
+        FROM pairs GROUP BY 1
     """
     return d

@@ -180,6 +180,8 @@ EXTENDED = [
     "quality_survivors",
     "corpus_cube",
     "oov_rate",
+    "heavy_hitters",
+    "lsh_recall",
 ]
 
 

@@ -1184,3 +1184,87 @@ def dedup_survivors_by_quality(df: DataFrame, clusters: DataFrame,
         .select(F.col("doc_id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def lsh_recall_report(df: DataFrame, planted: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, n_bins: int = 5) -> DataFrame:
+    """Measured MinHash+LSH recall against PLANTED ground-truth pairs,
+    bucketed by exact n-gram Jaccard — the dedup analogue of
+    ann_recall_report: before trusting a (bands, rows) operating point
+    on a new corpus, plant known near-duplicates at varied mutation
+    rates and read the detection rate off each similarity band (the
+    empirical S-curve, vs the analytic 1-(1-J^r)^b).
+
+    ``planted`` is (id_a, id_b) with id_a < id_b; both ids must exist
+    in ``df``.  Returns one row per Jaccard band:
+    (jband, n_pairs, n_detected, recall_e6), where jband =
+    min(floor(n_bins * J), n_bins - 1) computed from EXACT integer
+    shingle counts (intersection / union), so banding is bit-stable in
+    any engine.  Pairs where either side has < k words carry no
+    defined Jaccard and are excluded (inner join on shingle sizes).
+
+    Recall only — organic (unplanted) near-duplicates in ``df`` make
+    false positives ill-defined without full labeling, so detected
+    pairs outside ``planted`` are ignored.
+
+    Scale shape: the planted set is small by construction (an eval
+    artifact), so both per-side prunes are broadcast semi-joins; the
+    shingle intersection runs only over planted docs' shingles with
+    the pair filter BEFORE the aggregate (the ngram_jaccard_pairs
+    candidate discipline); LSH detection is the production
+    minhash_lsh_pairs plan itself; the final report is one
+    n_bins-row aggregate."""
+    sh = shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_ns"))
+    pl = _pin(planted.select("id_a", "id_b"))
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle").join(
+        F.broadcast(pl.select("id_a").distinct()), "id_a", "left_semi"
+    )
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle").join(
+        F.broadcast(pl.select("id_b").distinct()), "id_b", "left_semi"
+    )
+    inter = (
+        sha.join(shb, "shingle")
+        .join(F.broadcast(pl), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_ni"))
+    )
+    detected = minhash_lsh_pairs(df, text_col, id_col, k=k).select(
+        "id_a", "id_b"
+    ).withColumn("_hit", F.lit(1))
+    na = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("_ns").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("_ns").alias("_nb"))
+    pairs = (
+        pl.join(na, "id_a").join(nb, "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .join(detected, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b",
+            F.coalesce("_ni", F.lit(0)).alias("_ni"),
+            (F.col("_na") + F.col("_nb")
+             - F.coalesce("_ni", F.lit(0))).alias("_nu"),
+            F.coalesce("_hit", F.lit(0)).alias("_hit"),
+        )
+    )
+    jband = F.least(
+        F.floor(
+            F.lit(float(n_bins)) * F.col("_ni").cast("double")
+            / F.col("_nu").cast("double")
+        ),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    return (
+        pairs.select(jband.alias("jband"), "_hit")
+        .groupBy("jband")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("_hit").cast("long").alias("n_detected"),
+            F.floor(
+                1e6 * F.sum("_hit").cast("double")
+                / F.count("*").cast("double")
+            ).cast("long").alias("recall_e6"),
+        )
+    )

@@ -477,3 +477,40 @@ def test_dedup_survivors_by_quality_no_window(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_lsh_recall_report_bands(spark):
+    from htmlcleanup_spark.operators.dedup import lsh_recall_report
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different words about spark shuffles and parquet files"
+    docs = spark.createDataFrame(
+        [(1, a), (2, a),          # identical pair -> J=1, band 4, detected
+         (3, b), (4, a + " x")],  # unrelated pair -> J~0, band 0
+        "doc_id long, text string",
+    )
+    planted = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    out = {r.jband: r for r in lsh_recall_report(docs, planted).collect()}
+    assert out[4].n_pairs == 1 and out[4].n_detected == 1
+    assert out[4].recall_e6 == 1000000
+    assert out[0].n_pairs == 1 and out[0].n_detected == 0
+    assert out[0].recall_e6 == 0
+
+
+def test_lsh_recall_report_excludes_short_docs(spark):
+    from htmlcleanup_spark.operators.dedup import lsh_recall_report
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"),
+         (3, "the quick brown fox jumps high"),
+         (4, "the quick brown fox jumps high")],
+        "doc_id long, text string",
+    )
+    planted = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    rows = lsh_recall_report(docs, planted).collect()
+    # pair (1,2) has < k words per side -> no defined Jaccard -> excluded
+    assert sum(r.n_pairs for r in rows) == 1
