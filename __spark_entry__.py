@@ -215,6 +215,15 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_survivors(docs, clusters).select("doc_id", "lang")
 
 
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # duplicate-cluster size histogram over the same clusters as
+    # dedup_clusters, plus the reconciling singleton bucket — the dedup
+    # datasheet + skew diagnostic.  operators/dedup.dedup_report.
+    docs = _docs(spark, sf_dir)
+    clusters = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+    return dedup.dedup_report(docs, clusters)
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asymmetric near-dup: winnowed-fingerprint containment (quote /
     # partial-copy detection); both directions above the threshold
@@ -3747,6 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "heavy_hitters": q_heavy_hitters,
         "lsh_recall": q_lsh_recall,
+        "dedup_report": q_dedup_report,
     }
 
 
@@ -8024,4 +8034,35 @@ def oracle_sql() -> dict[str, str]:
                  AS recall_e6
         FROM pairs GROUP BY 1
     """
+    # duplicate-cluster size histogram: same recursive-CC clusters as
+    # dedup_clusters, sizes histogrammed, plus the synthesized singleton
+    # bucket so sum(n_docs) reconciles to the corpus row count.
+    d["dedup_report"] = (
+        "WITH RECURSIVE "
+        + _LSH_PAIRS_CTE[len("WITH "):]
+        + """,
+        edges AS (SELECT id_a AS u, id_b AS v FROM cpairs
+                  UNION SELECT id_b, id_a FROM cpairs),
+        reach(doc_id, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT reach.doc_id, edges.v
+          FROM reach JOIN edges ON reach.r = edges.u
+        ),
+        cl AS (SELECT doc_id, min(r) AS cluster_id
+               FROM reach GROUP BY doc_id),
+        csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM cl GROUP BY cluster_id),
+        hist AS (SELECT cluster_size,
+                        CAST(count(*) AS BIGINT) AS n_clusters,
+                        CAST(sum(cluster_size) AS BIGINT) AS n_docs
+                 FROM csz GROUP BY cluster_size),
+        single AS (SELECT CAST((SELECT count(*) FROM documents)
+                               - (SELECT count(*) FROM cl)
+                               AS BIGINT) AS n)
+        SELECT cluster_size, n_clusters, n_docs FROM hist
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), n, n FROM single WHERE n > 0
+    """
+    )
     return d

@@ -182,6 +182,7 @@ EXTENDED = [
     "oov_rate",
     "heavy_hitters",
     "lsh_recall",
+    "dedup_report",
 ]
 
 

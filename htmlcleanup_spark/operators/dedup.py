@@ -1268,3 +1268,52 @@ def lsh_recall_report(df: DataFrame, planted: DataFrame,
             ).cast("long").alias("recall_e6"),
         )
     )
+
+
+def dedup_report(df: DataFrame, clusters: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup datasheet number and
+    the scale diagnostic that sizes everything downstream: the largest
+    cluster bounds connected-components iteration count and the survivor
+    anti-join's hottest key, and sum(n_docs) - sum(n_clusters) IS the
+    corpus duplicate count.  (FineWeb / Dolma report exactly this
+    distribution when tuning MinHash banding.)
+
+    Input: the corpus and a ``connected_components`` output
+    (doc_id, cluster_id).  Docs absent from ``clusters`` (never in any
+    candidate pair) are the singleton bucket, synthesized from the two
+    counts so the histogram reconciles: sum(n_docs) == corpus rows.
+
+    Returns (cluster_size, n_clusters, n_docs), all longs.
+
+    Scale shape (10^12 docs):
+    - one map-combined count keyed by cluster_id (the only big shuffle;
+      cluster ids are near-uniform — the histogram is the tool that
+      PROVES it, after the LSH hot-bucket cap has bounded pair degree);
+    - the histogram groupBy runs on ≤ max-cluster-size distinct keys —
+      a few hundred rows, trivially combined;
+    - the singleton bucket is two 1-row aggregates (corpus count,
+      clustered-doc count) joined driver-free via a broadcast cross
+      join — no collect.
+    """
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+    n_total = df.select(F.count("*").alias("_nt"))
+    n_clustered = clusters.select(F.count("*").alias("_nc"))
+    singleton = (
+        n_total.crossJoin(F.broadcast(n_clustered))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("_nt") - F.col("_nc")).alias("n_clusters"),
+            (F.col("_nt") - F.col("_nc")).alias("n_docs"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    return hist.select("cluster_size", "n_clusters", "n_docs").unionAll(
+        singleton
+    )

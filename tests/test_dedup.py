@@ -514,3 +514,34 @@ def test_lsh_recall_report_excludes_short_docs(spark):
     rows = lsh_recall_report(docs, planted).collect()
     # pair (1,2) has < k words per side -> no defined Jaccard -> excluded
     assert sum(r.n_pairs for r in rows) == 1
+
+
+def test_dedup_report_histogram_reconciles(spark):
+    from htmlcleanup_spark.operators.dedup import dedup_report
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "doc_id long"
+    )
+    # clusters: {1,2,3} size 3, {5,6} size 2; docs 4,7..10 never paired
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    rows = {r.cluster_size: (r.n_clusters, r.n_docs)
+            for r in dedup_report(docs, clusters).collect()}
+    assert rows == {3: (1, 3), 2: (1, 2), 1: (5, 5)}
+    # the histogram reconciles to the corpus: sum(n_docs) == |docs|,
+    # and duplicates = sum(n_docs) - sum(n_clusters)
+    assert sum(v[1] for v in rows.values()) == 10
+    assert sum(v[1] - v[0] for v in rows.values()) == 3
+
+
+def test_dedup_report_no_singleton_row_when_all_clustered(spark):
+    from htmlcleanup_spark.operators.dedup import dedup_report
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    rows = dedup_report(docs, clusters).collect()
+    assert len(rows) == 1 and rows[0].cluster_size == 2
