@@ -3413,6 +3413,38 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl_buckets_by_lang(scored, 3)
 
 
+def q_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal agreement matrix: CCNet perplexity buckets vs
+    hashed-linear classifier-score terciles, cross-tabbed per language —
+    the report you read before trusting (or combining) two independent
+    quality filters (the FineWeb/DataComp-style signal-correlation
+    check; diagonal mass = the signals agree).  Both bucketings reuse
+    the plan-gated ppl_buckets_by_lang machinery (per-lang window at
+    validation scale; thresholds broadcast join at corpus scale), so
+    the whole query is two doc-keyed combines + two bucket joins + one
+    tiny (lang, 3x3) aggregate."""
+    from htmlcleanup_spark.operators.corpus import quality_classifier
+    from htmlcleanup_spark.operators.lm import (
+        perplexity, ppl_buckets_by_lang)
+
+    d = _docs(spark, sf_dir)
+    langs = d.select("doc_id", "lang")
+    ppl_b = ppl_buckets_by_lang(perplexity(d).join(langs, "doc_id"), 3)
+    score_in = (
+        quality_classifier(d)
+        .join(langs, "doc_id")
+        .select("doc_id", "lang", F.col("score_e6").alias("nll_e6"))
+    )
+    sc_b = ppl_buckets_by_lang(score_in, 3).select(
+        "doc_id", F.col("ppl_bucket").alias("score_bucket")
+    )
+    return (
+        ppl_b.join(sc_b, "doc_id")
+        .groupBy("lang", "ppl_bucket", "score_bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def q_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl governance: per-host robots-violation report over the
     same fetch-log/robots fixture as `robots_txt` (even hosts disallow
@@ -3757,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "lsh_recall": q_lsh_recall,
         "dedup_report": q_dedup_report,
+        "quality_agreement": q_quality_agreement,
     }
 
 
@@ -8065,4 +8098,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(1 AS BIGINT), n, n FROM single WHERE n > 0
     """
     )
+    # COMPOSED oracle: ccnet buckets verbatim + the same NTILE shape
+    # (identical (value, doc_id) tie-break) over the classifier score,
+    # cross-tabbed per language.
+    d["quality_agreement"] = f"""
+        WITH pb AS ({d['ccnet_buckets']}),
+        qc AS ({d['quality_classifier']}),
+        sb AS (SELECT qc.doc_id,
+                      CAST(NTILE(3) OVER (PARTITION BY dd.lang
+                                          ORDER BY qc.score_e6, qc.doc_id)
+                           AS INT) AS score_bucket
+               FROM qc JOIN documents dd USING (doc_id))
+        SELECT pb.lang, pb.ppl_bucket, sb.score_bucket,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pb JOIN sb USING (doc_id)
+        GROUP BY 1, 2, 3
+    """
     return d

@@ -183,6 +183,7 @@ EXTENDED = [
     "heavy_hitters",
     "lsh_recall",
     "dedup_report",
+    "quality_agreement",
 ]
 
 

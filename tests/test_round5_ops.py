@@ -441,3 +441,23 @@ def test_filter_funnel_zero_drop_stage_reported(spark):
     r = rows[0]
     assert r.docs_in == 1 and r.docs_dropped == 0 and r.docs_kept == 1
     assert r.drop_rate_e6 == 0
+
+
+def test_quality_agreement_reconciles(spark):
+    """The cross-tab partitions the corpus: every doc lands in exactly
+    one (lang, ppl_bucket, score_bucket) cell, buckets are 1..3."""
+    import __spark_entry__ as e
+
+    rows = e.q_quality_agreement(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r.n_docs for r in rows) == 500
+    assert {r.ppl_bucket for r in rows} <= {1, 2, 3}
+    assert {r.score_bucket for r in rows} <= {1, 2, 3}
+    # per-language cell totals reconcile to the language's doc count
+    per_lang = {}
+    for r in rows:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + r.n_docs
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expect = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per_lang == expect
