@@ -224,6 +224,35 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_report(docs, clusters)
 
 
+def q_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate accounting — the per-dump dedup table
+    FineWeb publishes (which crawl/source contributes the duplicates):
+    over the same CC clusters as dedup_clusters, a doc is a duplicate
+    iff its cluster names a different canonical doc.  One broadcast-able
+    join of the loser set (duplicates are a small fraction of the
+    corpus) onto docs, then a source-keyed combine — no new shuffle
+    shapes beyond the already-audited dedup_clusters plan."""
+    docs = _docs(spark, sf_dir)
+    clusters = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+    losers = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id", F.lit(1).alias("_dup"))
+    return (
+        docs.select("doc_id", "source")
+        .join(losers, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce("_dup", F.lit(0))).cast("long")
+            .alias("n_dups"),
+            F.floor(
+                1e6 * F.sum(F.coalesce("_dup", F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+            ).cast("long").alias("dup_rate_e6"),
+        )
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asymmetric near-dup: winnowed-fingerprint containment (quote /
     # partial-copy detection); both directions above the threshold
@@ -3790,6 +3819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "dedup_report": q_dedup_report,
         "quality_agreement": q_quality_agreement,
+        "dedup_by_source": q_dedup_by_source,
     }
 
 
@@ -8114,4 +8144,34 @@ def oracle_sql() -> dict[str, str]:
         FROM pb JOIN sb USING (doc_id)
         GROUP BY 1, 2, 3
     """
+    # per-source duplicate accounting: same recursive-CC clusters,
+    # loser set left-joined onto docs, rolled up per source.
+    d["dedup_by_source"] = (
+        "WITH RECURSIVE "
+        + _LSH_PAIRS_CTE[len("WITH "):]
+        + """,
+        edges AS (SELECT id_a AS u, id_b AS v FROM cpairs
+                  UNION SELECT id_b, id_a FROM cpairs),
+        reach(doc_id, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT reach.doc_id, edges.v
+          FROM reach JOIN edges ON reach.r = edges.u
+        ),
+        losers AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+          ) WHERE doc_id != cluster_id
+        )
+        SELECT dd.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_dups,
+               CAST(floor(1e6
+                    * SUM(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END)
+                    / count(*)) AS BIGINT) AS dup_rate_e6
+        FROM documents dd LEFT JOIN losers l USING (doc_id)
+        GROUP BY dd.source
+    """
+    )
     return d

@@ -184,6 +184,7 @@ EXTENDED = [
     "lsh_recall",
     "dedup_report",
     "quality_agreement",
+    "dedup_by_source",
 ]
 
 

@@ -545,3 +545,20 @@ def test_dedup_report_no_singleton_row_when_all_clustered(spark):
     )
     rows = dedup_report(docs, clusters).collect()
     assert len(rows) == 1 and rows[0].cluster_size == 2
+
+
+def test_dedup_by_source_accounting(spark):
+    """Registry composition invariant: per-source totals reconcile to
+    the corpus, and n_dups counts exactly the non-canonical docs."""
+    import __spark_entry__ as e
+
+    rows = e.q_dedup_by_source(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r.n_docs for r in rows) == 500
+    total_dups = sum(r.n_dups for r in rows)
+    rep = {r.cluster_size: r for r in
+           e.q_dedup_report(spark, "/root/testdata/sf0.001").collect()}
+    # duplicates = clustered docs minus one canonical per cluster
+    expect = sum((r.n_docs - r.n_clusters) for r in rep.values())
+    assert total_dups == expect
+    for r in rows:
+        assert 0 <= r.dup_rate_e6 <= 1_000_000
