@@ -3165,6 +3165,31 @@ def q_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsonl_export(_docs(spark, sf_dir))
 
 
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard balance report over the Dolma JSONL export — the
+    writer-skew QA a 100-TB export needs before it commits to one
+    sequential stream per shard: per shard the doc count, the exact
+    byte size (JSON line + newline), and the integer byte share of the
+    corpus.  One shard-keyed combine (n_shards cells) + a 1-row
+    broadcast total — the export itself stays zero-shuffle."""
+    from htmlcleanup_spark.operators.corpus import jsonl_export
+
+    j = jsonl_export(_docs(spark, sf_dir))
+    per = j.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.octet_length("line") + F.lit(1)).cast("long")
+        .alias("shard_bytes"),
+    )
+    tot = per.agg(F.sum("shard_bytes").alias("_t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard", "n_docs", "shard_bytes",
+        F.floor(
+            1e6 * F.col("shard_bytes").cast("double")
+            / F.col("_t").cast("double")
+        ).cast("long").alias("share_e6"),
+    )
+
+
 def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script profile over script-injected bands (Cyrillic /
     Greek / Han / Arabic tails appended to the Latin corpus text by
@@ -3820,6 +3845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report": q_dedup_report,
         "quality_agreement": q_quality_agreement,
         "dedup_by_source": q_dedup_by_source,
+        "shard_balance": q_shard_balance,
     }
 
 
@@ -8174,4 +8200,16 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY dd.source
     """
     )
+    # COMPOSED oracle: JSONL export verbatim, byte-exact shard rollup
+    # (strlen = octet length in DuckDB) + scalar-subquery byte share.
+    d["shard_balance"] = f"""
+        WITH j AS ({d['jsonl_export']})
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(strlen(line) + 1) AS BIGINT) AS shard_bytes,
+               CAST(floor(1e6 * sum(strlen(line) + 1)
+                    / (SELECT sum(strlen(line) + 1) FROM j))
+                    AS BIGINT) AS share_e6
+        FROM j GROUP BY shard
+    """
     return d

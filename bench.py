@@ -185,6 +185,7 @@ EXTENDED = [
     "dedup_report",
     "quality_agreement",
     "dedup_by_source",
+    "shard_balance",
 ]
 
 

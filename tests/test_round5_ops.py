@@ -461,3 +461,19 @@ def test_quality_agreement_reconciles(spark):
     expect = {r["lang"]: r["n"] for r in
               docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert per_lang == expect
+
+
+def test_shard_balance_reconciles(spark):
+    """Shares sum to ~1e6, bytes are exact JSON-line octets + newline,
+    every doc is counted exactly once across shards."""
+    import __spark_entry__ as e
+
+    rows = e.q_shard_balance(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r.n_docs for r in rows) == 500
+    assert len(rows) == 8
+    total = sum(r.shard_bytes for r in rows)
+    for r in rows:
+        assert r.share_e6 == int(1e6 * r.shard_bytes / total)
+    # floor rounding: shares sum within 8 millionths of unity
+    s = sum(r.share_e6 for r in rows)
+    assert 1_000_000 - 8 <= s <= 1_000_000
