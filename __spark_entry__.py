@@ -140,8 +140,8 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fused docs->pairs plan: two shuffles total (minhash_wide groupBy +
-    # the band-bucket self-join); same semantics as
+    # fused docs->pairs plan: ONE shuffle total (the band-bucket
+    # self-join; minhash_wide is a pure projection); same semantics as
     # lsh_candidate_pairs(minhash_signatures(df)) and the same oracle.
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 

@@ -80,9 +80,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc: (id, shingle).
+def _words(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, _ws = split words) for docs with >= k words.
 
     The word array is materialized as a column first: higher-order lambdas
     are interpreted (no codegen, no common-subexpression elimination), so
@@ -90,41 +89,79 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     text per element — O(len^2) per document.  Docs with < k words yield no
     shingles (matches generate_series semantics in the SQL oracle).
     """
-    ws = df.select(
+    return df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_ws")
     ).filter(F.size("_ws") >= k)
-    sh = F.array_distinct(
+
+
+def _shingle_expr(k: int):
+    """Distinct k-word shingle array over the ``_ws`` word column.
+
+    greatest(.., 0): rows with < k words are filtered out by _words, but
+    optimizer rules (InferFiltersFromGenerate) may re-evaluate derived
+    predicates on pre-filter rows — an unclamped descending sequence
+    would then feed slice() a 0 start and abort the task.  The clamp
+    never changes the array for any row with >= k words.
+    """
+    return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size("_ws") - k),
+            F.sequence(F.lit(0), F.greatest(F.size("_ws") - k, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice("_ws", i + 1, k)),
         )
     )
-    # per-doc distinct == distinct of (id, shingle): array_distinct does it
-    # map-side, so the explode carries no shuffle at all (a .distinct() here
-    # would shuffle the largest intermediate of the whole pipeline).
-    return ws.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc: (id, shingle).
+
+    per-doc distinct == distinct of (id, shingle): array_distinct does it
+    map-side, so the explode carries no shuffle at all (a .distinct() here
+    would shuffle the largest intermediate of the whole pipeline).
+
+    The shingle expression stays INLINE as the explode child (not aliased
+    to a column first): with a bare attribute child,
+    InferFiltersFromGenerate copies ``size(expr) > 0 AND isnotnull(expr)``
+    into the below-projection Filter, evaluating the whole shingle
+    construction up to 3x per row; with a non-cheap expression child the
+    rule skips the inference (SPARK-36715) and the array is built once.
+    """
+    return _words(df, text_col, id_col, k).select(
+        F.col(id_col), F.explode(_shingle_expr(k)).alias("shingle")
+    )
 
 
 def minhash_wide(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", k: int = 3,
                  num_hashes: int = 8) -> DataFrame:
-    """Wide MinHash signatures: (id, m0..m{num_hashes-1}) in ONE shuffle.
+    """Wide MinHash signatures: (id, m0..m{num_hashes-1}) with ZERO shuffle.
 
     hash family j: md5(j || ':' || shingle); the per-doc minimum of a hex
     digest is a uniform random-permutation proxy, reproducible in any SQL
-    engine.  All num_hashes mins aggregate in a single groupBy(id) — the
-    md5s are computed map-side, partial min combines before the exchange,
-    and the shuffle carries one row per doc (vs one per (doc, hash_id) for
-    an explode-then-group plan).
+    engine.  Each min is taken INSIDE the row via array_min over the
+    per-doc shingle array — the shingles of one document came from one row,
+    so no explode/groupBy round trip is needed at all.  The previous
+    explode -> groupBy(id).agg(min(md5)) plan paid a full exchange of the
+    shingle table plus two SORTS: min over a string column has an immutable
+    aggregation buffer, so Spark falls back from HashAggregate to
+    SortAggregate — at corpus scale that sort of the largest intermediate
+    in the pipeline dominates the whole docs->pairs cost.  array_min over
+    hex strings is the identical lexicographic minimum, value-for-value.
     """
-    sh = shingles(df, text_col, id_col, k)
-    return sh.groupBy(id_col).agg(
+    sha = _words(df, text_col, id_col, k).select(
+        F.col(id_col), _shingle_expr(k).alias("_sh")
+    )
+    return sha.select(
+        F.col(id_col),
         *[
-            F.min(
-                F.md5(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))
+            F.array_min(
+                F.transform(
+                    F.col("_sh"),
+                    lambda s: F.md5(F.concat_ws(":", F.lit(str(j)), s)),
+                )
             ).alias("m%d" % j)
             for j in range(num_hashes)
-        ]
+        ],
     )
 
 
@@ -219,9 +256,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
     Same result as ``lsh_candidate_pairs(minhash_signatures(df))`` but band
     keys are computed map-side from the wide signature (sorted rows within
-    each band, matching the oracle's ORDER BY minhash), so the whole
-    docs -> candidate-pairs pipeline shuffles exactly twice at any scale:
-    the one groupBy(id) in minhash_wide and the band-bucket self-join
+    each band, matching the oracle's ORDER BY minhash), and minhash_wide
+    itself is a pure projection, so the whole docs -> candidate-pairs
+    pipeline shuffles exactly ONCE at any scale: the band-bucket self-join
     (vs four for the unfused rows-format plan).  ``max_bucket_size`` caps
     the m^2 hot-bucket tail (_drop_hot_buckets) — the dial to set at
     10^12 docs, where one degenerate band key (e.g. boilerplate-only
@@ -262,9 +299,9 @@ def cross_corpus_lsh_pairs(df_a: DataFrame, df_b: DataFrame,
     within-corpus pairs and no id-ordering filter.  Returns distinct
     (id_a, id_b) with id_a from A and id_b from B.
 
-    Scale shape (|A| new docs vs |B| = 10^12 corpus docs): one
-    groupBy(id) shuffle per corpus for the wide signatures + ONE
-    band-key equi-join; B's banded table is a materialize-once
+    Scale shape (|A| new docs vs |B| = 10^12 corpus docs): the wide
+    signatures are pure projections (no shuffle), so the only shuffle is
+    the ONE band-key equi-join; B's banded table is a materialize-once
     artifact in practice (write it parquet, bucket by (band, band_key)
     so each incremental A joins with zero B-side shuffle).
     ``max_bucket_size`` caps each side's hot buckets independently —

@@ -83,15 +83,19 @@ def test_shingles_explode_carries_no_shuffle(spark):
     assert n_exchanges(plan_of(shingles(docs))) == 0
 
 
-def test_minhash_single_shuffle(spark):
-    """All num_hashes mins aggregate in one groupBy(doc_id): exactly one
-    exchange, with partial aggregation (map-side combine) before it."""
+def test_minhash_zero_shuffle(spark):
+    """minhash_wide is a pure projection (array_min inside the row): no
+    exchange at all, and no SortAggregate — min over a string column has
+    an immutable buffer, so the old explode+groupBy plan sorted the whole
+    shingle table twice (the r6 optimization-round fix)."""
     from htmlcleanup_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet(SF + "/documents.parquet")
     plan = plan_of(minhash_signatures(docs))
-    assert n_exchanges(plan) == 1
-    assert "partial_min" in plan  # map-side combine before the exchange
+    assert n_exchanges(plan) == 0
+    assert "SortAggregate" not in plan
+    # the shingle array is built once, not once per hash family
+    assert plan.count("array_distinct") == 1
 
 
 def test_cascade_stage_has_no_postshuffle(spark, tmp_path):
