@@ -376,6 +376,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .distinct()
         )
         sh = sh.join(ids, id_col, "left_semi")
+    # Pin BEFORE the df-cap: the cap's df aggregation, the anti-join, the
+    # sizes aggregation and both self-join sides all read ONE
+    # materialization of the shingle table instead of re-running the
+    # split/transform/explode construction per consumer (pinning after the
+    # anti-join paid a second full shingle-build pass just to compute the
+    # hot set).
+    sh = _pin(sh)
     if max_shingle_df is not None:
         # Anti-join against the HOT set, not semi-join against the rare
         # set: hot shingles (df > cap) are the Zipf head — a small table —
@@ -391,7 +398,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("shingle")
         )
         sh = sh.join(hot, "shingle", "left_anti")
-    sh = _pin(sh)  # consumed by sizes + both self-join sides
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
