@@ -94,6 +94,23 @@ def _run_cascade(df: DataFrame) -> DataFrame:
     return df.mapInArrow(make_cascade_fn(), RESULT_DDL)
 
 
+def _phase_pin(df: DataFrame) -> DataFrame:
+    """Materialized phase boundary for the composed recipes.
+
+    AQE coalesces the final stage of the checkpointed plan down to as
+    little as ONE post-shuffle partition at validation scale, and
+    localCheckpoint then PINS that parallelism for every downstream
+    consumer — so the next CPU-heavy phase (Gopher repetition n-grams,
+    the backoff LM, k-means assignment) would run on a single core.
+    Repartitioning to the session's parallelism INSIDE the checkpointed
+    plan lands the blocks n-ways; the count is derived from the session
+    (guide §2: scale-adaptive, not a constant), and row content is
+    untouched.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n).localCheckpoint(eager=True)
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -1386,9 +1403,11 @@ def q_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize it once (eager) so the span-removal stage never re-runs
     # per consumer; at corpus scale this is the stage you'd write to
     # parquet between pipeline phases
-    cleaned = remove_repeated_spans(_docs(spark, sf_dir), k=8).select(
-        "doc_id", F.col("clean_text").alias("text")
-    ).localCheckpoint(eager=True)
+    cleaned = _phase_pin(
+        remove_repeated_spans(_docs(spark, sf_dir), k=8).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+    )
     scored = ppl_buckets(perplexity(cleaned), 3)
     kept = scored.filter(F.col("ppl_bucket") <= 2).join(cleaned, "doc_id")
     return token_budget_sample(
@@ -1444,19 +1463,19 @@ def q_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = nfc_normalize_text(s1).select(
         "doc_id", strip_control_chars().alias("text")
     )
-    s3 = host_line_dedup(
+    s3 = _phase_pin(host_line_dedup(
         s2.withColumn(
             "host",
             F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"),
                      F.lit(".example.com")),
         ),
         id_col="doc_id", host_col="host",
-    ).select("doc_id", "text").localCheckpoint(eager=True)
+    ).select("doc_id", "text"))
     # ^ template-stripped text feeds the repetition filter AND the
     # surviving-doc join — the recipe's phase boundary, like v2's
-    kept = s3.join(
+    kept = _phase_pin(s3.join(
         repetition_signals(s3).filter("keep").select("doc_id"), "doc_id"
-    ).localCheckpoint(eager=True)  # feeds Bloom history AND probe
+    ))  # feeds Bloom history AND probe
     hist = kept.filter(F.col("doc_id") % 5 == 0).select(
         F.md5("text").alias("digest")
     )
@@ -2258,9 +2277,9 @@ def q_training_corpus_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hosts_ok = host_quality(pages).filter("host_keep").select("host")
     s1 = pages.join(F.broadcast(hosts_ok), "host")
-    s2 = s1.join(
+    s2 = _phase_pin(s1.join(
         badwords_filter(s1).filter("keep").select("doc_id"), "doc_id"
-    ).select("doc_id", "text").localCheckpoint(eager=True)
+    ).select("doc_id", "text"))
     nll = stupid_backoff_nll(s2)
     s3 = s2.join(
         nll.filter(F.col("nll_e6") <= _V4_NLL_MAX).select("doc_id"),
@@ -3080,7 +3099,7 @@ def q_training_corpus_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf_dir, "embeddings")).select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
-    sv = rw.join(emb, "doc_id").localCheckpoint(eager=True)
+    sv = _phase_pin(rw.join(emb, "doc_id"))
     sel = cluster_sample(
         sv.select(F.col("doc_id").alias("vec_id"), "embedding"),
         n_centroids=8, cap=5, id_col="vec_id",

@@ -407,131 +407,123 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
     - ``keep``: thresholds default to the paper's (top: 0.20/0.18/0.16
       for n=2/3/4; dup: 0.15 for n=5, 0.10 for n=10).
 
-    Plan: ONE exploded (n, pos, gram) stream serves every n — pinned
-    (localCheckpoint) because both the count aggregation and the
-    coverage semi-join read it (the round-3 lesson: multi-consumer
-    subplans recompute per consumer otherwise).  Counts aggregate with
-    map-side combine on (id, n, gram); coverage is a semi-join of the
-    stream against the duplicated-gram set, then a countDistinct of
-    covered word indices per (id, n); both pivot back to one row per
-    doc.  Every shuffle key includes the doc id, so skew follows the
-    biggest document, not the corpus.
+    Plan: every signal in the family depends only on the document's OWN
+    words, so the whole computation runs inside an Arrow batch kernel —
+    ZERO shuffle at any scale (the former relational construction
+    exploded an (n, pos, gram) stream ~ sum(n) rows per word and paid a
+    doc-keyed exchange + SortAggregate for the max-struct tie-break +
+    two pivots; guide §4.2: per-doc custom logic belongs in a batched
+    kernel, not an interpreted expression chain).  Values are
+    bit-identical to the relational construction — see
+    _repetition_kernel for the exact arithmetic/tie-break mapping.
+    Skew follows the biggest document, as before.
     """
     max_top_frac = max_top_frac or {2: 0.20, 3: 0.18, 4: 0.16}
     max_dup_frac = max_dup_frac or {5: 0.15, 10: 0.10}
-    all_ns = sorted(set(top_ns) | set(dup_ns))
 
-    ws = F.split(F.col(text_col), " ")
-    base = df.select(
-        F.col(id_col),
-        F.size(ws).alias("n_words"),
-        F.length(text_col).alias("_n_chars"),
-        ws.alias("_ws"),
+    id_type = df.schema[id_col].dataType.simpleString()
+    names = (
+        [id_col, "n_words"]
+        + ["top%d_frac_e6" % n for n in top_ns]
+        + ["dup%d_frac_e6" % n for n in dup_ns]
+        + ["keep"]
+    )
+    ddl = ", ".join(
+        ["%s %s" % (id_col, id_type), "n_words int"]
+        + ["top%d_frac_e6 long" % n for n in top_ns]
+        + ["dup%d_frac_e6 long" % n for n in dup_ns]
+        + ["keep boolean"]
+    )
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        _repetition_kernel(tuple(top_ns), tuple(dup_ns),
+                           dict(max_top_frac), dict(max_dup_frac), names),
+        ddl,
     )
 
-    def gram_structs(n):
-        return F.when(
-            F.size("_ws") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("_ws") - n),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    i.alias("pos"),
-                    F.concat_ws(" ", F.slice("_ws", i + 1, n)).alias("gram"),
-                ),
-            ),
-        ).otherwise(F.array().cast(
-            "array<struct<n:int,pos:int,gram:string>>"
-        ))
 
-    grams = base.select(
-        id_col, "n_words", "_n_chars",
-        F.explode(
-            F.flatten(F.array(*[gram_structs(n) for n in all_ns]))
-        ).alias("g"),
-    ).select(
-        id_col, "n_words", "_n_chars", "g.n", "g.pos", "g.gram"
-    ).localCheckpoint(eager=False)
+def _repetition_kernel(top_ns, dup_ns, max_top_frac, max_dup_frac, names):
+    """Arrow batch kernel for :func:`repetition_signals`.
 
-    counts = grams.groupBy(id_col, "_n_chars", "n", "gram").agg(
-        F.count("*").alias("cnt")
-    )
+    Faithful to the former relational construction value-for-value:
+    words = text.split(" ") (== split(text, ' ', -1) with empty tokens
+    kept); top fraction = floor(((cnt * float(len(gram))) /
+    float(n_chars)) * 1e6) with the max-(cnt, gram) tie-break (Python
+    tuple order == Spark struct order: long first, then UTF8 string —
+    UTF-8 byte order equals code-point order, so str comparison
+    matches); dup fraction = floor((float(|covered positions|) /
+    float(n_words)) * 1e6) over the union of occurrence ranges of grams
+    appearing >= 2 times.  All arithmetic is the same IEEE-double
+    operation sequence, so the e6 integers are bit-identical.  NULL text
+    yields (NULL n_words, all-zero fracs, keep=true), matching the
+    size(NULL)=NULL + left-join + coalesce(0) path.
+    """
+    def fn(batches):
+        from collections import Counter
 
-    top = (
-        counts.filter(F.col("n").isin(list(top_ns)))
-        .groupBy(id_col, "_n_chars", "n")
-        .agg(F.max(F.struct("cnt", "gram")).alias("_top"))
-        .groupBy(id_col)
-        .pivot("n", list(top_ns))
-        .agg(
-            F.first(
-                F.floor(
-                    F.col("_top.cnt")
-                    * F.length("_top.gram").cast("double")
-                    / F.col("_n_chars").cast("double")
-                    * 1e6
-                ).cast("long")
+        from math import floor
+
+        import pyarrow as pa
+
+        top_thr = {n: int(max_top_frac[n] * 1e6) for n in top_ns}
+        dup_thr = {n: int(max_dup_frac[n] * 1e6) for n in dup_ns}
+        for batch in batches:
+            id_arr = batch.column(0)
+            n_words_c: list = []
+            cols: dict = {n: [] for n in top_ns}
+            dcols: dict = {n: [] for n in dup_ns}
+            keeps: list = []
+            for t in batch.column(1).to_pylist():
+                if t is None:
+                    n_words_c.append(None)
+                    for n in top_ns:
+                        cols[n].append(0)
+                    for n in dup_ns:
+                        dcols[n].append(0)
+                    keeps.append(True)
+                    continue
+                w = t.split(" ")
+                nw = len(w)
+                nc = float(len(t))
+                n_words_c.append(nw)
+                join = " ".join
+                keep = True
+                for n in top_ns:
+                    if nw < n:
+                        v = 0
+                    else:
+                        cnt = Counter(
+                            join(w[i:i + n]) for i in range(nw - n + 1)
+                        )
+                        best_c, best_g = max(
+                            ((c, g) for g, c in cnt.items())
+                        )
+                        v = floor(((best_c * float(len(best_g))) / nc)
+                                  * 1e6)
+                    cols[n].append(v)
+                    keep = keep and v <= top_thr[n]
+                for n in dup_ns:
+                    if nw < n:
+                        v = 0
+                    else:
+                        grams = [join(w[i:i + n])
+                                 for i in range(nw - n + 1)]
+                        cnt = Counter(grams)
+                        cov: set = set()
+                        for i, g in enumerate(grams):
+                            if cnt[g] >= 2:
+                                cov.update(range(i, i + n))
+                        v = floor((float(len(cov)) / float(nw)) * 1e6)
+                    dcols[n].append(v)
+                    keep = keep and v <= dup_thr[n]
+                keeps.append(keep)
+            yield pa.record_batch(
+                [id_arr, pa.array(n_words_c, pa.int32())]
+                + [pa.array(cols[n], pa.int64()) for n in top_ns]
+                + [pa.array(dcols[n], pa.int64()) for n in dup_ns]
+                + [pa.array(keeps, pa.bool_())],
+                names=names,
             )
-        )
-    )
-    for n in top_ns:
-        top = top.withColumnRenamed(str(n), "top%d_frac_e6" % n)
-
-    dup_set = (
-        counts.filter(F.col("n").isin(list(dup_ns)) & (F.col("cnt") >= 2))
-        .select(id_col, "n", "gram")
-    )
-    covered = (
-        grams.filter(F.col("n").isin(list(dup_ns)))
-        .join(dup_set, [id_col, "n", "gram"], "left_semi")
-        .select(
-            id_col, "n_words", "n",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
-            ).alias("wi"),
-        )
-        .groupBy(id_col, "n_words", "n")
-        .agg(F.countDistinct("wi").alias("_cov"))
-        .groupBy(id_col)
-        .pivot("n", list(dup_ns))
-        .agg(
-            F.first(
-                F.floor(
-                    F.col("_cov").cast("double")
-                    / F.col("n_words").cast("double")
-                    * 1e6
-                ).cast("long")
-            )
-        )
-    )
-    for n in dup_ns:
-        covered = covered.withColumnRenamed(str(n), "dup%d_frac_e6" % n)
-
-    out = (
-        base.select(id_col, "n_words")
-        .join(top, id_col, "left")
-        .join(covered, id_col, "left")
-    )
-    for n in top_ns:
-        out = out.withColumn(
-            "top%d_frac_e6" % n,
-            F.coalesce("top%d_frac_e6" % n, F.lit(0)),
-        )
-    for n in dup_ns:
-        out = out.withColumn(
-            "dup%d_frac_e6" % n,
-            F.coalesce("dup%d_frac_e6" % n, F.lit(0)),
-        )
-    keep = F.lit(True)
-    for n in top_ns:
-        keep = keep & (
-            F.col("top%d_frac_e6" % n) <= int(max_top_frac[n] * 1e6)
-        )
-    for n in dup_ns:
-        keep = keep & (
-            F.col("dup%d_frac_e6" % n) <= int(max_dup_frac[n] * 1e6)
-        )
-    return out.withColumn("keep", keep)
+    return fn
 
 
 def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
