@@ -1287,7 +1287,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _synth_linked_pages(spark, sf_dir)
     edges = edges_from_outlinks(extract_outlinks(pages))
-    return pagerank(pages.select("doc_id"), edges, iterations=5)
+    # one synthetic page per documents row, so the node set IS the
+    # doc_id column — taking it from the parquet scan instead of
+    # pages.select("doc_id") skips a second full Python synth+parse pass
+    # (mapInPandas defeats column pruning; guide §4.1)
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    return pagerank(nodes, edges, iterations=5)
 
 
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1301,7 +1306,8 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _synth_linked_pages(spark, sf_dir)
     edges = edges_from_outlinks(extract_outlinks(pages))
-    return hits(pages.select("doc_id"), edges, iterations=4)
+    nodes = _docs(spark, sf_dir).select("doc_id")  # same shortcut as pagerank
+    return hits(nodes, edges, iterations=4)
 
 
 def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:

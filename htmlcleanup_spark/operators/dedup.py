@@ -650,14 +650,18 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25,
     below still yields valid labels because the final groupBy takes the
     minimum root per node.
     """
+    # Lazy cuts: every round's _digest convergence probe is the first
+    # consumer of the just-checkpointed edge set and materializes its
+    # blocks, so an eager cut would only add a second blocking job per
+    # round that repeats the same work.
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            return df.checkpoint(eager=False)
     else:
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint()
+            return df.localCheckpoint(eager=False)
 
     e = _ckpt(
         pairs.select(

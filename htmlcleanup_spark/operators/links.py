@@ -270,8 +270,9 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 5,
 
     Scale: per iteration one shuffle on ``src`` (ranks join), one on
     ``dst`` (partial-combined sum), a broadcast 1-row dangling aggregate
-    (crossJoin of a 1-row frame — no driver action), and an eager
-    checkpoint to cut lineage.  N is computed once (``nodes.count()``).
+    (crossJoin of a 1-row frame — no driver action), and a lazy
+    checkpoint to cut lineage (materialized by the next iteration's
+    dangling build — one job per iteration).  N is computed once (``nodes.count()``).
     ``checkpoint_dir``: same contract as connected_components — default
     localCheckpoint (fast, executor-local, no fault tolerance), or true
     reliable checkpoint() to the given HDFS/S3 path for cluster runs.
@@ -280,15 +281,20 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 5,
         nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _cut(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            return df.checkpoint(eager=False)
     else:
         def _cut(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=False)
 
     # nodes/edges/outdeg are read EVERY iteration — pin them once so the
     # loop never recomputes the upstream plan (for a harvested graph that
     # upstream is the whole page-parse chain: 3 reads/iter x k iters of
-    # re-extraction otherwise)
+    # re-extraction otherwise).  All cuts are LAZY (eager=False): each
+    # iteration's dangling-mass broadcast build is the first consumer of
+    # the previous ranks and materializes its blocks as a side effect, so
+    # the loop runs ONE job per iteration instead of two — an eager cut
+    # added a dedicated blocking materialization job whose work the next
+    # dangling job repeated as block reads anyway.
     nodes = _cut(nodes.select("doc_id"))
     edges = _cut(edges)
     n_nodes = nodes.count()
@@ -386,8 +392,8 @@ def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 4,
 
     Scale: per iteration one shuffle keyed on dst (authority sum) and
     one on src (hub sum), both partial-combined; normalization is a
-    1-row broadcast aggregate; per-iteration eager checkpoint cuts the
-    lineage.  nodes/edges are pinned once before the loop (the repo's
+    1-row broadcast aggregate; a per-iteration lazy checkpoint cuts the
+    lineage (materialized by the next normalizer build).  nodes/edges are pinned once before the loop (the repo's
     multi-consumer rule).  ``checkpoint_dir`` has the pagerank /
     connected_components contract: None -> localCheckpoint, path ->
     reliable checkpoint() for cluster runs.
@@ -396,11 +402,14 @@ def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 4,
         nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _cut(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            return df.checkpoint(eager=False)
     else:
         def _cut(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=False)
 
+    # LAZY cuts, same rationale as pagerank: each iteration's normalizer
+    # broadcast builds are the first consumers of the previous state and
+    # materialize its blocks, so no dedicated blocking checkpoint job.
     nodes = _cut(nodes.select("doc_id"))
     edges = _cut(edges)
     n_nodes = nodes.count()
