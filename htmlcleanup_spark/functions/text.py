@@ -256,14 +256,25 @@ def quality_signals(df, text_col: str = "text", id_col: str = "doc_id",
         F.length(text_col).alias("_n_chars"),
         F.split(F.col(text_col), " ").alias("_ws"),
     )
+    # HOF-free bigram stream (codegen'd; an interpreted transform lambda
+    # would also knock the whole pipelined stage out of codegen — the
+    # lm._ngram_stream lesson)
     bigrams = base.filter(F.size("_ws") >= 2).select(
         id_col,
         "_n_chars",
+        "_ws",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_ws") - 2),
-                lambda i: F.concat_ws(" ", F.slice("_ws", i + 1, 2)),
+            F.sequence(
+                F.lit(1), F.greatest(F.size("_ws") - 1, F.lit(1))
             )
+        ).alias("_p"),
+    ).select(
+        id_col,
+        "_n_chars",
+        F.concat_ws(
+            " ",
+            F.element_at("_ws", F.col("_p")),
+            F.element_at("_ws", F.col("_p") + 1),
         ).alias("bigram"),
     )
     top = (

@@ -45,17 +45,36 @@ __all__ = ["hashed_gram_counts", "dsir_logratio", "dsir_weights",
            "dsir_select"]
 
 
-def _gram_array(text_col: str):
-    """Unigrams + space-joined bigrams of the whitespace token stream."""
+def _gram_stream(df: DataFrame, text_col: str,
+                 id_col: str | None = None) -> DataFrame:
+    """(id?, _g) unigram + space-joined-bigram rows of the whitespace
+    token stream.
+
+    HOF-free: the former flatten(array(ws, transform(...))) built the
+    bigrams with an interpreted lambda (CodegenFallback) that also broke
+    whole-stage codegen for the bucket-hash projection and partial
+    aggregation pipelined behind it.  Instead, union a codegen'd
+    unigram explode with a codegen'd position-sequence bigram explode
+    (element_at picks, same greatest() clamp convention as lm's
+    _ngram_stream); the identical exchange below both branches is
+    deduplicated by ReuseExchange.  Row multiset is unchanged, so every
+    downstream count is identical."""
     ws = F.split(F.col(text_col), " ")
-    bigrams = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 2),
-            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.flatten(F.array(ws, bigrams))
+    cols = [F.col(id_col)] if id_col else []
+    uni = df.select(*cols, F.explode(ws).alias("_g"))
+    base = df.select(*cols, ws.alias("_ws")).filter(F.size("_ws") >= 2)
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.size("_ws") - 1, F.lit(1)))
+    )
+    bi = base.select(*cols, "_ws", pos.alias("_p")).select(
+        *cols,
+        F.concat_ws(
+            " ",
+            F.element_at("_ws", F.col("_p")),
+            F.element_at("_ws", F.col("_p") + 1),
+        ).alias("_g"),
+    )
+    return uni.unionAll(bi)
 
 
 def _bucket(gram_col, n_buckets: int, salt: str):
@@ -72,10 +91,7 @@ def hashed_gram_counts(df: DataFrame, text_col: str = "text",
                        salt: str = "dsir") -> DataFrame:
     """(id, bucket, cnt) hashed unigram+bigram counts per document."""
     return (
-        df.select(
-            F.col(id_col),
-            F.explode(_gram_array(text_col)).alias("_g"),
-        )
+        _gram_stream(df, text_col, id_col)
         .select(id_col, _bucket(F.col("_g"), n_buckets, salt).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("cnt"))
@@ -88,7 +104,7 @@ def _corpus_buckets(df: DataFrame, text_col: str, n_buckets: int,
     keys, so the shuffle carries ~partitions * B rows however large the
     corpus."""
     return (
-        df.select(F.explode(_gram_array(text_col)).alias("_g"))
+        _gram_stream(df, text_col)
         .select(_bucket(F.col("_g"), n_buckets, salt).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))

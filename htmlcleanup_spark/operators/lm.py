@@ -138,26 +138,11 @@ def ppl_buckets(scored: DataFrame, n_buckets: int = 3,
 def bigram_model(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """(a, b, cnt) adjacent-word bigram frequencies over the corpus —
-    one map-side-combined shuffle keyed on the pair."""
-    ws = F.split(F.col(text_col), " ")
+    one map-side-combined shuffle keyed on the pair (codegen'd HOF-free
+    stream, see _ngram_stream)."""
     return (
-        df.select(
-            F.explode(
-                F.when(
-                    F.size(ws) >= 2,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(ws) - 2),
-                        lambda i: F.struct(
-                            F.element_at(ws, i + 1).alias("a"),
-                            F.element_at(ws, i + 2).alias("b"),
-                        ),
-                    ),
-                ).otherwise(
-                    F.array().cast("array<struct<a:string,b:string>>")
-                )
-            ).alias("g")
-        )
-        .groupBy("g.a", "g.b")
+        _ngram_stream(df, 2, text_col, id_col)
+        .groupBy("a", "b")
         .agg(F.count("*").alias("cnt"))
     )
 
@@ -185,24 +170,7 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text",
     (a, b) (an equi-join Spark shuffles on the pair key; AQE picks the
     strategy).  Both models are pinned — each feeds totals and scoring
     joins (the multi-consumer rule)."""
-    ws = F.split(F.col(text_col), " ")
-    stream = df.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.size(ws) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ws) - 2),
-                    lambda i: F.struct(
-                        F.element_at(ws, i + 1).alias("a"),
-                        F.element_at(ws, i + 2).alias("b"),
-                    ),
-                ),
-            ).otherwise(
-                F.array().cast("array<struct<a:string,b:string>>")
-            )
-        ).alias("g"),
-    ).select(id_col, "g.a", "g.b")
+    stream = _ngram_stream(df, 2, text_col, id_col)
 
     uni = unigram_model(df, text_col, id_col).localCheckpoint(eager=False)
     bi = bigram_model(df, text_col, id_col).localCheckpoint(eager=False)
@@ -250,29 +218,36 @@ def bigram_perplexity(df: DataFrame, text_col: str = "text",
 def _ngram_stream(df: DataFrame, n: int, text_col: str,
                   id_col: str) -> DataFrame:
     """(id, g1..gn) sliding n-gram stream per document; documents with
-    fewer than n words emit nothing."""
+    fewer than n words emit nothing.
+
+    HOF-free construction: explode a position sequence and pick words
+    with element_at.  The previous transform(...struct...) lambda is a
+    higher-order function — interpreted (CodegenFallback), and its
+    presence splits the stage out of whole-stage codegen, so every
+    downstream operator pipelined into the same stage (the model
+    broadcast joins, the backoff CASE) fell back to row-at-a-time
+    interpreted evaluation: ~10x CPU on the scoring stage.  sequence +
+    element_at are codegen'd end to end.  The greatest() clamp keeps the
+    sequence ascending if an optimizer rule evaluates it on pre-filter
+    short rows (same hazard as dedup._shingle_expr); filtered rows emit
+    nothing either way."""
     ws = F.split(F.col(text_col), " ")
     names = ["a", "b", "c", "d", "e"][:n]
-    return df.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.size(ws) >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ws) - n),
-                    lambda i: F.struct(*[
-                        F.element_at(ws, i + k + 1).alias(names[k])
-                        for k in range(n)
-                    ]),
-                ),
-            ).otherwise(
-                F.array().cast(
-                    "array<struct<%s>>"
-                    % ",".join("%s:string" % x for x in names)
-                )
-            )
-        ).alias("g"),
-    ).select(id_col, *["g.%s" % x for x in names])
+    base = df.select(F.col(id_col), ws.alias("_ws")).filter(
+        F.size("_ws") >= n
+    )
+    pos = F.explode(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("_ws") - (n - 1), F.lit(1))
+        )
+    )
+    return base.select(F.col(id_col), "_ws", pos.alias("_p")).select(
+        id_col,
+        *[
+            F.element_at("_ws", F.col("_p") + k).alias(names[k])
+            for k in range(n)
+        ],
+    )
 
 
 def trigram_model(df: DataFrame, text_col: str = "text",
