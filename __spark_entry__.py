@@ -149,7 +149,13 @@ def q_clean_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup(_docs(spark, sf_dir))
+    # raw scan, not _docs(): the round-robin repartition moved the FULL
+    # text bytes through an exchange just to parallelize one cheap md5
+    # per row — the digest projection + map-side partial aggregation
+    # pipeline straight into the scan, so the only exchange carries one
+    # (digest, min, count) row per distinct digest (guide §2.3/§2.4; at
+    # corpus scale the scan parallelism comes from file splits).
+    return dedup.exact_dedup(spark.read.parquet(_t(sf_dir, "documents")))
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -233,9 +233,10 @@ def learn_bpe(df: DataFrame, text_col: str = "text", n_merges: int = 8,
     scan = BPE's greedy-leftmost semantics; the shared half of each
     double gap keeps the invariant for the next round).  Per iteration:
     one vocab-keyed map-combined groupBy for pair counts + a 1-row
-    collect for the argmax (total order: count desc, pair asc), then an
-    eager localCheckpoint cuts the lineage (reliable checkpoint on a
-    cluster).  ``token_pattern`` bounds the alphabet (and keeps the
+    collect for the argmax (total order: count desc, pair asc), then a
+    LAZY localCheckpoint cuts the lineage -- the next round's argmax
+    collect materializes it, so each round runs one job (reliable
+    checkpoint on a cluster).  ``token_pattern`` bounds the alphabet (and keeps the
     char-split portable to the SQL oracle).
     """
     spark = df.sparkSession
@@ -248,7 +249,10 @@ def learn_bpe(df: DataFrame, text_col: str = "text", n_merges: int = 8,
     sym = F.concat(
         F.lit(" "), F.array_join(F.split(F.col("w"), ""), "  "), F.lit(" ")
     )
-    cur = wc.select(sym.alias("s"), "cnt").localCheckpoint(eager=True)
+    # lazy cut: each round's argmax collect is the first consumer of the
+    # current symbol table and materializes its blocks, so an eager cut
+    # would only add a blocking job per merge round
+    cur = wc.select(sym.alias("s"), "cnt").localCheckpoint(eager=False)
     pair_struct = F.expr(
         "transform(sequence(1, size(_t) - 1),"
         " i -> struct(_t[i-1] AS l, _t[i] AS r))"
@@ -275,7 +279,7 @@ def learn_bpe(df: DataFrame, text_col: str = "text", n_merges: int = 8,
                 F.lit(" %s%s " % (l, r)),
             ).alias("s"),
             "cnt",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges,
         "step int, l string, r string, merged string, pair_count long",

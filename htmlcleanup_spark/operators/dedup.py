@@ -1262,7 +1262,10 @@ def lsh_recall_report(df: DataFrame, planted: DataFrame,
     candidate discipline); LSH detection is the production
     minhash_lsh_pairs plan itself; the final report is one
     n_bins-row aggregate."""
-    sh = shingles(df, text_col, id_col, k)
+    # pin: the sizes aggregate and BOTH per-side prunes read the shingle
+    # stream — without the pin the split/explode construction runs three
+    # times (the repo-wide multi-consumer rule)
+    sh = _pin(shingles(df, text_col, id_col, k))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_ns"))
     pl = _pin(planted.select("id_a", "id_b"))
     sha = sh.select(F.col(id_col).alias("id_a"), "shingle").join(
