@@ -781,10 +781,16 @@ def line_dedup(df: DataFrame, id_col: str = "url", text_col: str = "text",
     df = _pin(df.select(id_col, text_col))  # consumed by 4 branches:
     # without the pin each branch re-runs the whole upstream lineage
     # (for the post-extraction use that is the cascade itself, 4x)
-    lines = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("line_key", F.md5(F.trim(F.col("line"))))
+    # second pin: the LINE stream itself has 3 consumers (the df count,
+    # the keep anti-join, the dropped semi-join) — pinning it saves two
+    # further split/posexplode/md5 passes over every document
+    lines = _pin(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n"))
+            .alias("pos", "line"),
+        ).withColumn("line_key", F.md5(F.trim(F.col("line"))))
+    )
 
     n_docs = df.select(
         F.count("*").cast("double").alias("_n_docs")
@@ -1056,10 +1062,15 @@ def host_line_dedup(df: DataFrame, id_col: str = "url",
         F.col(id_col), host.alias("_host"), F.col(text_col)
     ))  # consumed by the page count and (via lines) three more branches
 
-    lines = base.select(
-        F.col(id_col).alias("_id"), "_host",
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("line_key", F.md5(F.trim(F.col("line"))))
+    # line-stream pin: three consumers (df count, keep anti-join, drop
+    # semi-join) would otherwise re-split and re-hash every page's lines
+    lines = _pin(
+        base.select(
+            F.col(id_col).alias("_id"), "_host",
+            F.posexplode(F.split(F.col(text_col), "\n"))
+            .alias("pos", "line"),
+        ).withColumn("line_key", F.md5(F.trim(F.col("line"))))
+    )
 
     host_pages = base.groupBy("_host").agg(
         F.count("*").cast("double").alias("_n_pages")
