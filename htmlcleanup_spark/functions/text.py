@@ -557,11 +557,16 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("_w"),
     )
-    tf = words.groupBy(id_col, "_w").agg(F.count("*").alias("_tf"))
-    dfx = (
-        words.groupBy("_w", id_col).agg(F.lit(1).alias("_one"))
-        .groupBy("_w").agg(F.count("*").alias("_df"))
-    )
+    # pin: tf feeds BOTH the document-frequency rollup and the scoring
+    # join; and dfx derives FROM tf (tf has exactly one row per
+    # (doc, term), so counting tf rows per term IS the document
+    # frequency) — the former separate words.groupBy(term, id) pass
+    # re-exploded and re-shuffled the whole token stream for a table tf
+    # already determines.
+    tf = words.groupBy(id_col, "_w").agg(
+        F.count("*").alias("_tf")
+    ).localCheckpoint(eager=False)
+    dfx = tf.groupBy("_w").agg(F.count("*").alias("_df"))
     n_docs = df.agg(F.count("*").cast("double").alias("_nd"))
     scored = (
         tf.join(F.broadcast(dfx), "_w")

@@ -50,9 +50,13 @@ def c4_filter(df: DataFrame, text_col: str = "text",
 
     Returns (id, clean_text, n_lines_kept, n_sentences, keep).
 
-    Scale: pure per-row array lambdas — zero shuffles, zero Python,
-    whole-stage codegen; composes as a pushed-down filter ahead of any
-    dedup/tokenize stage exactly as C4 runs it."""
+    Scale: pure per-row array lambdas — zero shuffles, zero Python;
+    composes as a pushed-down filter ahead of any dedup/tokenize stage
+    exactly as C4 runs it.  The kept-lines array is materialized in its
+    own projection first: filter() lambdas are interpreted with no
+    common-subexpression elimination, so referencing the expression from
+    three output columns would run the per-line regex scan three times
+    per row."""
     lines = F.split(F.col(text_col), "\n")
     kept = F.filter(
         lines,
@@ -62,12 +66,13 @@ def c4_filter(df: DataFrame, text_col: str = "text",
             & ~F.lower(l).contains("javascript")
         ),
     )
-    clean = F.array_join(kept, "\n")
+    base = df.select(id_col, text_col, kept.alias("_kept"))
+    clean = F.array_join(F.col("_kept"), "\n")
     n_sent = F.regexp_count(clean, F.lit(_SENT_MARK_RE))
-    return df.select(
+    return base.select(
         id_col,
         clean.alias("clean_text"),
-        F.size(kept).alias("n_lines_kept"),
+        F.size("_kept").alias("n_lines_kept"),
         n_sent.cast("int").alias("n_sentences"),
         (
             (n_sent >= min_sentences)
@@ -398,13 +403,21 @@ def badwords_filter(df: DataFrame, text_col: str = "text",
     flagged = F.filter(
         ws, lambda w: F.array_contains(lit_words, F.lower(w))
     )
-    n = F.size(flagged)
-    return df.select(
+    # materialize the interpreted filter's count once: three output
+    # columns reference it, and filter() lambdas have no CSE — the whole
+    # token scan would run three times per row otherwise
+    base = df.select(
+        id_col,
+        F.size(flagged).alias("_n"),
+        F.size(ws).alias("_nw"),
+    )
+    n = F.col("_n")
+    return base.select(
         id_col,
         n.alias("n_flagged"),
         F.floor(
             n.cast("double")
-            / F.greatest(F.size(ws).cast("double"), F.lit(1.0))
+            / F.greatest(F.col("_nw").cast("double"), F.lit(1.0))
             * 1e6
         ).cast("long").alias("flagged_frac_e6"),
         (n == 0).alias("keep"),
@@ -460,7 +473,16 @@ def refinedweb_line_rules(df: DataFrame, text_col: str = "text",
 
     lines = F.split(F.col(text_col), "\n")
     kept = F.filter(lines, lambda l: ~removed(l))
-    clean = F.array_join(kept, "\n")
+    # materialize the interpreted filter once (no CSE for HOF lambdas):
+    # clean_text, the removed-line count and the char ratio all derive
+    # from it — inline, the 4-regex-per-line scan would run 4x per row
+    base = df.select(
+        id_col,
+        F.col(text_col),
+        F.size(lines).alias("_nl"),
+        kept.alias("_kept"),
+    )
+    clean = F.array_join(F.col("_kept"), "\n")
     total = F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("long")
     removed_chars = (
         F.length(F.col(text_col)).cast("long") - F.length(clean).cast("long")
@@ -468,10 +490,11 @@ def refinedweb_line_rules(df: DataFrame, text_col: str = "text",
     ratio = F.floor(
         1e6 * removed_chars.cast("double") / total.cast("double")
     ).cast("long")
-    return df.select(
+    return base.select(
         id_col,
         clean.alias("clean_text"),
-        (F.size(lines) - F.size(kept)).cast("int").alias("n_lines_removed"),
+        (F.col("_nl") - F.size("_kept")).cast("int")
+        .alias("n_lines_removed"),
         ratio.alias("removed_ratio_e6"),
         (ratio <= max_removed_ratio_e6).alias("keep"),
     )

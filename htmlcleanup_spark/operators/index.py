@@ -201,9 +201,12 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     """
     from pyspark.sql import Window
 
-    dl = F.size(
-        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    )
+    # non-empty token count WITHOUT a higher-order function:
+    # size(array_remove(ws, '')) == size(filter(ws, w != '')) (split never
+    # yields nulls), and array_remove is codegen'd — an F.filter lambda
+    # here knocked the explode stage and the broadcast term joins behind
+    # it out of whole-stage codegen (the lm._ngram_stream lesson)
+    dl = F.size(F.array_remove(F.split(F.col(text_col), " "), ""))
     toks = df.select(
         F.col(id_col).alias("_doc"),
         dl.alias("_dl"),
@@ -217,15 +220,22 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     qterms = queries.select("qid", "term")
     uniq_terms = qterms.select("term").distinct()
 
+    # queried-term postings, pinned: this small (|queried terms| ≪ |V|)
+    # stream feeds both the df_t and tf aggregations — one token-stream
+    # scan instead of two, and what materializes is only the postings
+    # that survive the broadcast term cut (scale-safe by construction)
+    hit = toks.join(F.broadcast(uniq_terms), "term").localCheckpoint(
+        eager=False
+    )
+
     # document frequency of queried terms only
     df_t = (
-        toks.join(F.broadcast(uniq_terms), "term")
-        .groupBy("term", "_doc").agg(F.lit(1).alias("_one"))
+        hit.groupBy("term", "_doc").agg(F.lit(1).alias("_one"))
         .groupBy("term").agg(F.count("*").alias("_df"))
     )
 
     tf = (
-        toks.join(F.broadcast(qterms), "term")
+        hit.join(F.broadcast(qterms), "term")
         .groupBy("qid", "_doc", "term")
         .agg(F.count("*").alias("_tf"), F.first("_dl").alias("_dl"))
     )
