@@ -522,3 +522,48 @@ def test_host_line_dedup_no_nested_loop(spark):
     plan = plan_of(host_line_dedup(df))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_repetition_signals_zero_shuffle(spark):
+    """r6 optimization contract: the Gopher repetition family is a
+    per-document Arrow batch kernel — no Exchange, no SortAggregate, no
+    row-at-a-time Python (the former plan exploded an (n, pos, gram)
+    stream and paid a doc-keyed exchange + SortAggregate + two pivots)."""
+    from htmlcleanup_spark.functions.text import repetition_signals
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    plan = plan_of(repetition_signals(docs))
+    assert n_exchanges(plan) == 0
+    assert "SortAggregate" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+
+
+def test_ngram_stream_is_codegen(spark):
+    """r6 optimization contract: the LM n-gram streams are HOF-free so
+    whole-stage codegen covers the stream AND the model joins pipelined
+    behind it (a transform() lambda is CodegenFallback and splits the
+    stage out of codegen)."""
+    from htmlcleanup_spark.operators.lm import _ngram_stream
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    plan = plan_of(_ngram_stream(docs, 3, "text", "doc_id"))
+    assert "lambdafunction" not in plan, plan
+    # the '*' prefix marks operators inside a WholeStageCodegen span in
+    # formatted explain — the Generate and its projections must carry it
+    assert "* Generate" in plan, plan
+
+
+def test_phase_pin_keeps_parallelism(spark):
+    """r6 optimization contract: a recipe phase boundary must not pin
+    downstream parallelism at AQE's coalesced partition count (1 at toy
+    scale) — _phase_pin repartitions to defaultParallelism inside the
+    checkpointed plan."""
+    import __spark_entry__ as entry
+
+    tiny = spark.range(0, 100).groupBy((F.col("id") % 7).alias("k")).count()
+    pinned = entry._phase_pin(tiny)
+    assert (
+        pinned.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
