@@ -113,7 +113,8 @@ def _corpus_buckets(df: DataFrame, text_col: str, n_buckets: int,
 
 def dsir_logratio(raw_df: DataFrame, target_df: DataFrame,
                   text_col: str = "text", n_buckets: int = 1 << 13,
-                  salt: str = "dsir") -> DataFrame:
+                  salt: str = "dsir",
+                  raw_buckets: DataFrame | None = None) -> DataFrame:
     """The broadcastable (bucket, lr_e6) table:
 
         lr_e6 = floor( ln( ((ct+1)*(Tq+B)) / ((cq+1)*(Tp+B)) ) * 1e6 )
@@ -122,12 +123,17 @@ def dsir_logratio(raw_df: DataFrame, target_df: DataFrame,
     with a pinned multiply/divide order so Spark and the SQL oracle see
     bit-identical doubles.  Buckets the raw corpus never populates are
     irrelevant downstream (raw docs cannot hit them), so the raw count
-    table is the base of the join."""
+    table is the base of the join.
+
+    ``raw_buckets``: an already-computed (bucket, cnt) table for the raw
+    corpus (dsir_weights derives it from the per-doc counts it needs
+    anyway, saving a full gram-hash pass); None computes it here."""
     # each count table feeds BOTH its total aggregate and the ratio join —
     # pin them (<= B rows) so the corpus gram scan runs once per corpus,
     # not once per consumer (the repo-wide multi-consumer-subplan rule)
-    traw = _corpus_buckets(raw_df, text_col, n_buckets, salt) \
-        .localCheckpoint(eager=False)
+    if raw_buckets is None:
+        raw_buckets = _corpus_buckets(raw_df, text_col, n_buckets, salt)
+    traw = raw_buckets.localCheckpoint(eager=False)
     ttgt = _corpus_buckets(target_df, text_col, n_buckets, salt) \
         .localCheckpoint(eager=False)
     tot_raw = traw.agg(F.sum("cnt").cast("double").alias("_tq"))
@@ -164,12 +170,25 @@ def dsir_weights(raw_df: DataFrame, target_df: DataFrame,
                  salt: str = "dsir") -> DataFrame:
     """(id, logw_e6): the integer dot product of the document's bucket
     counts with the quantized log-ratio table.  Higher = more
-    target-like.  One explode + broadcast join + one doc-keyed sum."""
+    target-like.  One explode + broadcast join + one doc-keyed sum.
+
+    The per-doc count table is pinned and the RAW corpus bucket table is
+    derived from it (summing the per-doc counts per bucket is exactly
+    the corpus count), so the raw corpus' gram-hash stream — the
+    heaviest stage of the op — runs ONCE instead of twice; only the
+    (smaller) target corpus pays its own pass."""
+    counts = hashed_gram_counts(
+        raw_df, text_col, id_col, n_buckets, salt
+    ).localCheckpoint(eager=False)
+    raw_buckets = counts.groupBy("bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
     lr = F.broadcast(dsir_logratio(
-        raw_df, target_df, text_col, n_buckets, salt
+        raw_df, target_df, text_col, n_buckets, salt,
+        raw_buckets=raw_buckets,
     ))
     return (
-        hashed_gram_counts(raw_df, text_col, id_col, n_buckets, salt)
+        counts
         .join(lr, "bucket")
         .groupBy(id_col)
         .agg(F.sum(F.col("cnt") * F.col("lr_e6")).alias("logw_e6"))
