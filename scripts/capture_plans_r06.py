@@ -22,6 +22,8 @@ QUERIES = [
     "training_corpus_v5", "quality_survivors", "lsh_recall",
     "line_dedup", "host_boilerplate", "dedup_clusters",
     "ngram_jaccard_lsh", "paragraph_dedup", "cross_corpus_lsh",
+    "bm25_topk", "tfidf_terms", "c4_rules", "badwords",
+    "refinedweb_lines",
 ]
 
 import bench  # noqa: E402  (the frozen session recipe)
