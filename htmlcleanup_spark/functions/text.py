@@ -235,78 +235,103 @@ def quality_signals(df, text_col: str = "text", id_col: str = "doc_id",
     with :func:`~htmlcleanup_spark.operators.dedup.line_dedup`, which owns
     the line model — the documents corpus is single-line by construction.
     """
-    ws = F.split(F.col(text_col), " ")
-    n_words = F.size(ws).cast("double")
-    n_chars = F.length(text_col).cast("double")
-    word_chars = n_chars - (n_words - 1)
-    mean_wl = word_chars / F.greatest(n_words, F.lit(1.0))
-    uniq_frac = F.size(F.array_distinct(ws)).cast("double") / F.greatest(
-        n_words, F.lit(1.0)
+    id_type = df.schema[id_col].dataType.simpleString()
+    names = [id_col, "n_words", "mean_word_len_e6", "uniq_word_frac_e6",
+             "stopword_frac_e6", "top_bigram_frac_e6", "keep"]
+    ddl = (
+        "%s %s, n_words int, mean_word_len_e6 long, uniq_word_frac_e6 "
+        "long, stopword_frac_e6 long, top_bigram_frac_e6 long, "
+        "keep boolean" % (id_col, id_type)
     )
-    stop_frac = stopword_hits(text_col, LANG_MARKERS["en"]).cast(
-        "double"
-    ) / F.greatest(n_words, F.lit(1.0))
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        _quality_signals_kernel(
+            min_words, max_words, min_mean_word_len, max_mean_word_len,
+            max_top_bigram_frac, min_unique_frac, names,
+        ),
+        ddl,
+    )
 
-    base = df.select(
-        F.col(id_col),
-        F.size(ws).alias("n_words"),
-        F.floor(mean_wl * 1e6).cast("long").alias("mean_word_len_e6"),
-        F.floor(uniq_frac * 1e6).cast("long").alias("uniq_word_frac_e6"),
-        F.floor(stop_frac * 1e6).cast("long").alias("stopword_frac_e6"),
-        F.length(text_col).alias("_n_chars"),
-        F.split(F.col(text_col), " ").alias("_ws"),
-    )
-    # HOF-free bigram stream (codegen'd; an interpreted transform lambda
-    # would also knock the whole pipelined stage out of codegen — the
-    # lm._ngram_stream lesson)
-    bigrams = base.filter(F.size("_ws") >= 2).select(
-        id_col,
-        "_n_chars",
-        "_ws",
-        F.explode(
-            F.sequence(
-                F.lit(1), F.greatest(F.size("_ws") - 1, F.lit(1))
+
+def _quality_signals_kernel(min_words, max_words, min_mean_word_len,
+                            max_mean_word_len, max_top_bigram_frac,
+                            min_unique_frac, names):
+    """Arrow batch kernel for :func:`quality_signals` — same zero-shuffle
+    per-document design as _repetition_kernel (every signal depends only
+    on the document's own words; the former relational construction paid
+    a doc-keyed exchange plus a SortAggregate for the max-(cnt, bigram)
+    tie-break).  All arithmetic replays the former expression tree's
+    IEEE-double operation order exactly; Python tuple max == Spark
+    struct max (long first, then UTF-8 string order).  NULL text yields
+    NULL signals, top_bigram 0, NULL keep — the size(NULL)/left-join
+    semantics of the relational form."""
+    stops = frozenset(LANG_MARKERS["en"])
+    t_mwl_lo = int(min_mean_word_len * 1e6)
+    t_mwl_hi = int(max_mean_word_len * 1e6)
+    t_top = int(max_top_bigram_frac * 1e6)
+    t_uniq = int(min_unique_frac * 1e6)
+
+    def fn(batches):
+        from collections import Counter
+
+        from math import floor
+
+        import pyarrow as pa
+
+        for batch in batches:
+            id_arr = batch.column(0)
+            nw_c, mwl_c, uniq_c, stop_c, top_c, keep_c = \
+                [], [], [], [], [], []
+            for t in batch.column(1).to_pylist():
+                if t is None:
+                    nw_c.append(None)
+                    mwl_c.append(None)
+                    uniq_c.append(None)
+                    stop_c.append(None)
+                    top_c.append(0)
+                    keep_c.append(None)
+                    continue
+                w = t.split(" ")
+                nw = len(w)
+                nwd = float(nw)
+                nc = float(len(t))
+                den = nwd if nwd > 1.0 else 1.0
+                mwl = floor(((nc - (nwd - 1.0)) / den) * 1e6)
+                uniq = floor((float(len(set(w))) / den) * 1e6)
+                nstop = 0
+                for x in w:
+                    if x in stops:
+                        nstop += 1
+                stop = floor((float(nstop) / den) * 1e6)
+                if nw < 2:
+                    top = 0
+                else:
+                    join = " ".join
+                    cnt = Counter(
+                        join(w[i:i + 2]) for i in range(nw - 1)
+                    )
+                    bc, bg = max(((c, g) for g, c in cnt.items()))
+                    top = floor(((bc * float(len(bg))) / nc) * 1e6)
+                nw_c.append(nw)
+                mwl_c.append(mwl)
+                uniq_c.append(uniq)
+                stop_c.append(stop)
+                top_c.append(top)
+                keep_c.append(
+                    min_words <= nw <= max_words
+                    and t_mwl_lo <= mwl <= t_mwl_hi
+                    and top <= t_top
+                    and uniq >= t_uniq
+                )
+            yield pa.record_batch(
+                [id_arr, pa.array(nw_c, pa.int32()),
+                 pa.array(mwl_c, pa.int64()),
+                 pa.array(uniq_c, pa.int64()),
+                 pa.array(stop_c, pa.int64()),
+                 pa.array(top_c, pa.int64()),
+                 pa.array(keep_c, pa.bool_())],
+                names=names,
             )
-        ).alias("_p"),
-    ).select(
-        id_col,
-        "_n_chars",
-        F.concat_ws(
-            " ",
-            F.element_at("_ws", F.col("_p")),
-            F.element_at("_ws", F.col("_p") + 1),
-        ).alias("bigram"),
-    )
-    top = (
-        bigrams.groupBy(id_col, "_n_chars", "bigram")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy(id_col, "_n_chars")
-        .agg(F.max(F.struct("cnt", "bigram")).alias("_top"))
-        .select(
-            id_col,
-            F.floor(
-                F.col("_top.cnt")
-                * F.length("_top.bigram").cast("double")
-                / F.col("_n_chars").cast("double")
-                * 1e6
-            )
-            .cast("long")
-            .alias("top_bigram_frac_e6"),
-        )
-    )
-    out = base.drop("_n_chars", "_ws").join(top, id_col, "left").withColumn(
-        "top_bigram_frac_e6",
-        F.coalesce("top_bigram_frac_e6", F.lit(0)),
-    )
-    keep = (
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len_e6") >= int(min_mean_word_len * 1e6))
-        & (F.col("mean_word_len_e6") <= int(max_mean_word_len * 1e6))
-        & (F.col("top_bigram_frac_e6") <= int(max_top_bigram_frac * 1e6))
-        & (F.col("uniq_word_frac_e6") >= int(min_unique_frac * 1e6))
-    )
-    return out.withColumn("keep", keep)
+    return fn
 
 
 def source_stats(df, text_col: str = "text", source_col: str = "source"):
